@@ -1,0 +1,192 @@
+"""Hashing / fingerprinting expressions for dedup and similarity.
+
+All JVM-side (md5 / xxhash64 / higher-order functions) — the hot dedup
+path never leaves codegen. md5-derived 64-bit integers are used where
+the DuckDB oracle must reproduce the value exactly (both engines
+implement standard md5); xxhash64 is used where only self-consistency
+matters (MinHash permutations), being ~5x faster.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 hex of the raw text.
+    Portable across engines (DuckDB md5() produces identical output)."""
+    return F.md5(_col(col))
+
+
+def hex64(col: Column | str) -> Column:
+    """First 15 hex chars of md5 as a non-negative 60-bit BIGINT.
+    Portable: DuckDB ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``
+    yields the identical value."""
+    return F.conv(F.substring(F.md5(_col(col)), 1, 15), 16, 10).cast("long")
+
+
+def normalized_tokens(col: Column | str) -> Column:
+    """Lowercased word tokens with punctuation stripped; the shared
+    tokenizer for shingling / SimHash / language-ID."""
+    c = _col(col)
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9\\s]", " ")
+    return F.array_remove(F.split(F.trim(cleaned), "\\s+"), "")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column (array<string>).
+
+    JVM-side: tokenize, then for each start index i build
+    ``concat_ws(' ', tokens[i..i+k-1])`` via transform over a sequence.
+    """
+    toks = normalized_tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i, k)
+            ),
+        )
+    )
+
+
+def minhash_signature(
+    shingle_arr: Column,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) over a
+    shingle array.
+
+    Permutation family: ``h_i(s) = xxhash64(s, seed+i)`` — Spark's
+    xxhash64 takes a per-call seed, giving independent hash functions
+    with no (a*x+b) mod-p arithmetic. min() per function. Entirely
+    JVM-side: ~num_hashes aggregate expressions fused by codegen.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_arr, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """LSH banding: split a MinHash signature into ``bands`` bands of
+    ``rows`` values; each band becomes ``(band_idx, xxhash64(joined))``.
+    Explode the result and groupBy the key to find candidate pairs —
+    the join is on band hash, never all-pairs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.slice(signature, b * rows + 1, rows).cast("array<string>"))
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of a text column, JVM-side.
+
+    Each distinct token hashes to 64 bits (xxhash64); for each bit
+    position the +1/-1 votes over tokens are summed; the sign forms the
+    output bit. Implemented as 64 aggregate expressions over the token
+    array — no UDF. Hamming distance between simhashes approximates
+    cosine similarity of the token multisets.
+    """
+    toks = F.array_distinct(normalized_tokens(col))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit b: count tokens with bit set minus tokens without = 2*set - n
+    n = F.size(h)
+    bits = [
+        (
+            F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, v, b=b: acc
+                + F.shiftright(v, b).bitwiseAND(F.lit(1)).cast("int"),
+            )
+            * 2
+            > n
+        ).cast("long")
+        * F.lit(1 << b)
+        for b in range(63)  # keep sign bit clear
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
+    return F.bit_count(_col(a).bitwiseXOR(_col(b)))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array<float|double> columns, computed in
+    double with sequential aggregation (matches DuckDB
+    list_cosine_similarity on double lists bit-for-bit in practice).
+    JVM-side higher-order functions — no UDF in the hot path."""
+    ca, cb = _col(a).cast("array<double>"), _col(b).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two string arrays (treated as sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(F.array_distinct(a)) + F.size(F.array_distinct(b)) - inter)
+
+
+def random_hyperplane_buckets(
+    vec: Column | str, num_planes: int = 16, seed: int = 42, dim: int = 64
+) -> Column:
+    """LSH bucket id for an embedding via deterministic pseudo-random
+    hyperplanes. Plane p component j = hash-derived value in [-1,1]
+    (xxhash64 of (p,j) — deterministic across runs/executors). Returns
+    an int bucket = sign-bit string of the ``num_planes`` projections.
+
+    This is the scale path for ANN: candidates are fetched per-bucket
+    (+ optional multi-probe) instead of scanning all vectors."""
+    v = _col(vec).cast("array<double>")
+
+    def plane_component(p: int, j: Column) -> Column:
+        h = F.xxhash64(F.concat_ws(":", F.lit(p), j.cast("string")), F.lit(seed))
+        return (h % 2000001).cast("double") / 1000000.0 - 1.0
+
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda j, p=p: plane_component(p, j)),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        bits.append((proj > 0).cast("long") * F.lit(1 << p))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total

@@ -1,0 +1,88 @@
+"""Tests for the generic diff-sync operator (J10) + guarded delete (W4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.operators.diff_sync import (
+    CHANGE_COL,
+    DELETE,
+    INSERT,
+    UNCHANGED,
+    UPDATE,
+    apply_diff,
+    diff_counters,
+    diff_sync,
+)
+from clinvar_pipeline_spark.operators.guarded_delete import guarded_stale_delete
+
+
+def _dfs(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "val"]
+    )
+    incoming = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], ["k", "name", "val"]
+    )
+    return incoming, existing
+
+
+def test_classification(spark):
+    incoming, existing = _dfs(spark)
+    diff = diff_sync(incoming, existing, ["k"])
+    got = {r["k"]: r[CHANGE_COL] for r in diff.collect()}
+    assert got == {1: DELETE, 2: UNCHANGED, 3: UPDATE, 4: INSERT}
+
+
+def test_delete_rows_carry_old_values(spark):
+    incoming, existing = _dfs(spark)
+    diff = diff_sync(incoming, existing, ["k"])
+    row = diff.filter(F.col("k") == 1).collect()[0]
+    assert row["name"] == "a" and row["val"] == 10.0
+    assert row["old_name"] == "a"
+
+
+def test_apply_diff_roundtrip(spark):
+    incoming, existing = _dfs(spark)
+    diff = diff_sync(incoming, existing, ["k"])
+    nxt = apply_diff(diff, ["k"], ["name", "val"])
+    assert sorted(map(tuple, nxt.collect())) == sorted(map(tuple, incoming.collect()))
+
+
+def test_null_vs_empty_distinguished(spark):
+    existing = spark.createDataFrame([(1, None)], "k int, v string")
+    incoming = spark.createDataFrame([(1, "")], "k int, v string")
+    diff = diff_sync(incoming, existing, ["k"])
+    assert diff.collect()[0][CHANGE_COL] == UPDATE
+
+
+def test_counters(spark):
+    incoming, existing = _dfs(spark)
+    diff = diff_sync(incoming, existing, ["k"])
+    got = {r["counter"]: r["value"] for r in diff_counters(diff, "orders").collect()}
+    assert got == {
+        "orders_DELETE": 1,
+        "orders_INSERT": 1,
+        "orders_UNCHANGED": 1,
+        "orders_UPDATE": 1,
+    }
+
+
+class TestGuardedDelete:
+    def test_under_threshold_deletes(self, spark):
+        existing = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+        touched = spark.createDataFrame([(i,) for i in range(95)], ["k"])
+        res = guarded_stale_delete(existing, touched, ["k"], threshold=0.08)
+        assert not res.aborted
+        assert res.stale_count == 5
+        assert res.kept.count() == 95
+        assert res.deleted.count() == 5
+
+    def test_over_threshold_aborts(self, spark):
+        existing = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+        touched = spark.createDataFrame([(i,) for i in range(80)], ["k"])
+        res = guarded_stale_delete(existing, touched, ["k"], threshold=0.08)
+        assert res.aborted
+        assert res.stale_count == 20
+        assert res.kept.count() == 100
+        assert res.deleted.count() == 0
