@@ -113,18 +113,15 @@ def simhash64(col: Column | str) -> Column:
     h = F.transform(toks, lambda t: F.xxhash64(t))
     # bit b: count tokens with bit set minus tokens without = 2*set - n
     n = F.size(h)
+
+    def bit_votes(b: int):
+        def merge(acc, v):
+            return acc + F.shiftright(v, b).bitwiseAND(F.lit(1)).cast("int")
+
+        return F.aggregate(h, F.lit(0), merge)
+
     bits = [
-        (
-            F.aggregate(
-                h,
-                F.lit(0),
-                lambda acc, v, b=b: acc
-                + F.shiftright(v, b).bitwiseAND(F.lit(1)).cast("int"),
-            )
-            * 2
-            > n
-        ).cast("long")
-        * F.lit(1 << b)
+        (bit_votes(b) * 2 > n).cast("long") * F.lit(1 << b)
         for b in range(63)  # keep sign bit clear
     ]
     total = bits[0]

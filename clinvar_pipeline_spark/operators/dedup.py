@@ -1,0 +1,170 @@
+"""Deduplication operators for large-scale corpora.
+
+Four tiers, cheapest-first (the standard 100 TB dedup funnel):
+1. exact: hash-groupBy on a content fingerprint — one shuffle.
+2. SimHash: 8-byte signature per doc; near-dups = small Hamming
+   distance (bit-bucket join on rotated signatures for scale).
+3. MinHash + LSH: banded signature buckets; candidate pairs come from
+   an equi-join on (band, bucket) — never an all-pairs product; exact
+   Jaccard verified on candidates only.
+4. n-gram Jaccard (exact): inverted shingle index self-join — precise
+   but hot-shingle skew; use as verification or small-corpus path.
+
+All JVM-side expressions (xxhash64 / higher-order functions); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.functions.hashes import (
+    band_keys,
+    jaccard,
+    md5_fingerprint,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, n_docs,
+    keeper_id = min id). Shuffle carries only (fp, id)."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), md5_fingerprint(F.col(text_col)).alias("fp")
+    )
+    return (
+        keyed.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Return df minus non-keeper exact duplicates (keeper = min id)."""
+    keyed = df.withColumn("_fp", md5_fingerprint(F.col(text_col)))
+    w_keep = (
+        keyed.groupBy("_fp").agg(F.min(id_col).alias("_keeper"))
+    )
+    return (
+        keyed.join(w_keep, on="_fp")
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .drop("_fp", "_keeper")
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
+
+    Plan shape (scale-critical):
+      docs → (id, shingles, signature)           map-only
+           → explode 16 band keys                map-only ×16
+           → self-join on (band, bucket)         shuffle on band hash
+           → distinct candidate (a, b)           dedup across bands
+           → join back shingle sets, verify      2 joins on id
+    The only quadratic-ish step is within-bucket pairing; bucket sizes
+    are bounded by LSH collision probability, and AQE splits skewed
+    buckets. Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
+    verified sim ≥ threshold.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k=shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    banded = sig.select(
+        "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = sig.select("id", "sh")
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 8 bytes per document regardless of length."""
+    return df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 8,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole block trick: split the
+    64-bit signature into ``blocks`` chunks; any pair within Hamming
+    distance < blocks must agree on ≥1 chunk → candidates come from an
+    equi-join on (block_idx, chunk_value), then exact Hamming verify.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    width = 64 // blocks
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.blk").alias("blk"), F.col("c.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,994 @@
+"""Query registry: every implemented operator exposed as a named query
+over the driver's generic tables, with a DuckDB oracle-SQL twin.
+
+Each entry maps an operator (or operator cluster) from SURVEY.md §2 onto
+the generic star-schema tables per FIXTURES.md §B. The Spark side uses
+the engine's public operators/expressions; the SQL side is an
+independent ANSI formulation DuckDB runs on the same parquet.
+
+Numeric discipline (so value-hashes match across engines):
+- monetary/quantity aggregates: cast inputs to DECIMAL before
+  arithmetic → exact, associative, engine-independent;
+- ratios/similarities: computed in double with identical operation
+  order in both formulations, then round(…, 4-6).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.config import CLINSIG_UNKNOWN_RANK
+from clinvar_pipeline_spark.functions.hashes import (
+    cosine_similarity,
+    hex64,
+    jaccard,
+    md5_fingerprint,
+    minhash_signature,
+    normalized_tokens,
+    shingles,
+    simhash64,
+)
+from clinvar_pipeline_spark.functions.sets import pipe_set_agg, ranked_sort
+from clinvar_pipeline_spark.operators.cascade import CascadeStage, cascade_lookup
+from clinvar_pipeline_spark.operators.diff_sync import diff_sync
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to
+    # microsecond timestamps (floor division — matches DuckDB's ns→us
+    # truncation when fetching TIMESTAMP_NS)
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+# =====================================================================
+# 1. Relational core (scan → filter → agg; flagship-adjacent)
+# =====================================================================
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style aggregation (A6/A7 counter+audit pattern at scale).
+
+    Scale: single scan, map-side partial aggregation, tiny group
+    cardinality → no skew; decimals keep the sums exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+           min(c.c_mktsegment) AS segment
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style join+agg+topN. customer is the small side →
+    broadcast; lineitem⋈orders shuffles once on orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            ).alias("revenue"),
+            F.min("c_mktsegment").alias("segment"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "nation_volume",
+    """
+    SELECT n.n_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS volume,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style star join: all dims broadcast (supplier/nation/
+    region are tiny), so the fact table never shuffles for the join —
+    only the final small groupBy exchanges."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# =====================================================================
+# 2. Diff-sync / upsert classification (J10/J3-J7, W1-W3) — the
+#    reference's core write path, snapshot-functional.
+# =====================================================================
+
+_UPSERT_SQL = """
+    WITH incoming AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 13 != 0
+    ),
+    existing AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2))
+                 + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS price
+        FROM orders WHERE o_orderkey % 10 != 0
+    )
+    SELECT COALESCE(i.o_orderkey, e.o_orderkey) AS o_orderkey,
+           CASE WHEN e.o_orderkey IS NULL THEN 'INSERT'
+                WHEN i.o_orderkey IS NULL THEN 'DELETE'
+                WHEN i.price IS DISTINCT FROM e.price THEN 'UPDATE'
+                ELSE 'UNCHANGED' END AS change_type
+    FROM incoming i FULL OUTER JOIN existing e ON i.o_orderkey = e.o_orderkey
+"""
+
+
+@register("upsert_classify", _UPSERT_SQL)
+def q_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: generic diff-sync classification of an incoming batch vs the
+    previous snapshot (both derived deterministically from orders so the
+    oracle can reproduce them). Exercises all four outcomes."""
+    o = _t(spark, sf_dir, "orders")
+    incoming = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", F.col("o_totalprice").cast(DEC).alias("price")
+    )
+    existing = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice").cast(DEC)
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("price"),
+    )
+    return diff_sync(incoming, existing, ["o_orderkey"], ["price"]).select(
+        "o_orderkey", "change_type"
+    )
+
+
+@register(
+    "upsert_counters",
+    f"SELECT change_type, count(*) AS n FROM ({_UPSERT_SQL}) GROUP BY change_type",
+)
+def q_upsert_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: run-counter DataFrame derived from the classified row-sets
+    (the reference's emailed counter dump, as data)."""
+    return (
+        q_upsert_classify(spark, sf_dir)
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "threshold_guard",
+    """
+    WITH existing AS (SELECT o_orderkey FROM orders),
+    touched AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 20 != 0),
+    stale AS (SELECT e.o_orderkey FROM existing e
+              LEFT JOIN touched t ON e.o_orderkey = t.o_orderkey
+              WHERE t.o_orderkey IS NULL)
+    SELECT (SELECT count(*) FROM stale) AS stale_count,
+           (SELECT count(*) FROM existing) AS total_count,
+           CAST((SELECT count(*) FROM stale) >
+                0.08 * (SELECT count(*) FROM existing) AS INT) AS aborted
+    """,
+)
+def q_threshold_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: threshold-guarded stale delete decision, fully distributed
+    (two scalar aggregates cross-joined; no driver collect)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    touched = o.filter(F.col("o_orderkey") % 20 != 0)
+    stale = o.join(touched, on="o_orderkey", how="left_anti")
+    stale_n = stale.agg(F.count(F.lit(1)).alias("stale_count"))
+    total_n = o.agg(F.count(F.lit(1)).alias("total_count"))
+    return stale_n.crossJoin(total_n).select(
+        "stale_count",
+        "total_count",
+        (F.col("stale_count") > 0.08 * F.col("total_count")).cast("int").alias("aborted"),
+    )
+
+
+# =====================================================================
+# 3. Lookup cascades & ambiguity (J1/J2, O5)
+# =====================================================================
+
+@register(
+    "cascade_lookup",
+    """
+    WITH lk1_raw AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 2 != 0
+        UNION ALL
+        SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 5 = 0
+    ),
+    lk1 AS (SELECT n_nationkey AS k, count(*) AS n, min(n_name) AS v
+            FROM lk1_raw GROUP BY n_nationkey),
+    lk2 AS (SELECT r_regionkey AS k, count(*) AS n, min(r_name) AS v
+            FROM region GROUP BY r_regionkey)
+    SELECT c.c_custkey,
+           CASE WHEN l1.n = 1 THEN l1.v
+                WHEN l2.n = 1 THEN l2.v END AS matched_value,
+           CASE WHEN l1.n = 1 THEN 'by_nation'
+                WHEN l2.n = 1 THEN 'by_region'
+                WHEN l1.n > 1 THEN 'AMBIGUOUS_by_nation'
+           END AS matched_by
+    FROM customer c
+    LEFT JOIN lk1 l1 ON c.c_nationkey = l1.k
+    LEFT JOIN lk2 l2 ON c.c_custkey % 5 = l2.k
+    """,
+)
+def q_cascade_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 priority cascade with ambiguity guard: stage 1 looks up a
+    deliberately part-missing / part-duplicated nation dim (>1 rows for
+    a key ⇒ ambiguous ⇒ no-match, falls through); stage 2 falls back to
+    a region lookup on a derived key. Both stages broadcast."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "region_probe", (F.col("c_custkey") % 5).cast("int")
+    )
+    n = _t(spark, sf_dir, "nation")
+    lk1 = n.filter(F.col("n_nationkey") % 2 != 0).unionAll(
+        n.filter(F.col("n_nationkey") % 5 == 0)
+    )
+    r = _t(spark, sf_dir, "region")
+    out = cascade_lookup(
+        c,
+        [
+            CascadeStage("by_nation", lk1, "n_nationkey", "c_nationkey", "n_name"),
+            CascadeStage("by_region", r, "r_regionkey", "region_probe", "r_name"),
+        ],
+    )
+    return out.select("c_custkey", "matched_value", "matched_by")
+
+
+@register(
+    "ambiguity_window",
+    """
+    SELECT c_custkey,
+           count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_dup
+    FROM customer
+    """,
+)
+def q_ambiguity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: >1-match detection as a count window over the match key."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    return c.select("c_custkey", F.count(F.lit(1)).over(w).alias("n_dup"))
+
+
+@register(
+    "topn_per_group",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-N per key (first-wins O4 generalization)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# =====================================================================
+# 4. Sorted-set string algebra (M1-M8, O2)
+# =====================================================================
+
+@register(
+    "pipe_set_merge",
+    """
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priority_set
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_pipe_set_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M6-M8: grouped sorted-set aggregation with the TreeSet
+    contract. Map-side partial collect_set keeps the shuffle small."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        pipe_set_agg("o_orderpriority").alias("priority_set")
+    )
+
+
+_PRIO_RANK_SQL = """
+        CASE o_orderpriority
+             WHEN '1-URGENT' THEN 40 WHEN '2-HIGH' THEN 30
+             WHEN '3-MEDIUM' THEN 20 WHEN '5-LOW' THEN 0
+             ELSE 999 END
+"""
+
+_PRIO_RANK = {"1-urgent": 40, "2-high": 30, "3-medium": 20, "5-low": 0}
+
+
+@register(
+    "ranked_set_merge",
+    f"""
+    SELECT o_custkey,
+           string_agg(o_orderpriority, '|' ORDER BY rank, o_orderpriority)
+             AS ranked_set
+    FROM (SELECT DISTINCT o_custkey, o_orderpriority,
+                 {_PRIO_RANK_SQL} AS rank
+          FROM orders)
+    GROUP BY o_custkey
+    """,
+)
+def q_ranked_set_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: ranked set merge — the clinsig severity-ordered union mapped
+    onto order priorities with a non-lexicographic rank table (LOW
+    ranks first, unknown values get the sentinel rank)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            "|",
+            ranked_sort(
+                F.array_distinct(F.collect_list("o_orderpriority")),
+                _PRIO_RANK,
+                unknown_rank=CLINSIG_UNKNOWN_RANK,
+            ),
+        ).alias("ranked_set")
+    )
+
+
+@register(
+    "trait_selection",
+    """
+    SELECT c_custkey,
+           concat(COALESCE(NULLIF(c_mktsegment, 'BUILDING'), c_name),
+                  ' [', c_custkey, ']') AS trait
+    FROM customer
+    """,
+)
+def q_trait_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: preferred-value coalesce cascade + '[accession]' suffix."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.col("c_name")
+            ),
+            F.lit(" ["),
+            F.col("c_custkey").cast("string"),
+            F.lit("]"),
+        ).alias("trait"),
+    )
+
+
+@register(
+    "sanitize_ids",
+    """
+    SELECT event_id, regexp_replace(props, '[^0-9]', '', 'g') AS digits
+    FROM events
+    """,
+)
+def q_sanitize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: PMID-style sanitation — strip every non-digit."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.regexp_replace("props", "[^0-9]", "").alias("digits")
+    )
+
+
+@register(
+    "audit_aggregates",
+    """
+    SELECT count(*) AS n_docs,
+           sum(length(text)) AS total_text_len,
+           sum(n_chars) AS total_n_chars
+    FROM documents
+    """,
+)
+def q_audit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: pre/post audit scalars (notes-length / row-count style)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_text_len"),
+        F.sum("n_chars").alias("total_n_chars"),
+    )
+
+
+@register(
+    "classification_counters",
+    """
+    SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                WHEN event_type = 'purchase' THEN 'conversion'
+                WHEN event_type = 'error' THEN 'fault'
+                ELSE 'other' END AS class,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_classification_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/A6: record classification + counters as a groupBy."""
+    e = _t(spark, sf_dir, "events")
+    cls = (
+        F.when(F.col("event_type").isin("click", "view"), "engagement")
+        .when(F.col("event_type") == "purchase", "conversion")
+        .when(F.col("event_type") == "error", "fault")
+        .otherwise("other")
+    )
+    return e.groupBy(cls.alias("class")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# 5. Export-shaped pipelines (A5/O1/S9 pattern)
+# =====================================================================
+
+@register(
+    "grouped_export",
+    """
+    SELECT user_id, event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,4))) AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def q_grouped_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+O1: group-merge then deterministic export ordering (the VCF
+    path's shape: group by position key, merge, genome-sort)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC4)).alias("total_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# =====================================================================
+# 6. Deduplication suite (extension, first-class)
+# =====================================================================
+
+_TOKENIZE_SQL = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower({col}),"
+    " '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), t -> t != '')"
+)
+
+
+@register(
+    "exact_dedup",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice({_TOKENIZE_SQL.format(col='text')}, 1, 3), ' '))
+                 AS prefix_key
+        FROM documents)
+    SELECT prefix_key, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM keyed GROUP BY prefix_key HAVING count(*) > 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content key (hash-groupBy): groups sharing a
+    normalized 3-token-prefix key, keeping min doc_id. One shuffle on
+    the hash key; at 100 TB this is the canonical dedup pattern."""
+    d = _t(spark, sf_dir, "documents")
+    toks = normalized_tokens(F.col("text"))
+    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, 3)))
+    return (
+        d.select("doc_id", key.alias("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   ) AS sh_list
+            FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard_sim
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via an inverted shingle index:
+    explode distinct 3-shingles, self-join on shingle (never all-pairs
+    — candidate generation is index-driven), count intersections,
+    Jaccard from set sizes. At scale the shingle join is the LSH-free
+    exact variant; skew on hot shingles is the known cost (MinHash-LSH
+    below is the scale path)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), k=3)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(j >= 0.10)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard_sim"))
+    )
+
+
+@register("minhash_lsh_pairs", None)  # non-SQL-expressible (xxhash64 family)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (the 100 TB dedup path):
+    shingle → 64-hash MinHash signature → 16 bands × 4 rows →
+    band-bucket join → verified Jaccard on candidates only.
+
+    rows-only check (hash family is engine-specific); the exact-Jaccard
+    twin above is the oracle-checked reference for the same semantics."""
+    from clinvar_pipeline_spark.operators.dedup import minhash_lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidate_pairs(
+        d, id_col="doc_id", text_col="text", threshold=0.10
+    )
+
+
+@register("simhash_signatures", None)  # non-SQL-expressible (xxhash64)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures per document (near-dup via Hamming
+    distance ≤ k; signatures are the shuffle-light representation that
+    scales — 8 bytes/doc regardless of doc size)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+# =====================================================================
+# 7. Text analysis suite (extension, first-class)
+# =====================================================================
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / greatest(len(toks), 1), 4) AS ttr
+    FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+          FROM documents)
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type-token ratio, fully JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    toks = normalized_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("ttr"),
+    )
+
+
+_STOPWORDS = ["a", "the", "of", "and", "to", "in", "is"]
+_STOP_SQL = "['" + "','".join(_STOPWORDS) + "']"
+
+
+@register(
+    "quality_score",
+    f"""
+    SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (1 - punct_ratio) * 0.3 + stop_ratio * 0.2, 4) AS quality
+    FROM (
+        SELECT doc_id, len(toks) AS n_tokens,
+               round(CAST(length(text) - length(regexp_replace(text,
+                     '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t)))
+                     AS DOUBLE) / greatest(len(toks), 1), 4) AS stop_ratio
+        FROM (SELECT doc_id, text, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents))
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length/punctuation/stopword signals
+    combined into one bounded score (training-data filtering)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = normalized_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    punct_ratio = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9\\s]", ""))
+        ).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    )
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + (F.lit(1) - F.col("punct_ratio")) * 0.3
+        + F.col("stop_ratio") * 0.2,
+        4,
+    )
+    return base.withColumn("quality", quality)
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "is", "and", "of"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def _lang_hits_sql(lang: str) -> str:
+    arr = "['" + "','".join(_LANG_MARKERS[lang]) + "']"
+    return f"len(list_filter(toks, t -> list_contains({arr}, t)))"
+
+
+@register(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                WHEN de >= fr AND de > 0 THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+    FROM (SELECT doc_id,
+                 {_lang_hits_sql('en')} AS en, {_lang_hits_sql('es')} AS es,
+                 {_lang_hits_sql('de')} AS de, {_lang_hits_sql('fr')} AS fr
+          FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+                FROM documents))
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language marker-word hit counts,
+    greedy argmax with fixed precedence (en>es>de>fr), 'und' when no
+    marker hits. Deterministic, JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    toks = normalized_tokens(F.col("text"))
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = d.select(
+        "doc_id",
+        hits("en").alias("en"),
+        hits("es").alias("es"),
+        hits("de").alias("de"),
+        hits("fr").alias("fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("en") >= F.col("es"))
+            & (F.col("en") >= F.col("de"))
+            & (F.col("en") >= F.col("fr"))
+            & (F.col("en") > 0),
+            "en",
+        )
+        .when((F.col("es") >= F.col("de")) & (F.col("es") >= F.col("fr")) & (F.col("es") > 0), "es")
+        .when((F.col("de") >= F.col("fr")) & (F.col("de") > 0), "de")
+        .when(F.col("fr") > 0, "fr")
+        .otherwise("und")
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp,
+           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp64
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full md5 + 60-bit integer fingerprint
+    (portable across engines — DuckDB reproduces both exactly)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("fp"),
+        hex64(F.col("text")).alias("fp64"),
+    )
+
+
+# =====================================================================
+# 8. Similarity search over embeddings (extension, first-class)
+# =====================================================================
+
+@register(
+    "topk_cosine",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        CAST(qv AS DOUBLE[])), 6) AS sim
+    FROM embeddings, q
+    WHERE vec_id != (SELECT min(vec_id) FROM embeddings)
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) DESC, vec_id
+    LIMIT 20
+    """,
+)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector (the exact ANN
+    baseline): broadcast the single query row, one scan, JVM-side
+    zip_with/aggregate dot product, top-k via orderBy+limit (Spark
+    executes it as TakeOrderedAndProject — no full sort)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    sim = cosine_similarity(F.col("embedding"), F.col("qv"))
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", sim.alias("_sim_exact"))
+        .orderBy(F.col("_sim_exact").desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", F.round("_sim_exact", 6).alias("sim"))
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.2
+    """,
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking
+    key stands in for an LSH bucket: candidates come from an equi-join,
+    never a full cross product)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= 0.2)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+
+
+# =====================================================================
+# 9. Event-time windows (streaming semantics, batch-checkable)
+# =====================================================================
+
+@register(
+    "tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (batch twin of the
+    Structured Streaming formulation in streaming/windows.py — same
+    logical plan modulo the watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC4)).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "session_windows",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts)/1000000.0 - epoch_us(lag(ts) OVER w)/1000000.0 > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessioned GROUP BY user_id, session_id
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via gaps-and-islands:
+    lag → new-session flag → running sum = session id → per-session
+    aggregate. One shuffle on user_id serves both windows and the
+    final groupBy (same partitioning, reused)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "rollup_counts",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+)
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type → day → grand total) — partial
+    aggregation applies at every grouping-set level."""
+    e = _t(spark, sf_dir, "events")
+    return e.rollup(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
