@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced to full materialization with a noop sink (no
+driver-side collect — measures the distributed plan, not row transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational core
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_volume",
+    # reference write-path
+    "upsert_classify",
+    "pipe_set_merge",
+    "session_windows",
+    "tumbling_window",
+    "grouped_export",
+    # LLM-data extensions
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "token_stats",
+    "quality_score",
+    "topk_cosine",
+    "embedding_neardup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from clinvar_pipeline_spark import queries as q
+    from clinvar_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="clinvar-pipeline-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = q.queries()
+    # JVM/codegen warmup on a trivial action
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
