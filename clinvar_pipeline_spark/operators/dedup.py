@@ -23,7 +23,8 @@ from clinvar_pipeline_spark.functions.hashes import (
     jaccard,
     md5_fingerprint,
     minhash_signature,
-    shingles,
+    normalized_tokens,
+    shingles_of_tokens,
     simhash64,
 )
 
@@ -81,10 +82,16 @@ def minhash_lsh_candidate_pairs(
     verified sim ≥ threshold.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k=shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    # two-step tokenize → shingle so the tokenizer is evaluated once
+    # per row, not once per shingle (see shingles_of_tokens)
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            normalized_tokens(F.col(text_col)).alias("toks"),
+        )
+        .select("id", shingles_of_tokens(F.col("toks"), shingle_k).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    )
     banded = sig.select(
         "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
@@ -113,10 +120,37 @@ def minhash_lsh_candidate_pairs(
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — 8 bytes per document regardless of length."""
-    return df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
+    """(id, simhash) — 8 bytes per document regardless of length.
+
+    Formulated as explode → hash → groupBy with 63 per-bit vote sums:
+    everything stays inside whole-stage codegen over primitive longs
+    (the higher-order-function scalar form `simhash64` is interpreted
+    and risks catastrophic re-evaluation under project collapse —
+    measured 30x slower). Shuffle carries one 64-long row per doc with
+    map-side partial aggregation."""
+    powers = [1 << b for b in range(63)]
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(normalized_tokens(F.col(text_col)))
+        ).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"), F.col("tok").isNotNull().alias("ok"))
+    votes = ex.groupBy("id").agg(
+        F.sum(F.col("ok").cast("long")).alias("n"),
+        *[
+            F.sum(
+                (F.col("ok") & (F.col("h").bitwiseAND(F.lit(p)) != 0)).cast("long")
+            ).alias(f"v{b}")
+            for b, p in enumerate(powers)
+        ],
     )
+    sim = None
+    for b, p in enumerate(powers):
+        bit = F.when(F.col(f"v{b}") * 2 > F.col("n"), F.lit(p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(

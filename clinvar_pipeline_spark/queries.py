@@ -28,7 +28,7 @@ from clinvar_pipeline_spark.functions.hashes import (
     md5_fingerprint,
     minhash_signature,
     normalized_tokens,
-    shingles,
+    shingles_of_tokens,
     simhash64,
 )
 from clinvar_pipeline_spark.functions.sets import pipe_set_agg, ranked_sort
@@ -69,6 +69,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 DEC = "decimal(18,2)"
 DEC4 = "decimal(18,4)"
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a compute-heavy small input across all cores.
+
+    The testdata tables arrive as one parquet file → one input split →
+    one task; expression-heavy per-row work (shingling, signatures,
+    vector math) would serialize on a single core. At 100 TB inputs
+    are naturally multi-split and this shuffle is amortized noise."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 # =====================================================================
@@ -607,9 +617,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard from set sizes. At scale the shingle join is the LSH-free
     exact variant; skew on hot shingles is the known cost (MinHash-LSH
     below is the scale path)."""
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(shingles(F.col("text"), k=3)).alias("shingle")
+    d = _spread(_t(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", normalized_tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.explode(shingles_of_tokens(F.col("toks"), k=3)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -644,7 +654,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin above is the oracle-checked reference for the same semantics."""
     from clinvar_pipeline_spark.operators.dedup import minhash_lsh_candidate_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return minhash_lsh_candidate_pairs(
         d, id_col="doc_id", text_col="text", threshold=0.10
     )
@@ -655,8 +665,10 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures per document (near-dup via Hamming
     distance ≤ k; signatures are the shuffle-light representation that
     scales — 8 bytes/doc regardless of doc size)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    from clinvar_pipeline_spark.operators.dedup import simhash_signatures
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return simhash_signatures(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
 # =====================================================================
@@ -885,7 +897,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the blocking
     key stands in for an LSH bucket: candidates come from an equi-join,
     never a full cross product)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     a = e.alias("a")
     b = e.alias("b")
     sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
