@@ -1004,3 +1004,11 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.rollup(
         "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------
+# Extended domain-operator suite registers itself into _REGISTRY on
+# import (must stay at module bottom: queries_domain imports `register`
+# from this partially-initialized module).
+# ---------------------------------------------------------------------
+from clinvar_pipeline_spark import queries_domain  # noqa: E402,F401
