@@ -38,21 +38,35 @@ STALE_ANNOT_DELETE_THRESHOLD = 0.05
 CLINSIG_RANK: dict[str, int] = {
     "pathogenic": 0,
     "likely pathogenic": 10,
-    "drug response": 20,
-    "confers sensitivity": 30,
-    "risk factor": 40,
-    "association": 50,
-    "affects": 60,
-    "conflicting interpretations of pathogenicity": 65,
-    "conflicting data from submitters": 70,
-    "uncertain significance": 80,
-    "protective": 90,
-    "likely benign": 100,
-    "benign": 110,
-    "no interpretation for the single variant": 115,
-    "association not found": 120,
+    "risk factor": 20,
+    "association": 30,
+    "established risk allele": 31,
+    "likely risk allele": 32,
+    "oncogenic": 33,
+    "affects": 35,
+    "likely oncogenic": 37,
+    "benign": 40,
+    "likely benign": 50,
+    "conflicting interpretations of pathogenicity": 60,
+    "somatic clinical impact: tier i - strong": 61,
+    "somatic clinical impact: tier ii - potential": 62,
+    "somatic clinical impact: tier iii - unknown": 63,
+    "somatic clinical impact: tier iv - benign": 64,
+    "drug response": 70,
+    "protective": 80,
+    "evidence_only": 81,
+    "confers sensitivity": 85,
+    "uncertain risk allele": 87,
+    "vus-high": 88,
+    "vus-mid": 89,
+    "uncertain significance": 90,
+    "vus-low": 91,
+    "low penetrance": 95,
+    "conflicting data from submitters": 100,
+    "association not found": 110,
+    "no classifications from unflagged records": 115,
+    "other": 120,
     "not provided": 2000,
-    "other": 1000,
 }
 CLINSIG_UNKNOWN_RANK = 999
 
@@ -66,48 +80,100 @@ ASSEMBLY_TO_MAP_KEY: dict[str, int] = {
 # --- XRef DB name → xdb_key dispatch (Parser.java:485-585). A mapping
 # table broadcast-joined against extracted xrefs; names absent here fall
 # through to the unknown-db counter unless explicitly ignored.
+# Plain key dispatch; OMIM allele-split (53 + 6), 'OMIM phenotypic
+# series' MIM: prefix (66), dbSNP rs-type check (48) and Orphanet ORPHA
+# strip (62) are transform rules applied with the join (plans/load.py).
 XREF_DB_TO_XDB_KEY: dict[str, int] = {
-    "OMIM": 53,
+    "OMIM": 6,
+    "OMIM phenotypic series": 66,
     "dbSNP": 48,
     "MedGen": 54,
-    "Orphanet": 55,
-    "GeneReviews": 66,
-    "PubMed": 2,
-    "ClinVar": 52,
-    "UniProtKB": 14,
     "MONDO": 145,
-    "Office of Rare Diseases": 62,
-    "Genetic Testing Registry (GTR)": 74,
-    "OMIM phenotypic series": 93,
+    "MeSH": 47,
+    "MSH": 47,
+    "HP": 166,
+    "HPO": 166,
     "Human Phenotype Ontology": 166,
+    "EFO": 93,
+    "EFO: The Experimental Factor Ontology": 93,
+    "NCI": 74,
+    "COSMIC": 45,
+    "Orphanet": 62,
+    "SNOMED CT": 55,
 }
+XDB_KEY_OMIM_ALLELE = 53
+XDB_KEY_PUBMED = 2
+XDB_KEY_NCBI_GENE = 3  # rgdcore XdbId.XDB_KEY_NCBI_GENE
+XDB_KEY_HGNC = 21  # rgdcore XdbId.XDB_KEY_HGNC
+XDB_KEY_CLINVAR = 52
+XDB_KEY_MEDGEN = 54
 XREF_DB_IGNORED: set[str] = {
+    "ADAM",
+    "BRCA1-HCI",
+    "Breast Cancer Information Core (BIC) (BRCA1)",
+    "Breast Cancer Information Core (BIC) (BRCA2)",
+    "ClinGen",
+    "ClinPGx Clinical Annotation",
+    "ClinVar",
+    "dbRBC",
+    "dbVar",
+    "Decipher",
+    "GeneReviews",
     "Genetic Alliance",
-    "SNOMED CT",
     "GeneTests",
-    "MeSH",
-    "EBI",
-    "Tumor Gene Database",
+    "Genetic Testing Registry (GTR)",
+    "HBVAR",
+    "LOVD 3",
+    "MESH",
+    "MYBPC3 homepage - Leiden Muscular Dystrophy pages",
+    "NCBI for submitter",
+    "New Leaf Center",
+    "PharmGKB Clinical Annotation",
+    "RettBASE (CDKL5)",
+    "Tuberous sclerosis database (TSC1)",
+    "Tuberous sclerosis database (TSC2)",
+    "UniProtKB",
+    "UniProtKB/Swiss-Prot",
 }
+# Junk-db prefix/substring filters (silently dropped before dispatch)
+XREF_DB_JUNK_PATTERNS: tuple[str, ...] = (
+    ", ",  # contains
+    " @ LOVD",  # contains
+)
+XREF_DB_JUNK_PREFIXES: tuple[str, ...] = (
+    "Leiden Muscular Dystrophy (",
+    "GenomeConnect",
+)
 
 # --- Variant type → Sequence Ontology accession (Parser.java:610-702).
 VARIANT_TYPE_TO_SO: dict[str, str] = {
-    "single nucleotide variant": "SO:0001483",
     "deletion": "SO:0000159",
     "duplication": "SO:1000035",
     "insertion": "SO:0000667",
     "indel": "SO:1000032",
-    "inversion": "SO:1000036",
+    "single nucleotide variant": "SO:0001483",
     "copy number gain": "SO:0001742",
     "copy number loss": "SO:0001743",
+    "inversion": "SO:1000036",
     "microsatellite": "SO:0000289",
-    "translocation": "SO:0000199",
-    "tandem duplication": "SO:1000173",
-    "complex": "SO:0001784",
+    "structural variant": "SO:0001537",
     "fusion": "SO:0000806",
-    "protein only": "SO:0001580",
-    "variation": "SO:0001060",
+    "translocation": "SO:0000199",
+    "complex": "SO:0001784",
+    "tandem duplication": "SO:1000173",
+    "protein only": "SO:0001816",  # non-synonymous change
 }
+# 'variation' subcases (Parser.java:664-693): molecular consequence →
+# SO, else alt-name exon-duplication heuristic, else sequence alteration
+VARIATION_MC_TO_SO: dict[str, str] = {
+    "synonymous variant": "SO:0001819",
+    "missense variant": "SO:0001583",
+    "exon loss": "SO:0001572",
+}
+SO_SEQUENCE_ALTERATION = "SO:0001059"
+SO_DUPLICATION = "SO:1000035"
+# obsolete SO with no replacement, dropped pre-derivation (Parser.java:612-616)
+SO_OBSOLETE_NO_REPLACEMENT = "SO:1000064"
 SO_OBSOLETE_HARDCODED: dict[str, str] = {"SO:1000184": "SO:0001572"}
 
 # --- Annotator compliance sets (AppConfigure.xml:49-78,

@@ -459,6 +459,15 @@ def extract_records(parsed: DataFrame, rec_col: str = "rec") -> DataFrame:
         lambda a: F.struct(
             a["ClinVarAccession"]["_SubmitterName"].alias("submitter"),
             a["ClinVarAccession"]["_OrgAbbreviation"].alias("org_abbrev"),
+            F.transform(
+                F.coalesce(
+                    a["AdditionalSubmitters"]["SubmitterDescription"],
+                    F.array().cast(
+                        T.ArrayType(T.StructType(_attr("SubmitterName")))
+                    ),
+                ),
+                lambda s: s["_SubmitterName"],
+            ).alias("additional_submitters"),
             F.lower(a["Classification"]["ReviewStatus"]).alias("review_status"),
             F.coalesce(
                 F.lower(a["Classification"]["GermlineClassification"]),

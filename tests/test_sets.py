@@ -42,7 +42,8 @@ def test_ranked_clinsig_merge_orders_by_severity(spark):
         spark,
         ranked_clinsig_merge(F.lit("benign, pathogenic"), F.lit("not provided|likely benign")),
     )
-    assert out == "pathogenic|likely benign|benign|not provided"
+    # QC.java:160-197 ranks: pathogenic=0 < benign=40 < likely benign=50
+    assert out == "pathogenic|benign|likely benign|not provided"
 
 
 def test_ranked_clinsig_merge_unknowns_before_not_provided(spark):
