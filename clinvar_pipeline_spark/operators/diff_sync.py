@@ -71,7 +71,22 @@ def diff_sync(
         )
     )
 
-    joined = inc.join(ex, on=key_cols, how="full_outer")
+    # null-safe key equality: a null key component is a legitimate value
+    # (e.g. with_info on variant-level annotations) and must match its
+    # counterpart, not fracture into INSERT+DELETE pairs
+    ex_k = ex.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        *[c for c in ex.columns if c not in key_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = inc.join(ex_k, on=cond, how="full_outer").select(
+        *[F.coalesce(F.col(c), F.col(f"_k_{c}")).alias(c) for c in key_cols],
+        *[c for c in inc.columns if c not in key_cols],
+        *[c for c in ex_k.columns if not c.startswith("_k_")],
+    )
     change = (
         F.when(F.col("_present_old").isNull(), F.lit(INSERT))
         .when(F.col("_present_new").isNull(), F.lit(DELETE))

@@ -41,9 +41,15 @@ def guarded_stale_delete(
     unless they exceed ``threshold`` fraction of existing (then abort:
     keep everything, surface the would-be deletes for the report)."""
     key_cols = list(key_cols)
-    stale = existing.join(
-        touched.select(*key_cols).dropDuplicates(key_cols), on=key_cols, how="left_anti"
-    )
+    t = touched.select(
+        *[F.col(c).alias(f"_t_{c}") for c in key_cols]
+    ).dropDuplicates([f"_t_{c}" for c in key_cols])
+    cond = None
+    for c in key_cols:
+        # null-safe: a null key component matches null (see diff_sync)
+        eq = F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+        cond = eq if cond is None else cond & eq
+    stale = existing.join(t, on=cond, how="left_anti")
     counts = existing.agg(F.count(F.lit(1)).alias("total")).collect()[0]
     total = counts["total"]
     stale_count = stale.count()
@@ -52,9 +58,12 @@ def guarded_stale_delete(
         kept = existing
         deleted = stale.limit(0)
     else:
-        kept = existing.join(
-            stale.select(*key_cols), on=key_cols, how="left_anti"
-        )
+        s = stale.select(*[F.col(c).alias(f"_s_{c}") for c in key_cols])
+        scond = None
+        for c in key_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+            scond = eq if scond is None else scond & eq
+        kept = existing.join(s, on=scond, how="left_anti")
         deleted = stale
     return GuardedDeleteResult(
         kept=kept,

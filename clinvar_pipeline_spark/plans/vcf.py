@@ -1,0 +1,129 @@
+"""The --clinvar2vcf pipeline as a Spark plan (Clinvar2Vcf.java:25-181).
+
+``clinvar2vcf(variants, map_positions, db_snp, ref_bases)`` renders the
+variant snapshot as VCF data lines:
+
+- per-chromosome scan          -> one partitioned scan (no driver loop)
+- J17 dbSNP position join      (Clinvar2Vcf.java:420-448)
+- J18 reference-base check     (Clinvar2Vcf.java:362-403; the per-row
+  HTTP fetch becomes a broadcast join against a ref_bases table)
+- F18 bad-ref filter, W6 indel padding normalization
+  (Clinvar2Vcf.java:188-259)
+- A5 grouping by chr|pos|rs|type with sorted comma-set allele merge,
+  '-' for null (Clinvar2Vcf.java:183-203)
+- F17 multi-base guard         (Clinvar2Vcf.java:111-114)
+- O1 genome sort + S9 line render (sources/vcf_sink.write_vcf)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRCH38_MAP_KEY = 38
+
+
+def clinvar2vcf_lines(
+    variants: DataFrame,
+    map_positions: DataFrame,
+    db_snp: DataFrame | None = None,
+    ref_bases: DataFrame | None = None,
+) -> DataFrame:
+    """(chr, pos, line) data lines ready for ``write_vcf``.
+
+    ``variants`` needs (rgd_id, object_type, ref_nuc, var_nuc);
+    ``map_positions`` (rgd_id, map_key, chromosome, start_pos,
+    stop_pos); ``db_snp`` (chromosome, position, ref_allele, allele,
+    snp_name) optional rs-id source; ``ref_bases`` (chromosome,
+    position, base) optional reference-base table for the F18 check
+    and W6 padding."""
+    v = variants.select(
+        "rgd_id",
+        F.lower("object_type").alias("vt"),
+        "ref_nuc",
+        "var_nuc",
+        F.col("rs_id") if "rs_id" in variants.columns else F.lit(None).cast("string").alias("rs_id"),
+    )
+    pos = map_positions.filter(F.col("map_key") == GRCH38_MAP_KEY).select(
+        "rgd_id",
+        F.col("chromosome").alias("chr"),
+        F.col("start_pos").alias("pos"),
+    )
+    rows = v.join(pos, "rgd_id")
+
+    # J17: rs-id resolution from dbSNP by (chr, pos, ref, alt)
+    if db_snp is not None:
+        snp = db_snp.select(
+            F.col("chromosome").alias("chr"),
+            F.col("position").alias("pos"),
+            F.col("ref_allele").alias("ref_nuc"),
+            F.col("allele").alias("var_nuc"),
+            F.col("snp_name").alias("_snp"),
+        )
+        rows = rows.join(
+            F.broadcast(snp), ["chr", "pos", "ref_nuc", "var_nuc"], "left"
+        ).withColumn("rs_id", F.coalesce("rs_id", "_snp")).drop("_snp")
+
+    # J18/F18/W6: padding base + SNV reference check
+    if ref_bases is not None:
+        rb = ref_bases.select(
+            F.col("chromosome").alias("chr"),
+            F.col("position").alias("pos"),
+            F.col("base").alias("_pad"),
+        )
+        rows = rows.join(F.broadcast(rb), ["chr", "pos"], "left")
+        # F18: single-base variants whose declared ref mismatches the
+        # genome are dropped (counted upstream in the reference)
+        rows = rows.filter(
+            ~(
+                (F.col("vt") == "single nucleotide variant")
+                & F.col("_pad").isNotNull()
+                & (F.col("ref_nuc") != F.col("_pad"))
+            )
+        )
+    else:
+        rows = rows.withColumn("_pad", F.lit(None).cast("string"))
+
+    pad = F.coalesce("_pad", F.lit("N"))
+    norm = rows.select(
+        "chr",
+        "pos",
+        F.coalesce("rs_id", F.lit(".")).alias("rs"),
+        "vt",
+        F.when(F.col("vt") == "insertion", pad)
+        .when(F.col("vt") == "deletion", F.concat(pad, F.coalesce("ref_nuc", F.lit(""))))
+        .otherwise(F.col("ref_nuc"))
+        .alias("ref"),
+        F.when(F.col("vt") == "insertion", F.concat(pad, F.coalesce("var_nuc", F.lit(""))))
+        .when(F.col("vt") == "deletion", pad)
+        .otherwise(F.col("var_nuc"))
+        .alias("alt"),
+    )
+
+    grouped = norm.groupBy("chr", "pos", "rs", "vt").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set(F.coalesce("ref", F.lit("-"))))
+        ).alias("ref_m"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set(F.coalesce("alt", F.lit("-"))))
+        ).alias("alt_m"),
+    )
+    # F17: skip lines where merged ref and alt are both multi-char
+    guarded = grouped.filter(
+        ~((F.length("ref_m") > 1) & (F.length("alt_m") > 1))
+    )
+    return guarded.select(
+        "chr",
+        "pos",
+        F.concat_ws(
+            "\t",
+            "chr",
+            F.col("pos").cast("string"),
+            "rs",
+            "ref_m",
+            "alt_m",
+            F.lit("."),
+            F.lit("."),
+            F.lit("."),
+        ).alias("line"),
+    )
