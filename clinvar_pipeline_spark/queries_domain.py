@@ -19,7 +19,7 @@ from clinvar_pipeline_spark.functions.text import (
     pack_width_buckets,
 )
 from clinvar_pipeline_spark.operators.fixpoint import resolve_transitive
-from clinvar_pipeline_spark.queries import DEC4, _t, register
+from clinvar_pipeline_spark.queries import DEC4, _spread, _t, register
 
 # ---------------------------------------------------------------------
 # F7/F8/F9 — map-position validity, assembly->map_key, cytogenetic parse
@@ -862,3 +862,77 @@ def q_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("first_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Multimodal binary-column plumbing (decode stubs over mapInPandas)
+# ---------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           octet_length(encode(text)) % 256 AS width,
+           (octet_length(encode(text)) // 256) % 256 AS height,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 'fake/0'
+                ELSE 'fake/' || ascii(substr(text, 1, 1)) END AS format
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest shape: opaque binary payloads + mapInPandas
+    feature extraction (operators/multimodal.py). The decode kernel is
+    a deterministic stub (no codecs in container) so DuckDB can oracle
+    the byte-derived metadata; the Spark-side plumbing — binary
+    columns, Arrow batches, 1:1 map — is the real thing."""
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        extract_image_meta,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return extract_image_meta(attach_binary(d, "doc_id", "text"))
+
+
+@register(
+    "frame_sample",
+    """
+    SELECT doc_id AS id, fi AS frame_idx,
+           hex(encode(substr(text,
+                fi * greatest(octet_length(encode(text)) // 4, 1) + 1, 16)))
+             AS frame_hex
+    FROM documents
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS fi)
+    WHERE fi * greatest(octet_length(encode(text)) // 4, 1) < octet_length(encode(text))
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling shape: mapInPandas fan-out (N frames per
+    payload as fixed-size byte slices — a real kernel would seek +
+    decode). Hexed so the oracle can compare bytes."""
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(attach_binary(d, "doc_id", "text"), n_frames=4, frame_size=16)
+    return frames.select("id", "frame_idx", F.hex("frame_bytes").alias("frame_hex"))
+
+
+# ---------------------------------------------------------------------
+# ANN: hyperplane-LSH bucketed top-k (scale path for similarity search)
+# ---------------------------------------------------------------------
+
+@register("ann_topk", None)  # LSH buckets use Spark-side xxhash64: no SQL twin
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via sign-LSH bucket join +
+    in-bucket exact re-rank with multi-probe (operators/similarity.py).
+    Recall vs the exact baseline is pinned by tests/test_similarity.py;
+    q_topk_cosine is the oracle-checked exact twin."""
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_hyperplane
+
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    return ann_topk_hyperplane(e, e, k=5, num_planes=8, n_probes=3)

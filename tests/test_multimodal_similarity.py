@@ -1,0 +1,80 @@
+"""Multimodal plumbing tests (binary columns, Arrow batch shape,
+partitioning invariance) and ANN recall vs the exact baseline."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.operators.multimodal import (
+    attach_binary,
+    extract_image_meta,
+    sample_frames,
+)
+from clinvar_pipeline_spark.operators.similarity import (
+    ann_topk_hyperplane,
+    brute_force_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 300), (3, "")],
+        "doc_id long, text string",
+    )
+
+
+def test_extract_image_meta(docs):
+    out = {
+        r["id"]: r
+        for r in extract_image_meta(attach_binary(docs, "doc_id", "text")).collect()
+    }
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert out[1]["width"] == 11 and out[1]["height"] == 0
+    assert out[1]["format"] == f"fake/{ord('h')}"
+    assert out[2]["width"] == 300 % 256 and out[2]["height"] == 1
+    assert out[3]["n_bytes"] == 0 and out[3]["sha256"] == hashlib.sha256(b"").hexdigest()
+
+
+def test_partitioning_invariance(docs):
+    a = extract_image_meta(attach_binary(docs, "doc_id", "text")).collect()
+    b = extract_image_meta(
+        attach_binary(docs.repartition(3), "doc_id", "text")
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sample_frames_fanout(docs):
+    frames = sample_frames(
+        attach_binary(docs, "doc_id", "text"), n_frames=4, frame_size=16
+    ).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r)
+    # doc 1: 11 bytes, stride=2 -> 4 frames all within bounds
+    assert len(by_id[1]) == 4
+    assert bytes(by_id[1][0]["frame_bytes"]) == b"hello world"[:16]
+    # doc 2: 300 bytes, stride=75, frames at 0,75,150,225, 16 bytes each
+    assert len(by_id[2]) == 4
+    assert all(len(r["frame_bytes"]) == 16 for r in by_id[2])
+    # empty doc: no frames
+    assert 3 not in by_id
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = brute_force_topk(emb, emb, k=5)
+    approx = ann_topk_hyperplane(emb, emb, k=5, num_planes=8, n_probes=3)
+    e = {(r["query_id"], r["nn_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nn_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 planes / 3 probes on 64-dim clustered vectors: recall well
+    # above chance; the floor pins regressions, not the exact value
+    assert recall > 0.3, recall
+    # scores on the intersection must be identical (same cosine expr)
+    es = {(r["query_id"], r["nn_id"]): r["cos_sim"] for r in exact.collect()}
+    as_ = {(r["query_id"], r["nn_id"]): r["cos_sim"] for r in approx.collect()}
+    for key in list(e & a)[:20]:
+        assert abs(es[key] - as_[key]) < 1e-9
