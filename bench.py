@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "session_windows",
     "tumbling_window",
     "grouped_export",
+    "vcf_export",
+    "map_position_normalize",
+    "notes_aggregate",
+    "sliding_window",
     # LLM-data extensions
     "exact_dedup",
     "ngram_jaccard_pairs",
@@ -39,6 +43,8 @@ BENCH_QUERIES = [
     "quality_score",
     "topk_cosine",
     "embedding_neardup_pairs",
+    "multimodal_meta",
+    "ann_topk",
 ]
 
 
@@ -54,8 +60,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = q.queries()
-    # JVM/codegen warmup on a trivial action
+    # warmup: JVM + whole-stage codegen + parquet reader + noop sink
+    # (otherwise the first measured query absorbs session start cost)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
