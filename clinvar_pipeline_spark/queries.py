@@ -1012,3 +1012,4 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from this partially-initialized module).
 # ---------------------------------------------------------------------
 from clinvar_pipeline_spark import queries_domain  # noqa: E402,F401
+from clinvar_pipeline_spark import queries_domain2  # noqa: E402,F401
