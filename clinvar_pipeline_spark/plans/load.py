@@ -19,7 +19,10 @@ Stage map (reference -> here):
                             newer_date expressions
 - Loader insert/update (J10/W1/W2, Loader.java:25-87)
                          -> diff_sync on the variants table
-- satellite syncs J3-J7  -> diff_sync per entity (xdb/gene/map/hgvs/alias)
+- satellite syncs J3-J7  -> diff_sync per entity: gene assoc J3
+  (GeneAssociations.java:78-109), xdb ids J4 (XdbIds.java:82-146),
+  map positions J5 (MapPositions.java:104-152), hgvs J6
+  (HgvsNames.java:36-101), aliases J7 (Aliases.java:51-138)
 - collections M6-M8      -> groupBy(rgd_id) sorted-set agg + byte-trim
 - last-modified W3       -> OR of change flags
 - stale xdb delete W4    -> guarded_stale_delete
@@ -121,6 +124,8 @@ def empty_snapshot(spark: SparkSession) -> Snapshot:
 
 
 def read_snapshot(spark: SparkSession, path: str) -> Snapshot:
+    """S6 (Dao.java:80-127,303-313): the 'current DB state' source —
+    the previous run's Parquet snapshot replaces the Oracle reads."""
     return Snapshot(
         **{
             f.name: spark.read.parquet(f"{path}/{f.name}")
@@ -130,6 +135,12 @@ def read_snapshot(spark: SparkSession, path: str) -> Snapshot:
 
 
 def write_snapshot(snap: Snapshot, path: str) -> None:
+    """S7 (Dao.java:142-155,218-248,438-453): the upsert sink — the
+    classified row-sets land as a new immutable Parquet snapshot (also
+    the S11 checkpoint: any snapshot dir doubles as the /tmp/clinvar.ser
+    reuse cache, Clinvar2Vcf.java:405-418). Oracle's 999-key batch
+    limit (O6, AnnotCache.java:285-301) has no Spark analogue —
+    vectorized Parquet writes are unbatched; parity note only."""
     for f in fields(Snapshot):
         getattr(snap, f.name).write.mode("overwrite").parquet(f"{path}/{f.name}")
 

@@ -226,7 +226,10 @@ def q_pubmed_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unmatchable_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (VariantAnnotator.java:583-607,690-762): upper-cased condition
     -> hit count, inverted into count -> sorted name-list groups, split
-    into two reports by a name-suffix predicate ('-RELATED …').
+    into two reports by a name-suffix predicate ('-RELATED …'). This is
+    also the S10 report sink shape (VariantAnnotator.java:690-762): the
+    result writes as the unmatchable-conditions text files via
+    df.write.text.
 
     Scale: two tiny groupBys over an already-aggregated histogram; the
     second shuffle moves one row per distinct condition."""
@@ -626,4 +629,46 @@ def q_carpe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond.alias("condition_name"),
             F.col("o_orderstatus").alias("clinsig"),
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# J19 — annot-count lookup (cached count -> groupBy-count + join)
+# ---------------------------------------------------------------------
+
+@register(
+    "annot_count_lookup",
+    """
+    SELECT o.o_orderkey, o.o_custkey AS rgd_id,
+           o.o_orderpriority AS term, o.o_orderstatus AS qualifier,
+           c.cnt - 1 AS other_annot_count
+    FROM orders o
+    JOIN (SELECT o_custkey, o_orderpriority, o_orderstatus,
+                 count(*) AS cnt
+          FROM orders
+          GROUP BY o_custkey, o_orderpriority, o_orderstatus) c
+      ON o.o_custkey = c.o_custkey
+     AND o.o_orderpriority = c.o_orderpriority
+     AND o.o_orderstatus = c.o_orderstatus
+    """,
+)
+def q_annot_count_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J19 (Dao.java:665-688): count existing annotations for
+    (rgd_id, term, qualifier) excluding the row's own ref — the
+    reference's synchronized HashMap cache around a COUNT(*) query
+    becomes one groupBy-count joined back to the fact (every key
+    distinct by orderkey, so 'excluding own ref' = group count - 1).
+
+    Scale: the pre-aggregated count side is one row per key — orders of
+    magnitude smaller than the fact — and both sides hash-partition on
+    the same composite key (AQE will pick broadcast when it fits)."""
+    o = _t(spark, sf_dir, "orders")
+    key = ["o_custkey", "o_orderpriority", "o_orderstatus"]
+    counts = o.groupBy(*key).agg(F.count("*").alias("cnt"))
+    return o.join(counts, key).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("rgd_id"),
+        F.col("o_orderpriority").alias("term"),
+        F.col("o_orderstatus").alias("qualifier"),
+        (F.col("cnt") - 1).alias("other_annot_count"),
     )
