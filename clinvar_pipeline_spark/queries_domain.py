@@ -935,4 +935,4 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinvar_pipeline_spark.operators.similarity import ann_topk_hyperplane
 
     e = _spread(_t(spark, sf_dir, "embeddings"))
-    return ann_topk_hyperplane(e, e, k=5, num_planes=8, n_probes=3)
+    return ann_topk_hyperplane(e, e, k=5)
