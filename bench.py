@@ -60,12 +60,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = q.queries()
-    # warmup: JVM + whole-stage codegen + parquet reader + noop sink
-    # (otherwise the first measured query absorbs session start cost)
+    # warmup: JVM + whole-stage codegen + parquet reader + noop sink +
+    # Python/Arrow workers (otherwise the first measured query absorbs
+    # session/worker start cost)
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
         "noop"
     ).mode("overwrite").save()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm(col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -225,6 +225,92 @@ def dot_product_batch():
     return dot
 
 
+def _blake64(data: bytes) -> int:
+    """Stable 64-bit hash of bytes (blake2b/8): deterministic across
+    processes and runs, unlike Python's salted hash()."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def _splitmix64(z: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer over uint64 (wrap-around mults)."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_signature_batch(num_hashes: int = 64, seed: int = 42):
+    """Arrow-batched MinHash: array<string> shingles -> array<long>
+    signature. Each shingle hashes ONCE (blake2b/8); the ``num_hashes``
+    permutations are splitmix64(x ^ seed_i) — one numpy (n x H) matrix
+    min per document, no per-permutation string hashing.
+
+    Hot-path twin of the expression form :func:`minhash_signature`
+    (same algorithm family, different hash constants): evaluating H
+    interpreted zip_with chains per shingle costs ~100x more than the
+    vectorized matrix. Values are deterministic but NOT equal between
+    the two forms — pick one per pipeline."""
+    from pyspark.sql.functions import pandas_udf
+
+    rng = random.Random(seed)
+    seeds = np.array(
+        [rng.randrange(0, 1 << 64) for _ in range(num_hashes)], dtype=np.uint64
+    )
+    empty_sig = [(1 << 62)] * num_hashes
+
+    @pandas_udf("array<long>")
+    def sig(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if arr is None or len(arr) == 0:
+                out.append(empty_sig)
+                continue
+            base = np.array(
+                [_blake64(s.encode("utf-8")) for s in arr], dtype=np.uint64
+            )
+            m = _splitmix64(base[:, None] ^ seeds[None, :])  # n x H
+            out.append((m.min(axis=0) >> np.uint64(1)).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
+def simhash64_batch():
+    """Arrow-batched SimHash: text -> 64-bit signature (sign bit clear).
+    Tokenization matches :func:`normalized_tokens` (lowercase, strip
+    non-alnum, whitespace split, distinct); per-bit votes over the
+    distinct tokens' blake2b/8 bits, vectorized in numpy.
+
+    Hot-path twin of the groupBy formulation in operators/dedup.py —
+    same semantics, different hash constants; one kernel pass replaces
+    a 64-aggregate-wide groupBy whose codegen alone costs seconds."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    bitpos = np.arange(63, dtype=np.uint64)
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    @pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = set(tok_re.findall((t or "").lower()))
+            if not toks:
+                continue
+            base = np.array(
+                [_blake64(tk.encode("utf-8")) for tk in toks], dtype=np.uint64
+            )
+            bits = (base[:, None] >> bitpos[None, :]) & np.uint64(1)  # n x 63
+            votes = bits.sum(axis=0)
+            simbits = (votes * 2 > len(toks)).astype(np.uint64)
+            out[i] = int((simbits << bitpos).sum())
+        return pd.Series(out)
+
+    return sim
+
+
 def random_hyperplane_buckets(
     vec: Column | str, num_planes: int = 16, seed: int = 42, dim: int = 64
 ) -> Column:

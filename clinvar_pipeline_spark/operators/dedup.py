@@ -22,10 +22,10 @@ from clinvar_pipeline_spark.functions.hashes import (
     band_keys,
     jaccard,
     md5_fingerprint,
-    minhash_signature,
+    minhash_signature_batch,
     normalized_tokens,
     shingles_of_tokens,
-    simhash64,
+    simhash64_batch,
 )
 
 
@@ -90,7 +90,9 @@ def minhash_lsh_candidate_pairs(
             normalized_tokens(F.col(text_col)).alias("toks"),
         )
         .select("id", shingles_of_tokens(F.col("toks"), shingle_k).alias("sh"))
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+        .withColumn(
+            "sig", minhash_signature_batch(num_hashes, seed)(F.col("sh"))
+        )
     )
     banded = sig.select(
         "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
@@ -122,35 +124,18 @@ def minhash_lsh_candidate_pairs(
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) — 8 bytes per document regardless of length.
 
-    Formulated as explode → hash → groupBy with 63 per-bit vote sums:
-    everything stays inside whole-stage codegen over primitive longs
-    (the higher-order-function scalar form `simhash64` is interpreted
-    and risks catastrophic re-evaluation under project collapse —
-    measured 30x slower). Shuffle carries one 64-long row per doc with
-    map-side partial aggregation."""
-    powers = [1 << b for b in range(63)]
-    ex = df.select(
+    Arrow-batched kernel (functions.hashes.simhash64_batch): one
+    vectorized pass per batch, map-only, no shuffle. Two earlier
+    formulations are kept for the record: the higher-order-function
+    scalar `simhash64` (interpreted; catastrophic re-evaluation under
+    project collapse, ~30x slower) and an explode -> groupBy with 63
+    vote-sum aggregates (codegen-safe but its 64-wide aggregate takes
+    seconds to compile and shuffles one 64-long row per doc). The
+    kernel beats both and scales linearly with corpus bytes."""
+    return df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(
-            F.array_distinct(normalized_tokens(F.col(text_col)))
-        ).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"), F.col("tok").isNotNull().alias("ok"))
-    votes = ex.groupBy("id").agg(
-        F.sum(F.col("ok").cast("long")).alias("n"),
-        *[
-            F.sum(
-                (F.col("ok") & (F.col("h").bitwiseAND(F.lit(p)) != 0)).cast("long")
-            ).alias(f"v{b}")
-            for b, p in enumerate(powers)
-        ],
+        simhash64_batch()(F.col(text_col)).alias("simhash"),
     )
-    sim = None
-    for b, p in enumerate(powers):
-        bit = F.when(F.col(f"v{b}") * 2 > F.col("n"), F.lit(p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = bit if sim is None else sim + bit
-    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(
