@@ -94,6 +94,10 @@ def minhash_lsh_candidate_pairs(
             "sig", minhash_signature_batch(num_hashes, seed)(F.col("sh"))
         )
     )
+    # the signature table feeds three plan branches (both sides of the
+    # band self-join + the jaccard verify); without a persist Spark
+    # recomputes tokenize->shingle->minhash once per branch
+    sig = sig.persist()
     banded = sig.select(
         "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))

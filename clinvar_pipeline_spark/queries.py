@@ -621,6 +621,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", normalized_tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.explode(shingles_of_tokens(F.col("toks"), k=3)).alias("shingle")
     )
+    # four plan branches read the exploded shingle index (both join
+    # sides + two size lookups) — persist so tokenize+shingle runs once
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
