@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "multimodal_meta",
     "ann_topk",
+    "ann_topk_ivf",
 ]
 
 

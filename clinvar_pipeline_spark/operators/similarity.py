@@ -14,6 +14,8 @@ salt handles them; recall/cost tunes with (num_planes, n_probes).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -57,6 +59,55 @@ def brute_force_topk(
     )
 
 
+def _l2_normalized(df: DataFrame, id_col: str, vec_col: str, role: str) -> DataFrame:
+    """(role_id, role_v): L2-normalized vectors, norm computed once per
+    row (two-step select so the norm alias is a plain column inside the
+    divide lambda, not a re-evaluated aggregate)."""
+    v = F.col(vec_col).cast("array<double>")
+    with_norm = df.select(
+        F.col(id_col).alias(f"{role}_id"),
+        v.alias("_v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias(
+            "_norm"
+        ),
+    )
+    return with_norm.select(
+        f"{role}_id",
+        F.expr("transform(_v, x -> x / _norm)").alias(f"{role}_v"),
+    )
+
+
+def _rerank_topk(
+    pairs: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine re-rank of deduped candidate (query_id, nn_id)
+    pairs: join the normalized vector tables back (AQE broadcasts them
+    when small; at scale they hash-partition on id like any dim), score
+    with one Arrow-batched dot product, keep top-k per query."""
+    scored = (
+        pairs.join(_l2_normalized(queries, id_col, vec_col, "query"), "query_id")
+        .join(_l2_normalized(corpus, id_col, vec_col, "nn"), "nn_id")
+        .select(
+            "query_id",
+            "nn_id",
+            F.round(
+                dot_product_batch()(F.col("query_v"), F.col("nn_v")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nn_id", "cos_sim", "rk")
+    )
+
+
 def ann_topk_hyperplane(
     queries: DataFrame,
     corpus: DataFrame,
@@ -90,22 +141,6 @@ def ann_topk_hyperplane(
     product over pre-normalized vectors. Bucket skew (dense regions) is
     handled by AQE skew-join."""
     v = F.col(vec_col).cast("array<double>")
-
-    def normed(df: DataFrame, role: str) -> DataFrame:
-        # L2-normalize once per row (two-step select so the norm alias
-        # is a plain column inside the divide lambda, not a re-evaluated
-        # aggregate): per-pair score becomes a single dot product
-        with_norm = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            v.alias("_v"),
-            F.sqrt(
-                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-            ).alias("_norm"),
-        )
-        return with_norm.select(
-            f"{role}_id",
-            F.expr("transform(_v, x -> x / _norm)").alias(f"{role}_v"),
-        )
 
     bucket_udf = hyperplane_bucket_arrays(
         num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim
@@ -141,20 +176,84 @@ def ann_topk_hyperplane(
         .select("query_id", "nn_id")
         .dropDuplicates(["query_id", "nn_id"])
     )
-    scored = (
-        pairs.join(normed(queries, "query"), "query_id")
-        .join(normed(corpus, "nn"), "nn_id")
-        .select(
-            "query_id",
-            "nn_id",
-            F.round(
-                dot_product_batch()(F.col("query_v"), F.col("nn_v")), 6
-            ).alias("cos_sim"),
-        )
+    return _rerank_topk(pairs, queries, corpus, id_col, vec_col, k)
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_cells: int = 32,
+    n_probe_cells: int = 8,
+    train_sample: int = 10000,
+    lloyd_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization:
+    k-means cells over a bounded training sample, corpus rows assigned
+    to their nearest cell, queries probe their ``n_probe_cells``
+    nearest cells, exact re-rank inside the probed cells.
+
+    Centroid training collects ≤``train_sample`` vectors to the driver
+    and runs a few Lloyd iterations in numpy — bounded, deterministic
+    (seeded init), and standard IVF practice: the quantizer is trained
+    on a sample, applied distributively. Assignment is one Arrow-batch
+    matmul per partition against the broadcast centroid matrix.
+
+    Scale: the candidate join moves only (id, cell); expected candidate
+    fraction ~= n_probe_cells / num_cells of the corpus, concentrated
+    on the query's neighborhood (spatially coherent, unlike LSH's
+    hash-uniform buckets). Cell skew (dense regions) is the known cost
+    — AQE skew-join splits hot cells."""
+    from pyspark.sql.functions import pandas_udf
+
+    # --- train coarse quantizer on a bounded sample (driver-side) ---
+    sample = [
+        r[0]
+        for r in corpus.select(F.col(vec_col).cast("array<double>"))
+        .limit(train_sample)
+        .collect()
+    ]
+    X = np.asarray(sample, dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(num_cells, len(X)), replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(X @ cent.T, axis=1)  # cosine on unit vectors
+        for ci in range(len(cent)):
+            members = X[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[ci] = m / n
+    C = cent  # (num_cells, dim), unit-norm
+
+    @pandas_udf("array<int>")
+    def probe_cells(s: pd.Series) -> pd.Series:
+        V = np.asarray(s.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = V @ C.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe_cells].astype(np.int32)
+        return pd.Series(list(top))
+
+    v = F.col(vec_col).cast("array<double>")
+    c_cells = corpus.select(
+        F.col(id_col).alias("nn_id"),
+        probe_cells(v).getItem(0).alias("cell"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "nn_id", "cos_sim", "rk")
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells(v)).alias("cell"),
     )
+    pairs = (
+        q_cells.join(c_cells, "cell")
+        .filter(F.col("query_id") != F.col("nn_id"))
+        .select("query_id", "nn_id")
+        .dropDuplicates(["query_id", "nn_id"])
+    )
+    return _rerank_topk(pairs, queries, corpus, id_col, vec_col, k)

@@ -936,3 +936,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _spread(_t(spark, sf_dir, "embeddings"))
     return ann_topk_hyperplane(e, e, k=5)
+
+
+@register("ann_topk_ivf", None)  # quantizer trained on a sample: no SQL twin
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-5 (operators/similarity.py ann_topk_ivf): k-means
+    coarse quantizer + probed-cell candidate join + exact re-rank.
+    Complements ann_topk (hyperplane LSH) — IVF candidates are
+    spatially coherent, so recall per scored candidate is higher on
+    clustered corpora; LSH needs no training pass. Recall floor pinned
+    by tests/test_multimodal_similarity.py."""
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_ivf
+
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    return ann_topk_ivf(e, e, k=5)

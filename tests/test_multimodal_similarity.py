@@ -80,3 +80,17 @@ def test_ann_recall_vs_brute_force(spark):
     as_ = {(r["query_id"], r["nn_id"]): r["cos_sim"] for r in approx.collect()}
     for key in list(e & a)[:20]:
         assert abs(es[key] - as_[key]) < 2e-6
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = brute_force_topk(emb, emb, k=5)
+    approx = ann_topk_ivf(emb, emb, k=5)
+    e = {(r["query_id"], r["nn_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nn_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 of 32 cells probed on near-uniform vectors; spatially coherent
+    # candidates beat hash-uniform LSH at similar candidate volume
+    assert recall > 0.4, recall
