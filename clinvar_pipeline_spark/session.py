@@ -45,6 +45,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # collect_set/collect_list aggregations (the pipe-set merges,
+        # allele grouping, annot merges) run under ObjectHashAggregate,
+        # whose default sort-based fallback kicks in at 128 distinct
+        # keys per partition — pathological for high-cardinality
+        # grouped set-aggs (measured 2x on the VCF allele merge). 1M
+        # entries of short-string sets stays well inside executor
+        # memory; the sort-based path remains the overflow safety
+        # valve beyond that.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "1048576",
+        )
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp type — read as long, converted in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
