@@ -618,8 +618,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact variant; skew on hot shingles is the known cost (MinHash-LSH
     below is the scale path)."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", normalized_tokens(F.col("text")).alias("toks")).select(
-        "doc_id", F.explode(shingles_of_tokens(F.col("toks"), k=3)).alias("shingle")
+    sh = (
+        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("toks"), k=3)).alias("sh_str"),
+        )
+        # join key is the shingle's 64-bit hash, not the string: the
+        # self-join shuffles 8-byte longs instead of ~20-byte strings
+        # and compares longs (collision odds ~1e-9 at 1e6 shingles)
+        .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
     )
     # four plan branches read the exploded shingle index (both join
     # sides + two size lookups) — persist so tokenize+shingle runs once

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clinvar_pipeline_spark.operators.diff_sync import diff_sync
-from clinvar_pipeline_spark.queries import _t, register
+from clinvar_pipeline_spark.queries import DEC4, _t, register
 
 # ---------------------------------------------------------------------
 # M3/M5 — in-RGD vs incoming field merge + last-evaluated resolution
@@ -671,4 +671,53 @@ def q_annot_count_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("term"),
         F.col("o_orderstatus").alias("qualifier"),
         (F.col("cnt") - 1).alias("other_annot_count"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Skew mitigation — salted two-phase aggregation (extension; SURVEY §4)
+# ---------------------------------------------------------------------
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+           array_to_string(list_sort(list_distinct(
+               list(CAST(user_id AS VARCHAR)))), '|') AS users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant aggregation (operators/skew.py): the events table
+    has ~5 event types, so a plain groupBy funnels every hot key
+    through one task. Phase 1 groups on (key, salt) — the hot key
+    spreads over 16 tasks; phase 2 merges 16 partial rows per key.
+    Results are identical to the plain groupBy (the oracle IS the
+    plain formulation); only the physical plan differs.
+
+    Scale: phase-2 shuffle volume = n_salts rows per distinct key,
+    independent of data skew."""
+    from clinvar_pipeline_spark.operators.skew import salted_groupby_agg
+
+    e = _t(spark, sf_dir, "events")
+    return salted_groupby_agg(
+        e,
+        key_cols=["event_type"],
+        partial_aggs={
+            "c": F.count(F.lit(1)),
+            "t": F.sum(F.col("value").cast(DEC4)),
+            "s": F.collect_set(F.col("user_id").cast("string")),
+        },
+        final_aggs={
+            "n": F.sum("c"),
+            "total": F.sum("t").cast(DEC4),
+            "users": F.concat_ws(
+                "|",
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("s")))),
+            ),
+        },
+        n_salts=16,
+        salt_basis=["event_id"],
     )

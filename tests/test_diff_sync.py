@@ -86,3 +86,27 @@ class TestGuardedDelete:
         assert res.stale_count == 20
         assert res.kept.count() == 100
         assert res.deleted.count() == 0
+
+
+def test_salted_groupby_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from clinvar_pipeline_spark.operators.skew import salted_groupby_agg
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {
+        (r["event_type"], r["n"])
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["event_type"], r["n"])
+        for r in salted_groupby_agg(
+            e,
+            key_cols=["event_type"],
+            partial_aggs={"c": F.count(F.lit(1))},
+            final_aggs={"n": F.sum("c")},
+            n_salts=8,
+            salt_basis=["event_id"],
+        ).collect()
+    }
+    assert salted == plain
