@@ -114,3 +114,46 @@ def sample_frames(
             )
 
     return binaries.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "id long, out_width int, out_height int, resized binary"
+)
+
+
+def resize_images(
+    binaries: DataFrame, out_width: int = 32, out_height: int = 32
+) -> DataFrame:
+    """(id, content) -> (id, out_width, out_height, resized): the
+    image-resize stage shape. With PIL present this would decode,
+    ``Image.resize((w, h))`` and re-encode; in this container the
+    DETERMINISTIC FAKE emits a byte payload of exactly w*h bytes by
+    tiling the source bytes (so downstream stages see correctly-sized
+    fixed-length payloads and the 1:1 row contract holds).
+
+    Scale: mapInPandas, batch-streamed; output size is bounded
+    (w*h bytes/row) regardless of input payload size — the shrink
+    happens inside the task, nothing oversized is shuffled."""
+    target = out_width * out_height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAS_PIL:  # pragma: no cover
+                raise NotImplementedError(
+                    "real PIL resize path not wired in this container"
+                )
+            resized = pdf["content"].map(
+                lambda b: ((b or b"\0") * (target // max(len(b or b"\0"), 1) + 1))[
+                    :target
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "resized": resized,
+                }
+            )
+
+    return binaries.mapInPandas(kernel, RESIZE_SCHEMA)

@@ -721,3 +721,78 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         salt_basis=["event_id"],
     )
+
+
+# ---------------------------------------------------------------------
+# Text-analysis completions: BPE-ish token count, rolling-hash fp
+# ---------------------------------------------------------------------
+
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs, whitespace runs (no lookarounds, so Java
+# regex and RE2 agree on the match set)
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+
+
+@register(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """.format(pat=_BPE_PAT.replace("'", "''")),
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex (the GPT-2
+    pattern family), complementing whitespace token_stats — the
+    budget-estimation pass of an LLM data pipeline.
+
+    Scale: one regexp_count per row inside codegen; no explode, no
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "rolling_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 7
+                ELSE list_reduce(
+                    list_prepend(CAST(7 AS BIGINT),
+                        list_transform(range(1, length(text) + 1),
+                                       i -> CAST(ascii(substr(text, i, 1))
+                                                 AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)
+           END AS fp
+    FROM documents
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial (Karp-Rabin) rolling-hash document fingerprint:
+    fp = fold(7, c -> acc*31 + code(c) mod 1e9+7) over the character
+    stream — the incremental-update fingerprint family (winnowing,
+    chunk-boundary detection), vs. the block md5 in doc_fingerprint.
+
+    Scale: per-row fold, no shuffle. (For multi-KB documents the
+    Arrow-batch kernel pattern of functions/hashes.py applies; at the
+    testdata's ~300-char docs the expression form is fine.)"""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.expr(
+            "transform(sequence(1, greatest(length(text), 1)),"
+            " i -> cast(ascii(substr(text, i, 1)) as bigint))"
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.length("text") == 0, F.lit(7).cast("long"))
+        .otherwise(fp)
+        .alias("fp"),
+    )

@@ -94,3 +94,21 @@ def test_ivf_recall_vs_brute_force(spark):
     # 8 of 32 cells probed on near-uniform vectors; spatially coherent
     # candidates beat hash-uniform LSH at similar candidate volume
     assert recall > 0.4, recall
+
+
+def test_resize_images_contract(spark, docs):
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    out = resize_images(attach_binary(docs, "doc_id", "text"), 8, 4).collect()
+    assert len(out) == docs.count()  # 1:1 row contract
+    for r in out:
+        assert r["out_width"] == 8 and r["out_height"] == 4
+        assert len(r["resized"]) == 32  # fixed-size payload
+    # deterministic
+    again = resize_images(attach_binary(docs, "doc_id", "text"), 8, 4).collect()
+    assert {(r["id"], bytes(r["resized"])) for r in out} == {
+        (r["id"], bytes(r["resized"])) for r in again
+    }
