@@ -96,8 +96,14 @@ def diff_sync(
     out_cols = (
         key_cols
         + [
-            # DELETE rows have no incoming values: surface old values
-            F.coalesce(F.col(c), F.col(f"old_{c}")).alias(c)
+            # DELETE rows have no incoming values: surface old values.
+            # Branch on row presence, NOT coalesce on the value — an
+            # incoming NULL is a legitimate value and must not fall
+            # back to the existing one (NULL != '' in the fingerprint,
+            # so the pair classifies UPDATE and must carry NULL out)
+            F.when(F.col("_present_new").isNotNull(), F.col(c))
+            .otherwise(F.col(f"old_{c}"))
+            .alias(c)
             for c in compare_cols
         ]
         + [F.col(f"old_{c}") for c in compare_cols]
