@@ -50,7 +50,9 @@ ANNOT_KEY = ["annotated_object_rgd_id", "term_acc", "aspect", "evidence", "with_
 
 @dataclass
 class AnnotateResult:
-    annotations: DataFrame  # incoming merged/split annotation rows
+    annotations: DataFrame  # next annotation state: incoming rows plus
+    # existing rows the W5 guard kept (all of them when the breaker
+    # aborted the stale delete)
     annot_diff: DataFrame
     unmatchable: DataFrame  # (condition, n, is_drug_response)
     counters: DataFrame
@@ -428,8 +430,12 @@ def annotate_run(
         compare_cols=["xref_source", "notes"],
     )
 
-    # W5: per-aspect guarded stale delete
+    # W5: per-aspect guarded stale delete, wired into the output state
+    # (round-2 fix — the breaker used to be computed but the returned
+    # annotations were just ``incoming``, so existing rows the guard
+    # chose to KEEP on abort were silently lost).
     stale = {}
+    survivors = None
     for aspect in ("D", "H"):
         stale[aspect] = guarded_stale_delete(
             existing_annotations.filter(F.col("aspect") == aspect),
@@ -437,6 +443,23 @@ def annotate_run(
             key_cols=ANNOT_KEY,
             threshold=STALE_ANNOT_DELETE_THRESHOLD,
         )
+        # existing rows the guard kept that are NOT superseded by an
+        # incoming row: all of them when aborted, none when every kept
+        # row was touched (kept == touched rows, anti-joined away).
+        inc_keys = incoming.filter(F.col("aspect") == aspect).select(
+            *[F.col(c).alias(f"_i_{c}") for c in ANNOT_KEY]
+        ).dropDuplicates()
+        cond = None
+        for c in ANNOT_KEY:
+            eq = F.col(c).eqNullSafe(F.col(f"_i_{c}"))
+            cond = eq if cond is None else cond & eq
+        surv = stale[aspect].kept.join(inc_keys, on=cond, how="left_anti")
+        survivors = surv if survivors is None else survivors.unionByName(surv)
+    # aspects this pipeline does not own pass through untouched
+    other_aspects = existing_annotations.filter(~F.col("aspect").isin("D", "H"))
+    next_annotations = incoming.unionByName(
+        survivors.select(*incoming.columns)
+    ).unionByName(other_aspects.select(*incoming.columns))
 
     # A8: unmatchable-condition histogram (upper-cased, drug-response
     # flagged by the RESPONSE substring)
@@ -456,7 +479,7 @@ def annotate_run(
     )
 
     return AnnotateResult(
-        annotations=incoming,
+        annotations=next_annotations,
         annot_diff=diff,
         unmatchable=unmatch,
         counters=counters,

@@ -642,11 +642,47 @@ def match_variants(variants_in: DataFrame, prev: Snapshot) -> DataFrame:
         provenance_col="matched_by",
     )
     max_prev = prev.variants.agg(F.max("rgd_id")).first()[0] or 0
-    w = Window.orderBy("symbol")
-    new_ids = (
+    # Two-phase dense id assignment (no global single-partition window —
+    # that funnels every new variant through ONE task at scale):
+    #   1. range-partition new symbols → contiguous, ordered ranges with
+    #      ascending partition ids; per-partition row_number is cheap.
+    #   2. exclusive prefix-sum of per-partition counts gives each
+    #      partition's global offset. That window runs over only
+    #      n_partitions rows (~32-2000), so its single task is trivial.
+    # Net: same deterministic dense-by-symbol ids as a global
+    # row_number().over(Window.orderBy("symbol")), fully parallel.
+    new_syms = (
         matched.filter(F.col("matched_rgd_id").isNull())
         .select("symbol")
-        .withColumn("new_rgd_id", F.row_number().over(w) + F.lit(max_prev))
+        .repartitionByRange("symbol")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = new_syms.withColumn(
+        "_local_rn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy("symbol")),
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_cnt")
+    )
+    new_ids = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "new_rgd_id", F.col("_local_rn") + F.col("_offset") + F.lit(max_prev)
+        )
+        .drop("_pid", "_local_rn", "_offset")
     )
     return matched.join(new_ids, "symbol", "left").withColumn(
         "rgd_id",
@@ -882,10 +918,6 @@ def load_run(
         ).select(*cols)
         return kept.unionByName(untouched)
 
-    next_xdb = next_table(
-        xdb_diff, prev.xdb_ids.drop("modification_date"), "rgd_id",
-        ["rgd_id", "xdb_key", "acc_id", "link_text", "notes"],
-    ).withColumn("modification_date", ts)
     next_assoc = next_table(
         assoc_diff, prev.gene_associations, "variant_rgd_id",
         ["variant_rgd_id", "gene_rgd_id"],
@@ -901,12 +933,53 @@ def load_run(
         alias_diff, prev.aliases, "rgd_id", ["rgd_id", "value", "notes"]
     )
 
-    # W4: stale xdb delete with 8% threshold (cutoff vs run modification)
+    # W4 (Dao.java:409-436): the reference touches MODIFICATION_DATE on
+    # every incoming xdb id, then deletes rows whose date predates the
+    # run cutoff — unless they exceed 8% of the table (circuit breaker).
+    # Snapshot-functionally: a prev row is a stale candidate iff its key
+    # is absent from this run's incoming AND its preserved
+    # modification_date is older than run_ts - stale_cutoff_days (the
+    # grace window keeps rows recently touched by other runs).
+    _xdb_key_cols = ["rgd_id", "xdb_key", "acc_id"]
+    recently_modified = prev.xdb_ids.filter(
+        F.col("modification_date")
+        >= ts - F.expr(f"INTERVAL {int(stale_cutoff_days)} DAYS")
+    ).select(*_xdb_key_cols)
     stale = guarded_stale_delete(
         prev.xdb_ids,
-        touched=xdb_in.select("rgd_id", "xdb_key", "acc_id"),
-        key_cols=["rgd_id", "xdb_key", "acc_id"],
+        touched=xdb_in.select(*_xdb_key_cols).unionByName(recently_modified),
+        key_cols=_xdb_key_cols,
         threshold=STALE_XDB_DELETE_THRESHOLD,
+    )
+
+    # next xdb state, gated by the guard (round-2 fix — the breaker used
+    # to be computed but never applied, so a truncated release silently
+    # lost rows):
+    #   - incoming-classified rows (INSERT/UPDATE/UNCHANGED) carry
+    #     incoming values and a fresh modification_date (touched);
+    #   - every other prev row flows through ``stale.kept``, which is
+    #     all of prev when the guard aborted, else prev minus the stale
+    #     set — so diff DELETEs and stale rows of variants outside the
+    #     run are only dropped when the breaker allows it, and untouched
+    #     rows keep their prior modification_date (the signal the next
+    #     run's cutoff needs).
+    _xdb_cols = ["rgd_id", "xdb_key", "acc_id", "link_text", "notes"]
+    inc_keys = xdb_in.select(
+        *[F.col(c).alias(f"_i_{c}") for c in _xdb_key_cols]
+    ).dropDuplicates()
+    _inc_cond = None
+    for c in _xdb_key_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_i_{c}"))
+        _inc_cond = eq if _inc_cond is None else _inc_cond & eq
+    next_xdb = (
+        xdb_diff.filter(F.col(CHANGE_COL) != DELETE)
+        .select(*_xdb_cols)
+        .withColumn("modification_date", ts)
+        .unionByName(
+            stale.kept.join(inc_keys, on=_inc_cond, how="left_anti").select(
+                *_xdb_cols, "modification_date"
+            )
+        )
     )
 
     # variants next state: merged rows + collection overrides + untouched

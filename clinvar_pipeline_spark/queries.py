@@ -57,6 +57,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The events table carries TIMESTAMP(NANOS) parquet columns, which a
+    # vanilla SparkSession refuses to read (PARQUET_TYPE_ILLEGAL). The
+    # legacy conf is a runtime-settable SQLConf, so set it here rather
+    # than relying on the session builder (the correctness harness may
+    # hand us a session we didn't build).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to
     # microsecond timestamps (floor division — matches DuckDB's ns→us
@@ -69,6 +75,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 DEC = "decimal(18,2)"
 DEC4 = "decimal(18,4)"
+# Result-type pins: DuckDB sum(DECIMAL(p,s)) is always DECIMAL(38,s) while
+# Spark infers (p+10,s); the driver's value-hash is type-width-sensitive,
+# so every decimal aggregate output is cast to the DuckDB width on the
+# Spark side (and explicitly CAST in the oracle SQL when inference could
+# drift).
+DEC38 = "decimal(38,2)"
+DEC38_4 = "decimal(38,4)"
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -89,10 +102,12 @@ def _spread(df: DataFrame) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+             AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2024-09-02'
@@ -110,12 +125,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            # Final casts pin the exact result type to the oracle's —
+            # the correctness hash is type-width-sensitive, and Spark's
+            # sum-over-decimal inference (p+10) differs from DuckDB's
+            # (always 38).
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC38).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast(DEC38)
+            .alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount").cast(DEC))
-            ).alias("sum_disc_price"),
+            )
+            .cast(DEC38_4)
+            .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -480,8 +503,8 @@ def q_sanitize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audit_aggregates",
     """
     SELECT count(*) AS n_docs,
-           sum(length(text)) AS total_text_len,
-           sum(n_chars) AS total_n_chars
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+           CAST(sum(n_chars) AS BIGINT) AS total_n_chars
     FROM documents
     """,
 )
@@ -540,7 +563,7 @@ def q_grouped_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC4)).alias("total_value"),
+            F.sum(F.col("value").cast(DEC4)).cast(DEC38_4).alias("total_value"),
         )
         .orderBy("user_id", "event_type")
     )
@@ -951,7 +974,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC4)).alias("total_value"),
+            F.sum(F.col("value").cast(DEC4)).cast(DEC38_4).alias("total_value"),
         )
         .orderBy("window_start", "event_type")
     )
@@ -968,8 +991,8 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end

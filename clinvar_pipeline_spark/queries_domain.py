@@ -19,7 +19,7 @@ from clinvar_pipeline_spark.functions.text import (
     pack_width_buckets,
 )
 from clinvar_pipeline_spark.operators.fixpoint import resolve_transitive
-from clinvar_pipeline_spark.queries import DEC4, _spread, _t, register
+from clinvar_pipeline_spark.queries import DEC4, DEC38_4, _spread, _t, register
 
 # ---------------------------------------------------------------------
 # F7/F8/F9 — map-position validity, assembly->map_key, cytogenetic parse
@@ -782,7 +782,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC4)).alias("total"),
+            F.sum(F.col("value").cast(DEC4)).cast(DEC38_4).alias("total"),
         )
         .select(F.col("win.start").alias("win_start"), "n", "total")
     )

@@ -192,3 +192,27 @@ def test_diff_all_inserts_then_idempotent(inputs, result):
     assert classes2 == {"UNCHANGED"}
     assert not second.stale["D"].aborted
     assert second.stale["D"].stale_count == 0
+    # and the output state equals the incoming state (nothing stale to
+    # keep, nothing lost)
+    assert second.annotations.count() == result.annotations.count()
+
+
+def test_stale_annot_guard_abort_keeps_existing(spark, inputs, result):
+    """W5 circuit breaker (Dao.java:690-729): when the stale fraction
+    of an aspect exceeds 5%, the delete aborts and every existing row
+    survives into the output annotation state."""
+    extra = spark.createDataFrame(
+        [
+            (7777 + i, f"RDO:X{i}", "D", "IAGP", None, None, None)
+            for i in range(30)
+        ],
+        "annotated_object_rgd_id long, term_acc string, aspect string,"
+        " evidence string, with_info string, xref_source string, notes string",
+    )
+    existing = result.annotations.select(*extra.columns).unionByName(extra)
+    run = annotate_run(**{**inputs, "existing_annotations": existing})
+    assert run.stale["D"].aborted
+    kept_extras = run.annotations.filter(
+        F.col("annotated_object_rgd_id") >= 7777
+    ).count()
+    assert kept_extras == 30

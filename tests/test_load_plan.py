@@ -151,6 +151,73 @@ def test_idempotent_second_run(spark, archive, genes_dim, first_run):
     assert a == b
 
 
+def test_stale_xdb_guard_deletes_below_threshold(spark, archive, genes_dim, first_run):
+    """W4 wiring: a prev xdb row of a variant absent from the run whose
+    modification_date predates the cutoff is deleted when the stale set
+    is under 8%; rows inside the grace window survive with their prior
+    modification_date, and touched rows get the run timestamp."""
+    import datetime
+
+    from clinvar_pipeline_spark.plans.load import (
+        XDB_IDS_SCHEMA,
+        Snapshot,
+        load_run,
+    )
+
+    grace = [
+        (9000 + i, 99, f"ACC{i}", None, None,
+         datetime.datetime(2025, 12, 31, 12, 0))
+        for i in range(13)
+    ]
+    old = [(8888, 99, "OLD", None, None, datetime.datetime(2020, 1, 1, 0, 0))]
+    extra = spark.createDataFrame(grace + old, XDB_IDS_SCHEMA)
+    prev = Snapshot(
+        **{
+            **first_run.snapshot.__dict__,
+            "xdb_ids": first_run.snapshot.xdb_ids.unionByName(extra),
+        }
+    )
+    res = load_run(archive, prev, genes_dim)
+    assert not res.stale_xdb.aborted
+    assert res.stale_xdb.stale_count == 1
+    nxt = {r["acc_id"]: r for r in res.snapshot.xdb_ids.collect()}
+    assert "OLD" not in nxt  # stale, beyond grace -> deleted
+    assert "ACC0" in nxt  # grace window -> kept
+    assert nxt["ACC0"]["modification_date"] == datetime.datetime(2025, 12, 31, 12, 0)
+    # touched row stamped with the run timestamp
+    assert nxt["RCV000000012"]["modification_date"] == datetime.datetime(2026, 1, 1)
+
+
+def test_stale_xdb_guard_abort_keeps_rows(spark, archive, genes_dim, first_run):
+    """W4 circuit breaker: stale fraction above 8% aborts the delete —
+    every prev row survives into the next snapshot (Dao.java:409-436)."""
+    import datetime
+
+    from clinvar_pipeline_spark.plans.load import (
+        XDB_IDS_SCHEMA,
+        Snapshot,
+        load_run,
+    )
+
+    old = [
+        (8000 + i, 99, f"STALE{i}", None, None,
+         datetime.datetime(2020, 1, 1, 0, 0))
+        for i in range(5)
+    ]
+    extra = spark.createDataFrame(old, XDB_IDS_SCHEMA)
+    prev = Snapshot(
+        **{
+            **first_run.snapshot.__dict__,
+            "xdb_ids": first_run.snapshot.xdb_ids.unionByName(extra),
+        }
+    )
+    res = load_run(archive, prev, genes_dim)
+    assert res.stale_xdb.aborted
+    assert res.stale_xdb.stale_count == 5
+    accs = {r["acc_id"] for r in res.snapshot.xdb_ids.collect()}
+    assert {f"STALE{i}" for i in range(5)} <= accs
+
+
 def test_bucketed_diff_is_shuffle_free(spark, tmp_path):
     """SURVEY §4/§7: with both snapshot sides bucketed by the diff key,
     the full-outer diff_sync join must plan with ZERO Exchange nodes —

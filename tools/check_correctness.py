@@ -30,7 +30,10 @@ def norm_val(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        # No .normalize(): the driver's hash is trailing-zero- and
+        # type-sensitive (round-1 lesson — normalization masked 4
+        # decimal-width hash failures the driver then caught).
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -57,9 +60,19 @@ def main():
 
     import duckdb
     import __spark_entry__ as entry_mod
-    from clinvar_pipeline_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(master="local[8]", shuffle_partitions="8")
+    # Deliberately a VANILLA session (not session.py's get_spark): the
+    # driver's harness builds its own plain SparkSession, so any conf a
+    # query needs must be set by the query itself (round-1 lesson — 13
+    # queries relied on session.py's nanosAsLong and errored under the
+    # driver). Local green must predict driver green.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
