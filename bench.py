@@ -78,12 +78,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two passes: the cold pass pays one-shot whole-stage-codegen JIT
+    # (~1-3 s/query); the warm pass measures the steady-state plan.
+    # "value"/"queries" stay the cold pass for round-over-round
+    # comparability; warm numbers ride along as extra keys.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    warm: dict[str, float] = {}
+    for out, _pass in ((timings, "cold"), (warm, "warm")):
+        for name in BENCH_QUERIES:
+            fn = registry[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +99,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_value": round(sum(warm.values()), 3),
+                "warm_queries": warm,
                 "sf": sf,
             }
         )
