@@ -796,3 +796,223 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fp)
         .alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------
+# J8/J9 — concept -> OMIM -> RDO synonym join chain
+# ---------------------------------------------------------------------
+
+@register(
+    "concept_omim_match",
+    """
+    WITH xdb AS (
+        SELECT o_custkey AS rgd_id,
+               'C' || CAST(o_orderkey % 1000 AS VARCHAR) AS cui
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    assocs AS (
+        SELECT o_custkey AS rgd_id, o_orderkey % 200 AS gene_rgd_id
+        FROM orders
+    ),
+    co AS (
+        SELECT DISTINCT 'C' || CAST(p_partkey % 1000 AS VARCHAR) AS cui,
+               p_partkey % 200 AS gene_rgd_id,
+               CAST(p_partkey % 400 AS VARCHAR) AS omim_id
+        FROM part
+    ),
+    omims AS (
+        SELECT DISTINCT x.rgd_id, co.omim_id
+        FROM xdb x
+        JOIN assocs a ON x.rgd_id = a.rgd_id
+        JOIN co ON co.cui = x.cui AND co.gene_rgd_id = a.gene_rgd_id
+    ),
+    rdo AS (
+        SELECT 'RDO:' || CAST(p_partkey AS VARCHAR) AS term_acc,
+               p_name AS term
+        FROM part WHERE NOT (p_partkey % 11 = 0)
+    ),
+    syn AS (
+        SELECT 'RDO:' || CAST(p_partkey AS VARCHAR) AS term_acc,
+               'OMIM:' || CAST(p_partkey % 400 AS VARCHAR) AS name
+        FROM part WHERE NOT (p_partkey % 13 = 0)
+    ),
+    omim_syn AS (
+        SELECT s.term_acc, r.term,
+               regexp_replace(s.name, '^OMIM:', '') AS omim_id
+        FROM syn s JOIN rdo r USING (term_acc)
+    )
+    SELECT DISTINCT o.rgd_id, t.term_acc, t.term,
+           'OMIM:' || o.omim_id AS match_by
+    FROM omims o JOIN omim_syn t USING (omim_id)
+    """,
+)
+def q_concept_omim_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+J9 (VariantAnnotator.java:391-423, Lookups.java concept->OMIM
+    and OMIM->RDO synonym maps): drives plans/annotate.py:205
+    ``concept_terms`` — variant MedGen CUIs x associated genes ->
+    concept-to-OMIM table -> RDO terms via exact 'OMIM:<id>' synonyms
+    on non-obsolete terms. Inputs are residue-derived from orders/part
+    so the DuckDB twin reproduces them exactly.
+
+    Scale: concept_omim and the synonym map are dim-sized -> broadcast
+    inside concept_terms; the only fact-side shuffles are the
+    rgd_id-keyed join and the final distinct."""
+    from clinvar_pipeline_spark.plans.annotate import concept_terms
+
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    xdb = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("rgd_id"),
+        F.lit(54).alias("xdb_key"),
+        F.concat(F.lit("C"), (F.col("o_orderkey") % 1000).cast("string")).alias(
+            "acc_id"
+        ),
+    )
+    assocs = o.select(
+        F.col("o_custkey").alias("variant_rgd_id"),
+        (F.col("o_orderkey") % 200).alias("gene_rgd_id"),
+    )
+    concept_omim = p.select(
+        F.concat(F.lit("C"), (F.col("p_partkey") % 1000).cast("string")).alias(
+            "cui"
+        ),
+        (F.col("p_partkey") % 200).alias("gene_rgd_id"),
+        (F.col("p_partkey") % 400).cast("string").alias("omim_id"),
+    ).distinct()
+    ont_terms = p.select(
+        F.concat(F.lit("RDO:"), F.col("p_partkey").cast("string")).alias(
+            "acc_id"
+        ),
+        F.lit("RDO").alias("ontology_id"),
+        F.col("p_name").alias("term"),
+        (F.col("p_partkey") % 11 == 0).alias("is_obsolete"),
+    )
+    ont_synonyms = p.filter(~(F.col("p_partkey") % 13 == 0)).select(
+        F.concat(F.lit("RDO:"), F.col("p_partkey").cast("string")).alias(
+            "term_acc"
+        ),
+        F.concat(F.lit("OMIM:"), (F.col("p_partkey") % 400).cast("string")).alias(
+            "name"
+        ),
+        F.lit("exact").alias("type"),
+    )
+    return concept_terms(
+        variants=None,
+        xdb_ids=xdb,
+        gene_assocs=assocs,
+        concept_omim=concept_omim,
+        ont_terms=ont_terms,
+        ont_synonyms=ont_synonyms,
+    )
+
+
+# ---------------------------------------------------------------------
+# J15/W5 — annotation existence diff over the 5-field annotation key
+# ---------------------------------------------------------------------
+
+_ANNOT_DIFF_SQL = """
+    WITH incoming AS (
+        SELECT o_custkey AS annotated_object_rgd_id,
+               'RDO:' || CAST(o_orderkey % 300 AS VARCHAR) AS term_acc,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'H' END AS aspect,
+               CASE WHEN o_custkey % 4 = 0 THEN 'ISO' ELSE 'IAGP' END
+                   AS evidence,
+               'RGD:' || CAST(o_custkey % 50 AS VARCHAR) AS with_info,
+               'PMID:' || CAST(o_orderkey % 70 AS VARCHAR) AS xref_source
+        FROM orders WHERE o_orderkey % 13 != 0
+    ),
+    existing AS (
+        SELECT o_custkey AS annotated_object_rgd_id,
+               'RDO:' || CAST(o_orderkey % 300 AS VARCHAR) AS term_acc,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'H' END AS aspect,
+               CASE WHEN o_custkey % 4 = 0 THEN 'ISO' ELSE 'IAGP' END
+                   AS evidence,
+               'RGD:' || CAST(o_custkey % 50 AS VARCHAR) AS with_info,
+               'PMID:' || CAST((CASE WHEN o_orderkey % 7 = 0
+                                     THEN o_orderkey + 1
+                                     ELSE o_orderkey END) % 70 AS VARCHAR)
+                   AS xref_source
+        FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    keyed AS (
+        SELECT COALESCE(i.annotated_object_rgd_id, e.annotated_object_rgd_id)
+                   AS annotated_object_rgd_id,
+               COALESCE(i.term_acc, e.term_acc) AS term_acc,
+               COALESCE(i.aspect, e.aspect) AS aspect,
+               COALESCE(i.evidence, e.evidence) AS evidence,
+               COALESCE(i.with_info, e.with_info) AS with_info,
+               CASE WHEN e.annotated_object_rgd_id IS NULL THEN 'INSERT'
+                    WHEN i.annotated_object_rgd_id IS NULL THEN 'DELETE'
+                    WHEN i.xref_source IS DISTINCT FROM e.xref_source
+                         THEN 'UPDATE'
+                    ELSE 'UNCHANGED' END AS change_type
+        FROM incoming i
+        FULL OUTER JOIN existing e
+          ON i.annotated_object_rgd_id = e.annotated_object_rgd_id
+         AND i.term_acc = e.term_acc AND i.aspect = e.aspect
+         AND i.evidence = e.evidence AND i.with_info = e.with_info
+    )
+    SELECT change_type, count(*) AS n,
+           CAST(count(DISTINCT annotated_object_rgd_id) AS BIGINT)
+               AS n_objects
+    FROM keyed GROUP BY change_type
+"""
+
+
+@register("annot_diff", _ANNOT_DIFF_SQL)
+def q_annot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 (AnnotCache.java:36-75, Dao.java:576-596): annotation
+    existence diff over the 5-field annotation key (object, term,
+    aspect, evidence, with_info) with xref_source as the update-compare
+    column — the write path that decides insert vs update-last-modified
+    vs stale for every annotation, summarized per change class.
+
+    Scale: one full-outer hash join on the composite key (the same
+    bucketed-snapshot layout as the variant diff applies), then a
+    partial-aggregated groupBy on 4 change classes."""
+    o = _t(spark, sf_dir, "orders")
+
+    def annots(flt: int, perturb: bool) -> DataFrame:
+        okey = (
+            F.when(
+                (F.col("o_orderkey") % 7 == 0) & F.lit(perturb),
+                F.col("o_orderkey") + 1,
+            ).otherwise(F.col("o_orderkey"))
+            if perturb
+            else F.col("o_orderkey")
+        )
+        return o.filter(F.col("o_orderkey") % flt != 0).select(
+            F.col("o_custkey").alias("annotated_object_rgd_id"),
+            F.concat(
+                F.lit("RDO:"), (F.col("o_orderkey") % 300).cast("string")
+            ).alias("term_acc"),
+            F.when(F.col("o_orderkey") % 2 == 0, "D").otherwise("H").alias(
+                "aspect"
+            ),
+            F.when(F.col("o_custkey") % 4 == 0, "ISO").otherwise("IAGP").alias(
+                "evidence"
+            ),
+            F.concat(
+                F.lit("RGD:"), (F.col("o_custkey") % 50).cast("string")
+            ).alias("with_info"),
+            F.concat(F.lit("PMID:"), (okey % 70).cast("string")).alias(
+                "xref_source"
+            ),
+        )
+
+    diff = diff_sync(
+        annots(13, False),
+        annots(10, True),
+        key_cols=[
+            "annotated_object_rgd_id",
+            "term_acc",
+            "aspect",
+            "evidence",
+            "with_info",
+        ],
+        compare_cols=["xref_source"],
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("annotated_object_rgd_id").alias("n_objects"),
+    )
