@@ -606,6 +606,10 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHINGLE_DF_CAP = 1000
+BLOCK_CAP = 100_000
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""
@@ -621,9 +625,13 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM documents))
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shj AS (
+        SELECT s.* FROM sh s
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= 1000) cold USING (shingle)),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard_sim
@@ -637,9 +645,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs via an inverted shingle index:
     explode distinct 3-shingles, self-join on shingle (never all-pairs
     — candidate generation is index-driven), count intersections,
-    Jaccard from set sizes. At scale the shingle join is the LSH-free
-    exact variant; skew on hot shingles is the known cost (MinHash-LSH
-    below is the scale path)."""
+    Jaccard from set sizes.
+
+    Skew guard: shingles appearing in more than SHINGLE_DF_CAP
+    documents ('stop-shingles') are dropped from the JOIN (per-bucket
+    work is quadratic in df, so one ubiquitous shingle would dominate
+    a 100x scale-up); set sizes stay uncapped, so reported Jaccard is
+    the standard df-capped lower bound. The drop count is logged —
+    never silent — and the oracle applies the identical cap."""
+    import logging
+
     d = _spread(_t(spark, sf_dir, "documents"))
     sh = (
         d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
@@ -652,12 +667,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and compares longs (collision odds ~1e-9 at 1e6 shingles)
         .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
     )
-    # four plan branches read the exploded shingle index (both join
-    # sides + two size lookups) — persist so tokenize+shingle runs once
+    # five plan branches read the exploded shingle index (both join
+    # sides, two size lookups, the df counts) — persist so
+    # tokenize+shingle runs once
     sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    n_hot = hot.count()
+    if n_hot:
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: dropping %d shingles with df > %d "
+            "from the candidate join (df-cap skew guard)",
+            n_hot,
+            SHINGLE_DF_CAP,
+        )
+    sh_j = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh_j.alias("a")
+    b = sh_j.alias("b")
     inter = (
         a.join(
             b,
@@ -918,10 +949,13 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup_pairs",
     """
+    WITH ok AS (SELECT label FROM embeddings GROUP BY label
+                HAVING count(*) <= 100000),
+    e AS (SELECT x.* FROM embeddings x JOIN ok USING (label))
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS sim
-    FROM embeddings a JOIN embeddings b
+    FROM e a JOIN e b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.2
@@ -930,8 +964,31 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the blocking
     key stands in for an LSH bucket: candidates come from an equi-join,
-    never a full cross product)."""
+    never a full cross product).
+
+    Skew guard: blocks larger than BLOCK_CAP members are excluded from
+    the pair join (per-block work is quadratic — one mega-block would
+    own the runtime at 100x), with the drop logged; oversize blocks are
+    the LSH/IVF paths' job (operators/similarity.py). The oracle
+    applies the identical cap."""
+    import logging
+
     e = _spread(_t(spark, sf_dir, "embeddings"))
+    oversize = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > BLOCK_CAP)
+        .select("label")
+    )
+    n_over = oversize.count()
+    if n_over:
+        logging.getLogger(__name__).warning(
+            "embedding_neardup_pairs: dropping %d blocks larger than %d "
+            "from the pair join (block-cap skew guard)",
+            n_over,
+            BLOCK_CAP,
+        )
+        e = e.join(F.broadcast(oversize), "label", "left_anti")
     a = e.alias("a")
     b = e.alias("b")
     sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
