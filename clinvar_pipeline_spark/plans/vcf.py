@@ -64,14 +64,25 @@ def clinvar2vcf_lines(
             F.broadcast(snp), ["chr", "pos", "ref_nuc", "var_nuc"], "left"
         ).withColumn("rs_id", F.coalesce("rs_id", "_snp")).drop("_snp")
 
-    # J18/F18/W6: padding base + SNV reference check
+    # J18/F18/W6: padding bases + SNV reference check. Insertions pad
+    # with the base AT the start position (Clinvar2Vcf.java:226); the
+    # deletion padding base is the one BEFORE the deleted run, so a
+    # second lookup joins ref_bases shifted to pos-1
+    # (Clinvar2Vcf.java:244 getBase(chr, startPos-1)).
     if ref_bases is not None:
         rb = ref_bases.select(
             F.col("chromosome").alias("chr"),
             F.col("position").alias("pos"),
             F.col("base").alias("_pad"),
         )
-        rows = rows.join(F.broadcast(rb), ["chr", "pos"], "left")
+        rb_prev = ref_bases.select(
+            F.col("chromosome").alias("chr"),
+            (F.col("position") + 1).alias("pos"),
+            F.col("base").alias("_pad_prev"),
+        )
+        rows = rows.join(F.broadcast(rb), ["chr", "pos"], "left").join(
+            F.broadcast(rb_prev), ["chr", "pos"], "left"
+        )
         # F18: single-base variants whose declared ref mismatches the
         # genome are dropped (counted upstream in the reference)
         rows = rows.filter(
@@ -82,20 +93,45 @@ def clinvar2vcf_lines(
             )
         )
     else:
-        rows = rows.withColumn("_pad", F.lit(None).cast("string"))
+        rows = rows.withColumn("_pad", F.lit(None).cast("string")).withColumn(
+            "_pad_prev", F.lit(None).cast("string")
+        )
 
-    pad = F.coalesce("_pad", F.lit("N"))
+    # bad-ref guard (Clinvar2Vcf.java:232-234, 250-251): an insertion
+    # carrying a declared ref, or a deletion carrying a declared var,
+    # is malformed — the reference flags hasBadRef / raises; the plan
+    # drops the row before padding.
+    ins_bad = (
+        (F.col("vt") == "insertion")
+        & F.col("ref_nuc").isNotNull()
+        & (F.col("ref_nuc") != "-")
+    )
+    del_bad = (
+        (F.col("vt") == "deletion")
+        & F.col("var_nuc").isNotNull()
+        & ~F.col("var_nuc").startswith("-")
+    )
+    rows = rows.filter(~ins_bad & ~del_bad)
+
+    pad_ins = F.coalesce("_pad", F.lit("N"))
+    pad_del = F.coalesce("_pad_prev", F.lit("N"))
     norm = rows.select(
         "chr",
         "pos",
         F.coalesce("rs_id", F.lit(".")).alias("rs"),
         "vt",
-        F.when(F.col("vt") == "insertion", pad)
-        .when(F.col("vt") == "deletion", F.concat(pad, F.coalesce("ref_nuc", F.lit(""))))
+        F.when(F.col("vt") == "insertion", pad_ins)
+        .when(
+            F.col("vt") == "deletion",
+            F.concat(pad_del, F.coalesce("ref_nuc", F.lit(""))),
+        )
         .otherwise(F.col("ref_nuc"))
         .alias("ref"),
-        F.when(F.col("vt") == "insertion", F.concat(pad, F.coalesce("var_nuc", F.lit(""))))
-        .when(F.col("vt") == "deletion", pad)
+        F.when(
+            F.col("vt") == "insertion",
+            F.concat(pad_ins, F.coalesce("var_nuc", F.lit(""))),
+        )
+        .when(F.col("vt") == "deletion", pad_del)
         .otherwise(F.col("var_nuc"))
         .alias("alt"),
     )

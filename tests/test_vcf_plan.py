@@ -23,6 +23,12 @@ def lines(spark):
             # deletion at multi-char-both locus -> F17 guard drops line
             (5, "deletion", "AT", None, "rs99"),
             (6, "insertion", None, "CC", "rs99"),
+            # malformed: insertion with a declared ref -> bad-ref drop
+            (7, "insertion", "A", "TT", None),
+            # deletion with var starting '-' -> padded normally
+            (8, "deletion", "AT", "-", None),
+            # malformed: deletion with a declared var -> dropped
+            (9, "deletion", "C", "G", None),
         ],
         "rgd_id long, object_type string, ref_nuc string, var_nuc string, rs_id string",
     )
@@ -34,6 +40,9 @@ def lines(spark):
             (4, 38, "2", 300, 301),
             (5, 38, "2", 400, 401),
             (6, 38, "2", 400, 401),
+            (7, 38, "3", 500, 501),
+            (8, 38, "3", 500, 501),
+            (9, 38, "3", 500, 501),
             (1, 17, "1", 99, 99),  # non-GRCh38 row ignored
         ],
         "rgd_id long, map_key int, chromosome string, start_pos int, stop_pos int",
@@ -43,7 +52,16 @@ def lines(spark):
         "chromosome string, position int, ref_allele string, allele string, snp_name string",
     )
     ref_bases = spark.createDataFrame(
-        [("1", 100, "A"), ("1", 200, "C"), ("2", 300, "T"), ("2", 400, "G")],
+        [
+            ("1", 100, "A"),
+            ("1", 200, "C"),
+            ("2", 300, "T"),
+            # deletion padding reads the base BEFORE the run (pos-1)
+            ("2", 399, "G"),
+            ("2", 400, "G"),
+            ("3", 499, "T"),
+            ("3", 500, "A"),
+        ],
         "chromosome string, position int, base string",
     )
     df = clinvar2vcf_lines(variants, map_positions, db_snp, ref_bases)
@@ -72,9 +90,18 @@ def test_insertion_padding(lines):
 
 def test_multibase_guard_and_deletion_padding(lines):
     lines_400 = [ln for c, p, ln in lines if (c, p) == ("2", 400)]
-    # deletion: ref=G+AT=GAT, alt=G -> both multi-char? ref_m='GAT'(3)
-    # alt_m='G'(1) -> kept; insertion rs99: ref=G alt=GCC -> kept;
-    # they differ in vt so remain separate grouped lines
+    # deletion pads from pos-1 (399 -> G): ref=G+AT=GAT, alt=G ->
+    # ref_m='GAT'(3) alt_m='G'(1) -> kept; insertion rs99 pads from pos
+    # (400 -> G): ref=G alt=GCC -> kept; they differ in vt so remain
+    # separate grouped lines
     assert len(lines_400) == 2
     assert any("\tGAT\tG\t" in ln for ln in lines_400)
     assert any("\tG\tGCC\t" in ln for ln in lines_400)
+
+
+def test_malformed_indels_dropped_dash_var_padded(lines):
+    lines_500 = [ln for c, p, ln in lines if (c, p) == ("3", 500)]
+    # 7 (insertion w/ declared ref) and 9 (deletion w/ declared var)
+    # are dropped; 8 (var '-') pads from 499 -> T: ref=TAT, alt=T
+    assert len(lines_500) == 1
+    assert "\tTAT\tT\t" in lines_500[0]
