@@ -28,7 +28,11 @@ BENCH_QUERIES = [
     "upsert_classify",
     "pipe_set_merge",
     "session_windows",
-    "tumbling_window",
+    # r3 renames (work unchanged or strictly fused): tumbling_window ->
+    # tumbling_rollup (adds rollup levels), token_stats+quality_score ->
+    # text_profile (one pass), multimodal_meta -> multimodal_frames
+    # (adds the frame fan-out + join)
+    "tumbling_rollup",
     "grouped_export",
     "vcf_export",
     "map_position_normalize",
@@ -39,11 +43,11 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_signatures",
-    "token_stats",
-    "quality_score",
+    "text_profile",
+    "doc_fingerprint",
     "topk_cosine",
     "embedding_neardup_pairs",
-    "multimodal_meta",
+    "multimodal_frames",
     "ann_topk",
     "ann_topk_ivf",
 ]

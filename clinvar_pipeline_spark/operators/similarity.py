@@ -238,13 +238,32 @@ def ann_topk_ivf(
             return pd.Series([], dtype=object)
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         sims = V @ C.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe_cells].astype(np.int32)
+        # argpartition (O(cells)) then sort only the probe prefix —
+        # cheaper than a full argsort when num_cells >> n_probe_cells
+        part = np.argpartition(-sims, n_probe_cells - 1, axis=1)[
+            :, :n_probe_cells
+        ]
+        order = np.argsort(
+            -np.take_along_axis(sims, part, axis=1), axis=1
+        )
+        top = np.take_along_axis(part, order, axis=1).astype(np.int32)
         return pd.Series(list(top))
+
+    @pandas_udf("int")
+    def nearest_cell(s: pd.Series) -> pd.Series:
+        # corpus assignment needs only the argmax, not a ranked probe
+        # list — one O(cells) pass per row (r2's full argsort wasted
+        # ~num_cells*log(num_cells) per corpus row)
+        V = np.asarray(s.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype="int32")
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
 
     v = F.col(vec_col).cast("array<double>")
     c_cells = corpus.select(
         F.col(id_col).alias("nn_id"),
-        probe_cells(v).getItem(0).alias("cell"),
+        nearest_cell(v).alias("cell"),
     )
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),

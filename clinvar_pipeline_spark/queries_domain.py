@@ -19,7 +19,7 @@ from clinvar_pipeline_spark.functions.text import (
     pack_width_buckets,
 )
 from clinvar_pipeline_spark.operators.fixpoint import resolve_transitive
-from clinvar_pipeline_spark.queries import DEC4, DEC38_4, _spread, _t, register
+from clinvar_pipeline_spark.queries import DEC4, _spread, _t, register
 
 # ---------------------------------------------------------------------
 # F7/F8/F9 — map-position validity, assembly->map_key, cytogenetic parse
@@ -895,7 +895,7 @@ def q_vcf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT win_start, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,4))) AS total
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
     FROM w GROUP BY win_start
     """,
 )
@@ -908,7 +908,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC4)).cast(DEC38_4).alias("total"),
+            F.round(F.sum(F.col("value").cast(DEC4)).cast("double"), 4).alias(
+                "total"
+            ),
         )
         .select(F.col("win.start").alias("win_start"), "n", "total")
     )
@@ -995,57 +997,67 @@ def q_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 @register(
-    "multimodal_meta",
+    "multimodal_frames",
     """
-    SELECT doc_id AS id,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS sha256,
-           octet_length(encode(text)) % 256 AS width,
-           (octet_length(encode(text)) // 256) % 256 AS height,
-           CASE WHEN octet_length(encode(text)) = 0 THEN 'fake/0'
-                ELSE 'fake/' || ascii(substr(text, 1, 1)) END AS format
-    FROM documents
+    WITH meta AS (
+        SELECT doc_id AS id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256,
+               octet_length(encode(text)) % 256 AS width,
+               (octet_length(encode(text)) // 256) % 256 AS height,
+               CASE WHEN octet_length(encode(text)) = 0 THEN 'fake/0'
+                    ELSE 'fake/' || ascii(substr(text, 1, 1)) END AS format
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id AS id, fi AS frame_idx,
+               hex(encode(substr(text,
+                    fi * greatest(octet_length(encode(text)) // 4, 1) + 1, 16)))
+                 AS frame_hex
+        FROM documents
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS fi)
+        WHERE fi * greatest(octet_length(encode(text)) // 4, 1)
+              < octet_length(encode(text))
+    )
+    SELECT f.id, f.frame_idx, f.frame_hex,
+           m.n_bytes, m.sha256, m.width, m.height, m.format
+    FROM frames f JOIN meta m USING (id)
     """,
 )
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal ingest shape: opaque binary payloads + mapInPandas
-    feature extraction (operators/multimodal.py). The decode kernel is
-    a deterministic stub (no codecs in container) so DuckDB can oracle
-    the byte-derived metadata; the Spark-side plumbing — binary
-    columns, Arrow batches, 1:1 map — is the real thing."""
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest + frame-sampling pipeline: opaque binary
+    payloads (attach_binary), mapInPandas metadata extraction (decode
+    kernel is a deterministic stub — no codecs in container — so DuckDB
+    can oracle the byte-derived metadata), and the video-shaped frame
+    fan-out (N frames per payload as fixed-size byte slices; a real
+    kernel would seek + decode), joined per asset. The Spark-side
+    plumbing — binary columns, Arrow batches, 1:1 and 1:N kernels — is
+    the real thing.
+
+    Scale: both kernels read the same attached-binary scan; the
+    meta⋈frames join is per-id equi (co-partitioned at scale, AQE
+    broadcasts at small SF). Frames hexed so the oracle compares
+    bytes."""
     from clinvar_pipeline_spark.operators.multimodal import (
         attach_binary,
         extract_image_meta,
-    )
-
-    d = _spread(_t(spark, sf_dir, "documents"))
-    return extract_image_meta(attach_binary(d, "doc_id", "text"))
-
-
-@register(
-    "frame_sample",
-    """
-    SELECT doc_id AS id, fi AS frame_idx,
-           hex(encode(substr(text,
-                fi * greatest(octet_length(encode(text)) // 4, 1) + 1, 16)))
-             AS frame_hex
-    FROM documents
-    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS fi)
-    WHERE fi * greatest(octet_length(encode(text)) // 4, 1) < octet_length(encode(text))
-    """,
-)
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling shape: mapInPandas fan-out (N frames per
-    payload as fixed-size byte slices — a real kernel would seek +
-    decode). Hexed so the oracle can compare bytes."""
-    from clinvar_pipeline_spark.operators.multimodal import (
-        attach_binary,
         sample_frames,
     )
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    frames = sample_frames(attach_binary(d, "doc_id", "text"), n_frames=4, frame_size=16)
-    return frames.select("id", "frame_idx", F.hex("frame_bytes").alias("frame_hex"))
+    b = attach_binary(d, "doc_id", "text")
+    meta = extract_image_meta(b)
+    frames = sample_frames(b, n_frames=4, frame_size=16)
+    return frames.join(meta, "id").select(
+        "id",
+        "frame_idx",
+        F.hex("frame_bytes").alias("frame_hex"),
+        "n_bytes",
+        "sha256",
+        "width",
+        "height",
+        "format",
+    )
 
 
 # ---------------------------------------------------------------------
@@ -1057,10 +1069,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via sign-LSH bucket join +
     in-bucket exact re-rank with multi-probe (operators/similarity.py).
     Recall vs the exact baseline is pinned by tests/test_similarity.py;
-    q_topk_cosine is the oracle-checked exact twin."""
+    q_topk_cosine is the oracle-checked exact twin.
+
+    The spread input is persisted: the plan consumes it four times
+    (bucket keys for both roles + normalized vectors for both re-rank
+    joins), and without the persist each branch re-runs the repartition
+    exchange and the Arrow bucket kernel."""
     from clinvar_pipeline_spark.operators.similarity import ann_topk_hyperplane
 
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    e = _spread(_t(spark, sf_dir, "embeddings")).persist()
     return ann_topk_hyperplane(e, e, k=5)
 
 
@@ -1071,8 +1088,15 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements ann_topk (hyperplane LSH) — IVF candidates are
     spatially coherent, so recall per scored candidate is higher on
     clustered corpora; LSH needs no training pass. Recall floor pinned
-    by tests/test_multimodal_similarity.py."""
+    by tests/test_multimodal_similarity.py.
+
+    The spread input is persisted: the plan consumes it five times
+    (driver-side training sample, cell assignment for both roles,
+    normalized vectors for both re-rank joins) — r2's unexplained 2x
+    cold regression was each consumer re-running the repartition
+    exchange + Arrow kernels; the training-sample collect now also
+    primes the cache instead of being a throwaway job."""
     from clinvar_pipeline_spark.operators.similarity import ann_topk_ivf
 
-    e = _spread(_t(spark, sf_dir, "embeddings"))
+    e = _spread(_t(spark, sf_dir, "embeddings")).persist()
     return ann_topk_ivf(e, e, k=5)

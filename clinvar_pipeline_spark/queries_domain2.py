@@ -409,7 +409,7 @@ def q_alias_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 @register(
-    "dbsnp_join",
+    "vcf_position_checks",
     """
     WITH db_snp AS (
         SELECT chr, pos, ref, alt, min(snp) AS snp_name
@@ -421,23 +421,37 @@ def q_alias_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                      'rs' || CAST(p_partkey AS VARCHAR) AS snp
               FROM part)
         GROUP BY chr, pos, ref, alt
+    ),
+    v AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag AS chr,
+               l_partkey % 500 AS pos, l_linestatus AS ref,
+               CAST(l_suppkey % 4 AS VARCHAR) AS alt,
+               p_partkey AS rb_pos,
+               CASE l_suppkey % 4 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                    WHEN 2 THEN 'm' ELSE 's' END AS rb_ref,
+               substr(p_name, 1, 1) AS rb_base
+        FROM lineitem JOIN part ON l_partkey = p_partkey
     )
-    SELECT l_orderkey, l_linenumber, v.chr, v.pos, v.ref, v.alt, snp_name
-    FROM (SELECT l_orderkey, l_linenumber, l_returnflag AS chr,
-                 l_partkey % 500 AS pos, l_linestatus AS ref,
-                 CAST(l_suppkey % 4 AS VARCHAR) AS alt
-          FROM lineitem) v
+    SELECT l_orderkey, l_linenumber, v.chr, v.pos, v.ref, v.alt, snp_name,
+           rb_pos, rb_ref, rb_base, rb_ref <> rb_base AS has_bad_ref
+    FROM v
     LEFT JOIN db_snp d
       ON v.chr = d.chr AND v.pos = d.pos AND v.ref = d.ref AND v.alt = d.alt
     """,
 )
-def q_dbsnp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J17 (Clinvar2Vcf.java:420-448): rs-id validation as a 4-column
-    equi-join against the db_snp table — replaces the reference's
-    per-row JDBC lookup inside a parallelStream.
+def q_vcf_position_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17 (Clinvar2Vcf.java:420-448) + J18/F18 (Clinvar2Vcf.java:
+    362-403,188-190): the VCF per-position validation pass. rs-id
+    validation is a 4-column equi-join against the db_snp table
+    (replacing the reference's per-row JDBC lookup inside a
+    parallelStream); SNV reference-base validation joins a
+    per-position reference-base table — the broadcast FASTA-slice
+    lookup replacing S12's per-row HTTP fetches — and flags mismatches
+    (rb_*/has_bad_ref) for the downstream F18 filter.
 
-    Scale: db_snp projection deduped then broadcast (bounded by distinct
-    positions); the fact side never shuffles."""
+    Scale: both lookup tables are broadcast dims (db_snp deduped first,
+    bounded by distinct positions); the fact side never shuffles and
+    both checks ride one scan."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     db_snp = (
@@ -454,62 +468,37 @@ def q_dbsnp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("chr", "pos", "ref", "alt")
         .agg(F.min("snp").alias("snp_name"))
     )
-    v = li.select(
+    rb_ref = (
+        F.when(F.col("l_suppkey") % 4 == 0, "a")
+        .when(F.col("l_suppkey") % 4 == 1, "b")
+        .when(F.col("l_suppkey") % 4 == 2, "m")
+        .otherwise("s")
+    )
+    rb_base = F.substring("p_name", 1, 1)
+    v = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_returnflag").alias("chr"),
         (F.col("l_partkey") % 500).alias("pos"),
         F.col("l_linestatus").alias("ref"),
         (F.col("l_suppkey") % 4).cast("string").alias("alt"),
+        F.col("p_partkey").alias("rb_pos"),
+        rb_ref.alias("rb_ref"),
+        rb_base.alias("rb_base"),
+        (rb_ref != rb_base).alias("has_bad_ref"),
     )
     return v.join(F.broadcast(db_snp), ["chr", "pos", "ref", "alt"], "left").select(
-        "l_orderkey", "l_linenumber", "chr", "pos", "ref", "alt", "snp_name"
-    )
-
-
-# ---------------------------------------------------------------------
-# J18/F18 — reference-base check: join vs per-position base table
-# ---------------------------------------------------------------------
-
-@register(
-    "ref_base_check",
-    """
-    SELECT l_orderkey, l_linenumber, p_partkey AS pos,
-           CASE l_suppkey % 4 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
-                WHEN 2 THEN 'm' ELSE 's' END AS ref,
-           substr(p_name, 1, 1) AS base,
-           CASE l_suppkey % 4 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
-                WHEN 2 THEN 'm' ELSE 's' END <> substr(p_name, 1, 1)
-               AS has_bad_ref
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    """,
-)
-def q_ref_base_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J18+F18 (Clinvar2Vcf.java:362-403,188-190): SNV reference-base
-    validation as a join against a per-position reference-base table
-    (the broadcast FASTA-slice lookup replacing S12's per-row HTTP),
-    flagging mismatches for the downstream filter.
-
-    Scale: base table is a broadcast dim; flag is a codegen'd
-    comparison — no Python, no per-row IO."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    ref = (
-        F.when(F.col("l_suppkey") % 4 == 0, "a")
-        .when(F.col("l_suppkey") % 4 == 1, "b")
-        .when(F.col("l_suppkey") % 4 == 2, "m")
-        .otherwise("s")
-    )
-    base = F.substring("p_name", 1, 1)
-    return li.join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-    ).select(
         "l_orderkey",
         "l_linenumber",
-        F.col("p_partkey").alias("pos"),
-        ref.alias("ref"),
-        base.alias("base"),
-        (ref != base).alias("has_bad_ref"),
+        "chr",
+        "pos",
+        "ref",
+        "alt",
+        "snp_name",
+        "rb_pos",
+        "rb_ref",
+        "rb_base",
+        "has_bad_ref",
     )
 
 
@@ -682,7 +671,7 @@ def q_annot_count_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     """
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total,
            array_to_string(list_sort(list_distinct(
                list(CAST(user_id AS VARCHAR)))), '|') AS users
     FROM events
@@ -712,7 +701,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         final_aggs={
             "n": F.sum("c"),
-            "total": F.sum("t").cast(DEC4),
+            "total": F.round(F.sum("t").cast("double"), 4),
             "users": F.concat_ws(
                 "|",
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("s")))),
@@ -723,79 +712,8 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------
-# Text-analysis completions: BPE-ish token count, rolling-hash fp
-# ---------------------------------------------------------------------
-
-# GPT-2-style pretokenizer shape: contractions, letter runs, digit
-# runs, punctuation runs, whitespace runs (no lookarounds, so Java
-# regex and RE2 agree on the match set)
-_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
-
-
-@register(
-    "bpe_token_count",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,
-           length(text) AS n_chars
-    FROM documents
-    """.format(pat=_BPE_PAT.replace("'", "''")),
-)
-def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting with a BPE-ish pretokenizer regex (the GPT-2
-    pattern family), complementing whitespace token_stats — the
-    budget-estimation pass of an LLM data pipeline.
-
-    Scale: one regexp_count per row inside codegen; no explode, no
-    shuffle."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars"),
-    )
-
-
-@register(
-    "rolling_fingerprint",
-    """
-    SELECT doc_id,
-           CASE WHEN length(text) = 0 THEN 7
-                ELSE list_reduce(
-                    list_prepend(CAST(7 AS BIGINT),
-                        list_transform(range(1, length(text) + 1),
-                                       i -> CAST(ascii(substr(text, i, 1))
-                                                 AS BIGINT))),
-                    (acc, c) -> (acc * 31 + c) % 1000000007)
-           END AS fp
-    FROM documents
-    """,
-)
-def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial (Karp-Rabin) rolling-hash document fingerprint:
-    fp = fold(7, c -> acc*31 + code(c) mod 1e9+7) over the character
-    stream — the incremental-update fingerprint family (winnowing,
-    chunk-boundary detection), vs. the block md5 in doc_fingerprint.
-
-    Scale: per-row fold, no shuffle. (For multi-KB documents the
-    Arrow-batch kernel pattern of functions/hashes.py applies; at the
-    testdata's ~300-char docs the expression form is fine.)"""
-    d = _t(spark, sf_dir, "documents")
-    fp = F.aggregate(
-        F.expr(
-            "transform(sequence(1, greatest(length(text), 1)),"
-            " i -> cast(ascii(substr(text, i, 1)) as bigint))"
-        ),
-        F.lit(7).cast("long"),
-        lambda acc, c: (acc * 31 + c) % 1000000007,
-    )
-    return d.select(
-        "doc_id",
-        F.when(F.length("text") == 0, F.lit(7).cast("long"))
-        .otherwise(fp)
-        .alias("fp"),
-    )
+# (BPE-ish token counting and the rolling-hash fingerprint live in the
+# fused single-pass profiles: queries.py text_profile / doc_fingerprint)
 
 
 # ---------------------------------------------------------------------
