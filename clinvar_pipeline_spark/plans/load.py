@@ -657,10 +657,15 @@ def match_variants(variants_in: DataFrame, prev: Snapshot) -> DataFrame:
         .repartitionByRange("symbol")
         .withColumn("_pid", F.spark_partition_id())
     )
+    # persisted: two plan branches (offsets, new_ids join) read the
+    # (_pid, _local_rn) pairing, and both must see ONE materialization
+    # of the range exchange — an unreused recomputation or stage retry
+    # could resample range bounds and shift partition ids, yielding
+    # duplicate or skipped rgd_ids
     local = new_syms.withColumn(
         "_local_rn",
         F.row_number().over(Window.partitionBy("_pid").orderBy("symbol")),
-    )
+    ).persist()
     offsets = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -790,6 +795,27 @@ def load_run(
     ).select(
         F.concat(F.lit("RECORDS_"), F.upper("record_kind")).alias("counter"), "value"
     )
+    # F3 canary counters (Parser.java:449-458): records that are not
+    # record-status 'current' or not Homo sapiens are processed anyway,
+    # but the reference warns with dedicated counters — surface the
+    # same two canaries (zero rows when clean; unionByName keeps them
+    # absent-as-zero like the reference's unsent warnings)
+    canary_counters = archive.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.coalesce("record_status", F.lit("")) != "current",
+                        "NON_CURRENT_RECORD",
+                    ),
+                    F.when(
+                        F.coalesce("species", F.lit("")) != "Homo sapiens",
+                        "NON_HUMAN_SPECIES",
+                    ),
+                )
+            )
+        ).alias("counter")
+    ).groupBy("counter").agg(F.count(F.lit(1)).alias("value"))
     entry_cls = inc.select(
         F.when(
             F.coalesce("clinical_significance", F.lit("")).contains("not provided"),
@@ -1044,7 +1070,8 @@ def load_run(
         )
 
     counters = (
-        kind_counters.unionByName(entry_cls)
+        kind_counters.unionByName(canary_counters)
+        .unionByName(entry_cls)
         .unionByName(diff_count(v_diff, "VARIANTS"))
         .unionByName(diff_count(xdb_diff, "XDB_IDS"))
         .unionByName(diff_count(assoc_diff, "GENE_ASSOCIATIONS"))

@@ -23,20 +23,15 @@ from pyspark.sql import functions as F
 GRCH38_MAP_KEY = 38
 
 
-def clinvar2vcf_lines(
+def _flagged_rows(
     variants: DataFrame,
     map_positions: DataFrame,
     db_snp: DataFrame | None = None,
     ref_bases: DataFrame | None = None,
 ) -> DataFrame:
-    """(chr, pos, line) data lines ready for ``write_vcf``.
-
-    ``variants`` needs (rgd_id, object_type, ref_nuc, var_nuc);
-    ``map_positions`` (rgd_id, map_key, chromosome, start_pos,
-    stop_pos); ``db_snp`` (chromosome, position, ref_allele, allele,
-    snp_name) optional rs-id source; ``ref_bases`` (chromosome,
-    position, base) optional reference-base table for the F18 check
-    and W6 padding."""
+    """Joined/checked per-variant rows with a ``_drop_reason`` column
+    (null = kept) instead of silent filters, so the export and its
+    drop counters share one lineage."""
     v = variants.select(
         "rgd_id",
         F.lower("object_type").alias("vt"),
@@ -83,24 +78,25 @@ def clinvar2vcf_lines(
         rows = rows.join(F.broadcast(rb), ["chr", "pos"], "left").join(
             F.broadcast(rb_prev), ["chr", "pos"], "left"
         )
-        # F18: single-base variants whose declared ref mismatches the
-        # genome are dropped (counted upstream in the reference)
-        rows = rows.filter(
-            ~(
-                (F.col("vt") == "single nucleotide variant")
-                & F.col("_pad").isNotNull()
-                & (F.col("ref_nuc") != F.col("_pad"))
-            )
-        )
     else:
         rows = rows.withColumn("_pad", F.lit(None).cast("string")).withColumn(
             "_pad_prev", F.lit(None).cast("string")
         )
 
-    # bad-ref guard (Clinvar2Vcf.java:232-234, 250-251): an insertion
-    # carrying a declared ref, or a deletion carrying a declared var,
-    # is malformed — the reference flags hasBadRef / raises; the plan
-    # drops the row before padding.
+    # F18: single-base variants whose declared ref mismatches the
+    # genome (Clinvar2Vcf.java:188-190), and the bad-ref guards
+    # (Clinvar2Vcf.java:232-234, 250-251): an insertion carrying a
+    # declared ref, or a deletion carrying a declared var, is
+    # malformed. The reference flags hasBadRef for the first two and
+    # RAISES on the deletion case; this plan deliberately drops all
+    # three row classes instead of failing the 100 TB job on one
+    # corrupt record — the deviation is observable via
+    # ``clinvar2vcf_drop_counters`` (never silent).
+    snv_mismatch = (
+        (F.col("vt") == "single nucleotide variant")
+        & F.col("_pad").isNotNull()
+        & (F.col("ref_nuc") != F.col("_pad"))
+    )
     ins_bad = (
         (F.col("vt") == "insertion")
         & F.col("ref_nuc").isNotNull()
@@ -111,7 +107,48 @@ def clinvar2vcf_lines(
         & F.col("var_nuc").isNotNull()
         & ~F.col("var_nuc").startswith("-")
     )
-    rows = rows.filter(~ins_bad & ~del_bad)
+    return rows.withColumn(
+        "_drop_reason",
+        F.when(snv_mismatch, "SNV_REF_MISMATCH")
+        .when(ins_bad, "INSERTION_BAD_REF")
+        .when(del_bad, "DELETION_BAD_VAR"),
+    )
+
+
+def clinvar2vcf_drop_counters(
+    variants: DataFrame,
+    map_positions: DataFrame,
+    db_snp: DataFrame | None = None,
+    ref_bases: DataFrame | None = None,
+) -> DataFrame:
+    """(counter, value) rows counting the bad-ref / ref-mismatch drops
+    the export applies — the observable twin of the reference's
+    hasBadRef flags and the Clinvar2Vcf.java:251 RuntimeException."""
+    flagged = _flagged_rows(variants, map_positions, db_snp, ref_bases)
+    return (
+        flagged.filter(F.col("_drop_reason").isNotNull())
+        .groupBy(F.col("_drop_reason").alias("counter"))
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+
+
+def clinvar2vcf_lines(
+    variants: DataFrame,
+    map_positions: DataFrame,
+    db_snp: DataFrame | None = None,
+    ref_bases: DataFrame | None = None,
+) -> DataFrame:
+    """(chr, pos, line) data lines ready for ``write_vcf``.
+
+    ``variants`` needs (rgd_id, object_type, ref_nuc, var_nuc);
+    ``map_positions`` (rgd_id, map_key, chromosome, start_pos,
+    stop_pos); ``db_snp`` (chromosome, position, ref_allele, allele,
+    snp_name) optional rs-id source; ``ref_bases`` (chromosome,
+    position, base) optional reference-base table for the F18 check
+    and W6 padding."""
+    rows = _flagged_rows(variants, map_positions, db_snp, ref_bases).filter(
+        F.col("_drop_reason").isNull()
+    )
 
     pad_ins = F.coalesce("_pad", F.lit("N"))
     pad_del = F.coalesce("_pad_prev", F.lit("N"))

@@ -72,6 +72,10 @@ def test_first_run_inserts(first_run):
     assert counters["GENE_ASSOCIATIONS_INSERT"] == 2  # AP5Z1 + OTHER
     assert counters["MAP_POSITIONS_INSERT"] == 2  # GRCh38 + GRCh37
     assert counters["HGVS_NAMES_INSERT"] == 2
+    # F3 canaries (Parser.java:449-458): MINUS_RECORD is
+    # RecordStatus=replaced + Species=Mus musculus
+    assert counters["NON_CURRENT_RECORD"] == 1
+    assert counters["NON_HUMAN_SPECIES"] == 1
 
 
 def test_variant_fields(first_run):

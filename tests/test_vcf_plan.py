@@ -5,11 +5,14 @@ guard (F17), line render."""
 import pytest
 from pyspark.sql import functions as F
 
-from clinvar_pipeline_spark.plans.vcf import clinvar2vcf_lines
+from clinvar_pipeline_spark.plans.vcf import (
+    clinvar2vcf_drop_counters,
+    clinvar2vcf_lines,
+)
 
 
 @pytest.fixture(scope="module")
-def lines(spark):
+def vcf_inputs(spark):
     variants = spark.createDataFrame(
         [
             # snv, ref matches genome base
@@ -64,8 +67,27 @@ def lines(spark):
         ],
         "chromosome string, position int, base string",
     )
-    df = clinvar2vcf_lines(variants, map_positions, db_snp, ref_bases)
+    return variants, map_positions, db_snp, ref_bases
+
+
+@pytest.fixture(scope="module")
+def lines(vcf_inputs):
+    df = clinvar2vcf_lines(*vcf_inputs)
     return {(r["chr"], r["pos"], r["line"]) for r in df.collect()}
+
+
+def test_drop_counters_observable(vcf_inputs):
+    # the three deliberate-drop classes (F18 mismatch, bad-ref ins/del)
+    # are counted, never silent: variants 3, 7, 9 in the fixture
+    counters = {
+        r["counter"]: r["value"]
+        for r in clinvar2vcf_drop_counters(*vcf_inputs).collect()
+    }
+    assert counters == {
+        "SNV_REF_MISMATCH": 1,
+        "INSERTION_BAD_REF": 1,
+        "DELETION_BAD_VAR": 1,
+    }
 
 
 def test_snv_merge_and_rs_resolution(lines):
