@@ -76,11 +76,16 @@ def main() -> None:
 
     @pandas_udf("long")
     def _warm(s):
-        return s
+        # touch numpy inside the worker: the ANN/dedup Arrow kernels
+        # import it on first use, which otherwise lands in the first
+        # measured ANN query's cold time
+        import numpy as _np
 
-    spark.range(1000).select(_warm(col("id"))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+        return s * int(_np.int64(1))
+
+    spark.range(1000, numPartitions=32).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Two passes: the cold pass pays one-shot whole-stage-codegen JIT
     # (~1-3 s/query); the warm pass measures the steady-state plan.

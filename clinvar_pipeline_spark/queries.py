@@ -89,14 +89,22 @@ DEC4 = "decimal(18,4)"
 # no-op on the value, so the float64s hash identically.
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a compute-heavy small input across all cores.
+def _spread(df: DataFrame, parts: Optional[int] = None) -> DataFrame:
+    """Repartition a compute-heavy small input across cores.
 
     The testdata tables arrive as one parquet file → one input split →
     one task; expression-heavy per-row work (shingling, signatures,
     vector math) would serialize on a single core. At 100 TB inputs
-    are naturally multi-split and this shuffle is amortized noise."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    are naturally multi-split and this shuffle is amortized noise.
+
+    ``parts`` caps the fan-out: plans that consume the spread input
+    from many branches (the ANN operators read it 4-5×) pay the
+    exchange + task-schedule + Python-worker cost per branch, so a
+    small input wants a small partition count — measured at sf0.1,
+    IVF went 35s → 2.4s moving from 32-way spread to 8-way + persist."""
+    return df.repartition(
+        parts or df.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 # =====================================================================
@@ -813,8 +821,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     One documents scan, all columns codegen'd JVM-side, no shuffle —
     at 100 TB this is the map-only profiling pass every corpus gets,
     and fusing the four profiles means text is tokenized once, not
-    four times."""
-    d = _t(spark, sf_dir, "documents")
+    four times. (_spread: the single-split local input would otherwise
+    run every regex on one core.)"""
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = normalized_tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
 
@@ -908,8 +917,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-row map-only, no shuffle. (For multi-KB documents the
     Arrow-batch kernel pattern of functions/hashes.py applies; at the
-    testdata's ~300-char docs the expression form is fine.)"""
-    d = _t(spark, sf_dir, "documents")
+    testdata's ~300-char docs the expression form is fine. _spread:
+    the single-split local input would otherwise fold every char
+    stream on one core.)"""
+    d = _spread(_t(spark, sf_dir, "documents"))
     fp_roll = F.aggregate(
         F.expr(
             "transform(sequence(1, greatest(length(text), 1)),"

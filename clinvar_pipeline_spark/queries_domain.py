@@ -1074,10 +1074,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The spread input is persisted: the plan consumes it four times
     (bucket keys for both roles + normalized vectors for both re-rank
     joins), and without the persist each branch re-runs the repartition
-    exchange and the Arrow bucket kernel."""
+    exchange and the Arrow bucket kernel. 8-way spread, not 32: the
+    per-branch task-schedule + Python-worker cost dominates at this
+    vector count (see _spread)."""
     from clinvar_pipeline_spark.operators.similarity import ann_topk_hyperplane
 
-    e = _spread(_t(spark, sf_dir, "embeddings")).persist()
+    e = _spread(_t(spark, sf_dir, "embeddings"), parts=8).persist()
     return ann_topk_hyperplane(e, e, k=5)
 
 
@@ -1095,8 +1097,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized vectors for both re-rank joins) — r2's unexplained 2x
     cold regression was each consumer re-running the repartition
     exchange + Arrow kernels; the training-sample collect now also
-    primes the cache instead of being a throwaway job."""
+    primes the cache instead of being a throwaway job. 8-way spread,
+    not 32: measured 35s → 2.4s at sf0.1 (see _spread)."""
     from clinvar_pipeline_spark.operators.similarity import ann_topk_ivf
 
-    e = _spread(_t(spark, sf_dir, "embeddings")).persist()
+    e = _spread(_t(spark, sf_dir, "embeddings"), parts=8).persist()
     return ann_topk_ivf(e, e, k=5)

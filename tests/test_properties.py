@@ -157,3 +157,47 @@ def test_diff_apply_roundtrip(spark, old, new):
             assert ct == "UNCHANGED"
         else:
             assert ct == "UPDATE"
+
+
+# ---------------------------------------------------------------------
+# Rolling Karp-Rabin fingerprint (Spark fold vs pure-Python reference)
+# ---------------------------------------------------------------------
+
+def _fp_roll_py(s: str) -> int:
+    acc = 7
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % 1000000007
+    return acc
+
+
+ascii_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ascii_texts)
+def test_rolling_fingerprint_matches_reference(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    fp = F.aggregate(
+        F.expr(
+            "transform(sequence(1, greatest(length(text), 1)),"
+            " i -> cast(ascii(substr(text, i, 1)) as bigint))"
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 1000000007,
+    )
+    got = [
+        r["fp"]
+        for r in df.select(
+            F.when(F.length("text") == 0, F.lit(7).cast("long"))
+            .otherwise(fp)
+            .alias("fp")
+        ).collect()
+    ]
+    assert got == [_fp_roll_py(t) for t in texts]
