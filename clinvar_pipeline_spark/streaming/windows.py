@@ -87,6 +87,25 @@ def session_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key
+    within the watermark horizon (dropDuplicatesWithinWatermark) — the
+    ingest-side twin of the batch hash-groupBy dedup
+    (queries.exact_dedup).
+
+    Scale: state holds one entry per key seen inside the horizon and
+    is evicted as the watermark advances — unlike plain
+    dropDuplicates on a stream, whose state grows forever. Keys shard
+    across executors by hash, same as the batch groupBy."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: running per-user totals with inactivity
 # flush — the applyInPandasWithState escape hatch.

@@ -122,3 +122,21 @@ def test_running_totals_stateful(spark, input_dir, tmp_path_factory):
     by_user = {r["user_id"]: (r["n_events"], r["total"]) for r in final}
     assert by_user[1] == (3, 7.0)
     assert by_user[2] == (2, 8.0)
+
+
+def test_dedup_stream_drops_repeats(spark, event_batches, tmp_path_factory):
+    from clinvar_pipeline_spark.streaming.windows import dedup_stream
+
+    d = tmp_path_factory.mktemp("stream_dedup")
+    b1, b2 = event_batches
+    # write batch 1 twice + batch 2 once: event_ids 1-3 arrive duplicated
+    b1.coalesce(1).write.mode("append").parquet(str(d / "events"))
+    b1.coalesce(1).write.mode("append").parquet(str(d / "events"))
+    b2.coalesce(1).write.mode("append").parquet(str(d / "events"))
+
+    stream = read_event_stream(spark, str(d / "events"))
+    out = _run_stream(
+        spark, dedup_stream(stream), str(d), "dedup_out", "append"
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == [1, 2, 3, 4, 5]
