@@ -24,12 +24,9 @@ from clinvar_pipeline_spark.config import CLINSIG_UNKNOWN_RANK
 from clinvar_pipeline_spark.functions.hashes import (
     cosine_similarity,
     hex64,
-    jaccard,
     md5_fingerprint,
-    minhash_signature,
     normalized_tokens,
     shingles_of_tokens,
-    simhash64,
 )
 from clinvar_pipeline_spark.functions.sets import pipe_set_agg, ranked_sort
 from clinvar_pipeline_spark.operators.cascade import CascadeStage, cascade_lookup
