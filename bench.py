@@ -86,6 +86,10 @@ def main() -> None:
     spark.range(1000, numPartitions=32).select(_warm(col("id"))).write.format(
         "noop"
     ).mode("overwrite").save()
+    # one real shuffle so exchange/AQE machinery initializes outside
+    # the measured queries
+    spark.range(10000, numPartitions=8).groupBy((col("id") % 7).alias("k")).count(
+    ).write.format("noop").mode("overwrite").save()
 
     # Three passes: the cold pass pays one-shot whole-stage-codegen JIT
     # (~1-3 s/query); the two warm passes measure the steady-state plan
