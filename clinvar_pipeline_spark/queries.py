@@ -65,12 +65,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to
-    # microsecond timestamps (floor division — matches DuckDB's ns→us
-    # truncation when fetching TIMESTAMP_NS)
+    # Normalize timestamp columns across testdata generations:
+    # - TIMESTAMP(NANOS) arrives as long (nanosAsLong) → floor-divide
+    #   to micros (matches DuckDB's ns→us truncation);
+    # - timestamp[us] arrives as TIMESTAMP_NTZ → cast to LTZ, the
+    #   wall-time identity under the UTC session TZ pinned above, and
+    #   the boundary type every driver-green round has emitted.
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
