@@ -717,6 +717,51 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Distribution profiling: exact grouped quantiles (oracle-checkable
+# twin of the sketch aggregates in operators/sketch.py)
+# ---------------------------------------------------------------------
+
+@register(
+    "value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS q25,
+           round(quantile_cont(value, 0.5), 6) AS q50,
+           round(quantile_cont(value, 0.75), 6) AS q75,
+           round(quantile_cont(value, 0.95), 6) AS q95,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped distribution profile: exact continuous quantiles
+    (linear interpolation at rank p*(n-1), the definition Spark
+    `percentile` and DuckDB `quantile_cont` share) + exact distinct
+    users. At 100 TB the same profile runs through the sketch twins in
+    operators/sketch.py (percentile_approx / approx_count_distinct,
+    fixed-size merge state instead of a full value shuffle); the exact
+    formulation here is the oracle-checkable contract the sketches'
+    error-bound tests pin against."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            pct.alias("_q"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("_q").getItem(0), 6).alias("q25"),
+            F.round(F.col("_q").getItem(1), 6).alias("q50"),
+            F.round(F.col("_q").getItem(2), 6).alias("q75"),
+            F.round(F.col("_q").getItem(3), 6).alias("q95"),
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # J8/J9 — concept -> OMIM -> RDO synonym join chain
 # ---------------------------------------------------------------------
 
