@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "multimodal_frames",
     "ann_topk",
     "ann_topk_ivf",
+    # added r3: exact grouped quantile profile (sketch-twin contract)
+    "value_quantiles",
 ]
 
 

@@ -1,0 +1,223 @@
+"""Command-line dispatch mirroring the reference's entry points
+(Manager.java:45-68): ``--load | --annotate | --addRsIds |
+--clinvar2vcf | --qcDuplicateTerms | --qcDuplicateTermsAndSynonyms``.
+
+A user of the reference drives the same six pipelines here, with
+Parquet snapshots standing in for the Oracle schema (S6/S7) and plain
+parquet files for the auxiliary tables the reference reads over JDBC:
+
+    python -m clinvar_pipeline_spark --load \
+        --xml release.xml --genes genes.parquet \
+        [--prev SNAP_DIR] --out SNAP_DIR2
+    python -m clinvar_pipeline_spark --annotate \
+        --snapshot SNAP_DIR --aux AUX_DIR --out OUT_DIR
+    python -m clinvar_pipeline_spark --addRsIds \
+        --snapshot SNAP_DIR --dbsnp db_snp.parquet --out SNAP_DIR2
+    python -m clinvar_pipeline_spark --clinvar2vcf \
+        --snapshot SNAP_DIR [--dbsnp F] [--ref-bases F] --out out.vcf
+    python -m clinvar_pipeline_spark --qcDuplicateTerms \
+        --ont ONT_DIR --out OUT_DIR   (synonyms variant adds --synonyms)
+
+AUX_DIR holds orthologs / ont_terms / ont_synonyms / concept_omim /
+existing_annotations as ``<name>.parquet``; ONT_DIR holds
+terms.parquet (acc, name, annot_count, child_count, parent_count) and
+ancestors.parquet (acc, anc), plus synonyms.parquet (acc, name) for
+the synonyms variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _aux(spark: SparkSession, aux_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{aux_dir}/{name}.parquet")
+
+
+def cmd_load(spark: SparkSession, args) -> None:
+    from clinvar_pipeline_spark.plans.load import (
+        empty_snapshot,
+        load_run,
+        read_snapshot,
+        write_snapshot,
+    )
+    from clinvar_pipeline_spark.sources.vcv_xml import read_vcv_xml
+
+    archive = read_vcv_xml(spark, args.xml)
+    prev = (
+        read_snapshot(spark, args.prev) if args.prev else empty_snapshot(spark)
+    )
+    genes = spark.read.parquet(args.genes)
+    res = load_run(archive, prev, genes)
+    write_snapshot(res.snapshot, args.out)
+    res.counters.write.mode("overwrite").parquet(f"{args.out}/counters")
+    res.variant_diff.write.mode("overwrite").parquet(f"{args.out}/variant_diff")
+    for r in res.counters.collect():
+        print(f"{r['counter']}: {r['value']}")
+
+
+def cmd_annotate(spark: SparkSession, args) -> None:
+    from clinvar_pipeline_spark.plans.annotate import annotate_run
+    from clinvar_pipeline_spark.plans.load import read_snapshot
+
+    snap = read_snapshot(spark, args.snapshot)
+    res = annotate_run(
+        variants=snap.variants,
+        xdb_ids=snap.xdb_ids,
+        gene_assocs=snap.gene_associations,
+        aliases=snap.aliases,
+        orthologs=_aux(spark, args.aux, "orthologs"),
+        ont_terms=_aux(spark, args.aux, "ont_terms"),
+        ont_synonyms=_aux(spark, args.aux, "ont_synonyms"),
+        concept_omim=_aux(spark, args.aux, "concept_omim"),
+        existing_annotations=_aux(spark, args.aux, "existing_annotations"),
+    )
+    res.annotations.write.mode("overwrite").parquet(f"{args.out}/annotations")
+    res.annot_diff.write.mode("overwrite").parquet(f"{args.out}/annot_diff")
+    res.unmatchable.write.mode("overwrite").parquet(f"{args.out}/unmatchable")
+    res.counters.write.mode("overwrite").parquet(f"{args.out}/counters")
+    for r in res.counters.collect():
+        print(f"{r['counter']}: {r['value']}")
+
+
+def cmd_add_rs_ids(spark: SparkSession, args) -> None:
+    from clinvar_pipeline_spark.plans.load import (
+        Snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+    from clinvar_pipeline_spark.plans.vcf import add_rs_ids
+
+    snap = read_snapshot(spark, args.snapshot)
+    db_snp = spark.read.parquet(args.dbsnp)
+    updated = add_rs_ids(snap.variants, snap.map_positions, db_snp)
+    write_snapshot(
+        Snapshot(
+            variants=updated,
+            xdb_ids=snap.xdb_ids,
+            gene_associations=snap.gene_associations,
+            map_positions=snap.map_positions,
+            hgvs_names=snap.hgvs_names,
+            aliases=snap.aliases,
+        ),
+        args.out,
+    )
+    n = updated.filter(F.col("rs_id").isNotNull()).count()
+    print(f"variants_with_rs_id: {n}")
+
+
+def cmd_clinvar2vcf(spark: SparkSession, args) -> None:
+    from clinvar_pipeline_spark.plans.load import read_snapshot
+    from clinvar_pipeline_spark.plans.vcf import (
+        clinvar2vcf_drop_counters,
+        clinvar2vcf_lines,
+    )
+    from clinvar_pipeline_spark.sources.vcf_sink import write_vcf
+
+    snap = read_snapshot(spark, args.snapshot)
+    db_snp = spark.read.parquet(args.dbsnp) if args.dbsnp else None
+    ref_bases = spark.read.parquet(args.ref_bases) if args.ref_bases else None
+    lines = clinvar2vcf_lines(snap.variants, snap.map_positions, db_snp, ref_bases)
+    # write_vcf emits a Spark text directory (one ordered part file);
+    # the CLI contract is a single .vcf file like the reference's
+    out_dir = f"{args.out}._spark_text"
+    write_vcf(lines, out_dir)
+    import glob
+    import os
+    import shutil
+
+    (part,) = glob.glob(f"{out_dir}/part-*")
+    shutil.move(part, args.out)
+    shutil.rmtree(out_dir)
+    print(f"wrote {args.out} ({os.path.getsize(args.out)} bytes)")
+    for r in clinvar2vcf_drop_counters(
+        snap.variants, snap.map_positions, db_snp, ref_bases
+    ).collect():
+        print(f"{r['counter']}: {r['value']}")
+
+
+def cmd_qc_duplicate_terms(
+    spark: SparkSession, args, with_synonyms: bool
+) -> None:
+    from clinvar_pipeline_spark.functions.text import normalize_term_key
+    from clinvar_pipeline_spark.operators.term_rank import pick_duplicate_terms
+
+    terms = spark.read.parquet(f"{args.ont}/terms.parquet")
+    ancestors = spark.read.parquet(f"{args.ont}/ancestors.parquet")
+    named = terms.select(
+        F.col("acc"), F.col("name"), F.lit(False).alias("is_narrow_broad")
+    )
+    if with_synonyms:
+        syns = spark.read.parquet(f"{args.ont}/synonyms.parquet").select(
+            F.col("acc"), F.col("name"), F.lit(True).alias("is_narrow_broad")
+        )
+        named = named.unionByName(syns)
+    # A9 dump filter (TermNameMatcher.java:161-172): short all-caps
+    # spellings (gene-symbol-like) are excluded from the QC report
+    named = named.filter(
+        ~((F.length("name") <= 3) & (F.upper("name") == F.col("name")))
+    )
+    cand = named.select(
+        normalize_term_key("name").alias("group_key"), "acc", "is_narrow_broad"
+    ).distinct()
+    stats = terms.select(
+        "acc", "annot_count", "child_count", "parent_count"
+    ).dropDuplicates(["acc"])
+    picks = pick_duplicate_terms(cand, stats, ancestors)
+    groups = (
+        cand.groupBy("group_key")
+        .agg(F.countDistinct("acc").alias("n_terms"))
+        .filter(F.col("n_terms") > 1)
+    )
+    groups.write.mode("overwrite").parquet(f"{args.out}/duplicate_groups")
+    picks.write.mode("overwrite").parquet(f"{args.out}/surviving_terms")
+    print(f"duplicate_groups: {groups.count()}")
+    print(f"surviving_terms: {picks.count()}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="clinvar_pipeline_spark")
+    mode = p.add_mutually_exclusive_group(required=True)
+    for flag in (
+        "--load",
+        "--annotate",
+        "--addRsIds",
+        "--clinvar2vcf",
+        "--qcDuplicateTerms",
+        "--qcDuplicateTermsAndSynonyms",
+    ):
+        mode.add_argument(flag, action="store_true")
+    p.add_argument("--xml")
+    p.add_argument("--genes")
+    p.add_argument("--prev")
+    p.add_argument("--snapshot")
+    p.add_argument("--aux")
+    p.add_argument("--dbsnp")
+    p.add_argument("--ref-bases", dest="ref_bases")
+    p.add_argument("--ont")
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    from clinvar_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="clinvar-pipeline-spark-cli")
+    if args.load:
+        cmd_load(spark, args)
+    elif args.annotate:
+        cmd_annotate(spark, args)
+    elif args.addRsIds:
+        cmd_add_rs_ids(spark, args)
+    elif args.clinvar2vcf:
+        cmd_clinvar2vcf(spark, args)
+    elif args.qcDuplicateTerms:
+        cmd_qc_duplicate_terms(spark, args, with_synonyms=False)
+    elif args.qcDuplicateTermsAndSynonyms:
+        cmd_qc_duplicate_terms(spark, args, with_synonyms=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

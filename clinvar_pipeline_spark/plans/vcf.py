@@ -115,6 +115,54 @@ def _flagged_rows(
     )
 
 
+def add_rs_ids(
+    variants: DataFrame,
+    map_positions: DataFrame,
+    db_snp: DataFrame,
+) -> DataFrame:
+    """--addRsIds (Dao.java:731-745, rs lookup per Clinvar2Vcf.java:
+    420-448): resolve each variant's rs id from dbSNP by
+    (chr, pos, ref, alt) on its GRCh38 position and write it onto the
+    variant row — only rows whose stored value differs change, the
+    W7 no-op-downgrade rule.
+
+    Returns the variants frame with an ``rs_id`` column (added or
+    updated). Scale: one broadcast join against the deduped dbSNP
+    projection; the variant side never shuffles."""
+    pos = map_positions.filter(F.col("map_key") == GRCH38_MAP_KEY).select(
+        "rgd_id",
+        F.col("chromosome").alias("_chr"),
+        F.col("start_pos").alias("_pos"),
+    )
+    snp = (
+        db_snp.select(
+            F.col("chromosome").alias("_schr"),
+            F.col("position").alias("_spos"),
+            F.col("ref_allele").alias("_sref"),
+            F.col("allele").alias("_svar"),
+            F.col("snp_name").alias("_snp"),
+        )
+        .groupBy("_schr", "_spos", "_sref", "_svar")
+        .agg(F.min("_snp").alias("_snp"))
+    )
+    v = (
+        variants
+        if "rs_id" in variants.columns
+        else variants.withColumn("rs_id", F.lit(None).cast("string"))
+    )
+    joined = v.join(F.broadcast(pos), "rgd_id", "left").join(
+        F.broadcast(snp),
+        (F.col("_chr") == F.col("_schr"))
+        & (F.col("_pos") == F.col("_spos"))
+        & (F.col("ref_nuc") == F.col("_sref"))
+        & (F.col("var_nuc") == F.col("_svar")),
+        "left",
+    )
+    return joined.withColumn("rs_id", F.coalesce("_snp", "rs_id")).drop(
+        "_chr", "_pos", "_schr", "_spos", "_sref", "_svar", "_snp"
+    )
+
+
 def clinvar2vcf_drop_counters(
     variants: DataFrame,
     map_positions: DataFrame,

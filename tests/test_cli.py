@@ -1,0 +1,180 @@
+"""End-to-end CLI dispatch test (Manager.java:45-68 parity): --load a
+fixture release into a snapshot, --addRsIds against a dbSNP table,
+--clinvar2vcf the result, --qcDuplicateTerms over a small ontology.
+
+cli.main builds its own session via get_spark (getOrCreate reuses the
+test session), so this drives the exact user entry path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.cli import main
+from tests.test_vcv_xml import (
+    FULL_RECORD,
+    HEADER,
+    MINUS_RECORD,
+    TRAILER,
+)
+
+
+@pytest.fixture(scope="module")
+def cli_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    xml = root / "release.xml"
+    xml.write_text(HEADER + FULL_RECORD + MINUS_RECORD + TRAILER, "utf-8")
+    spark.createDataFrame(
+        [(101, "9907", "AP5Z1"), (102, "1111", "OTHER")],
+        "gene_rgd_id long, gene_id string, symbol string",
+    ).write.parquet(str(root / "genes.parquet"))
+    return root
+
+
+def test_cli_load_writes_snapshot(spark, cli_dirs):
+    main(
+        [
+            "--load",
+            "--xml", str(cli_dirs / "release.xml"),
+            "--genes", str(cli_dirs / "genes.parquet"),
+            "--out", str(cli_dirs / "snap1"),
+        ]
+    )
+    variants = spark.read.parquet(str(cli_dirs / "snap1" / "variants"))
+    assert variants.count() == 2
+    counters = spark.read.parquet(str(cli_dirs / "snap1" / "counters"))
+    c = {r["counter"]: r["value"] for r in counters.collect()}
+    assert c["VARIANTS_INSERT"] == 2
+    assert c["NON_CURRENT_RECORD"] == 1
+
+
+def test_cli_add_rs_ids_and_vcf(spark, cli_dirs):
+    snap1 = cli_dirs / "snap1"
+    assert (snap1 / "variants").exists()
+    # dbSNP row matching the FULL_RECORD variant's GRCh38 position
+    mp = spark.read.parquet(str(snap1 / "map_positions")).filter(
+        F.col("map_key") == 38
+    )
+    row = mp.first()
+    v = spark.read.parquet(str(snap1 / "variants")).filter(
+        F.col("rgd_id") == row["rgd_id"]
+    ).first()
+    spark.createDataFrame(
+        [(row["chromosome"], row["start_pos"], v["ref_nuc"], v["var_nuc"], "rs777")],
+        "chromosome string, position int, ref_allele string,"
+        " allele string, snp_name string",
+    ).write.parquet(str(cli_dirs / "db_snp.parquet"))
+
+    main(
+        [
+            "--addRsIds",
+            "--snapshot", str(snap1),
+            "--dbsnp", str(cli_dirs / "db_snp.parquet"),
+            "--out", str(cli_dirs / "snap2"),
+        ]
+    )
+    v2 = spark.read.parquet(str(cli_dirs / "snap2" / "variants"))
+    assert v2.filter(F.col("rs_id") == "rs777").count() == 1
+
+    main(
+        [
+            "--clinvar2vcf",
+            "--snapshot", str(cli_dirs / "snap2"),
+            "--out", str(cli_dirs / "out.vcf"),
+        ]
+    )
+    with open(cli_dirs / "out.vcf") as fh:
+        content = fh.read().splitlines()
+    assert content[0] == "##fileformat=VCFv4.2"
+    assert any(line.startswith("#CHROM") for line in content)
+    # the fixture's delins variant is multi-base on both alleles -> F17
+    # guard drops its line; only headers remain (the rs777 write-back
+    # itself is asserted on the snapshot above)
+    assert all(line.startswith("#") for line in content)
+
+
+def test_cli_qc_duplicate_terms(spark, cli_dirs):
+    spark.createDataFrame(
+        [
+            (10, "heart disease", 5, 1, 1),
+            (21, "disease heart", 3, 0, 1),  # same normalized key, separate branch
+            (11, "unique condition", 2, 0, 1),
+        ],
+        "acc long, name string, annot_count long, child_count long,"
+        " parent_count long",
+    ).write.parquet(str(cli_dirs / "ont" / "terms.parquet"))
+    spark.createDataFrame(
+        [(10, 5), (21, 10)], "acc long, anc long"
+    ).write.parquet(str(cli_dirs / "ont" / "ancestors.parquet"))
+
+    main(
+        [
+            "--qcDuplicateTerms",
+            "--ont", str(cli_dirs / "ont"),
+            "--out", str(cli_dirs / "qc"),
+        ]
+    )
+    groups = spark.read.parquet(str(cli_dirs / "qc" / "duplicate_groups"))
+    assert groups.count() == 1
+    survivors = spark.read.parquet(str(cli_dirs / "qc" / "surviving_terms"))
+    # 21 is a strict descendant of 10 with lower rank -> only one survives
+    accs = {r["acc"] for r in survivors.collect()}
+    assert accs == {10}
+
+
+def test_cli_annotate(spark, cli_dirs):
+    snap = cli_dirs / "asnap"
+    aux = cli_dirs / "aux"
+    spark.createDataFrame(
+        [(2, "CV2", "v2", "insertion", "likely pathogenic", "LabB",
+          "Noonan syndrome [RCV2]")],
+        "rgd_id long, symbol string, name string, object_type string,"
+        " clinical_significance string, submitter string, trait_name string",
+    ).write.parquet(str(snap / "variants"))
+    spark.createDataFrame(
+        [(2, 2, "333")], "rgd_id long, xdb_key int, acc_id string"
+    ).write.parquet(str(snap / "xdb_ids"))
+    spark.createDataFrame(
+        [(2, 102)], "variant_rgd_id long, gene_rgd_id long"
+    ).write.parquet(str(snap / "gene_associations"))
+    spark.createDataFrame(
+        [], "rgd_id long, map_key int, chromosome string, start_pos int,"
+        " stop_pos int, fish_band string, notes string"
+    ).write.parquet(str(snap / "map_positions"))
+    spark.createDataFrame([], "rgd_id long, type string, name string").write.parquet(
+        str(snap / "hgvs_names")
+    )
+    spark.createDataFrame(
+        [], "rgd_id long, value string, notes string"
+    ).write.parquet(str(snap / "aliases"))
+
+    spark.createDataFrame(
+        [(102, 202, 1)],
+        "gene_rgd_id long, homolog_rgd_id long, homolog_species_type_key int",
+    ).write.parquet(str(aux / "orthologs.parquet"))
+    spark.createDataFrame(
+        [("RDO:2", "RDO", "Noonan syndrome", False)],
+        "acc_id string, ontology_id string, term string, is_obsolete boolean",
+    ).write.parquet(str(aux / "ont_terms.parquet"))
+    spark.createDataFrame(
+        [], "term_acc string, name string, type string"
+    ).write.parquet(str(aux / "ont_synonyms.parquet"))
+    spark.createDataFrame(
+        [], "cui string, gene_rgd_id long, omim_id string"
+    ).write.parquet(str(aux / "concept_omim.parquet"))
+    spark.createDataFrame(
+        [],
+        "annotated_object_rgd_id long, term_acc string, aspect string,"
+        " evidence string, with_info string, xref_source string, notes string",
+    ).write.parquet(str(aux / "existing_annotations.parquet"))
+
+    main(
+        [
+            "--annotate",
+            "--snapshot", str(snap),
+            "--aux", str(aux),
+            "--out", str(cli_dirs / "annots"),
+        ]
+    )
+    ann = spark.read.parquet(str(cli_dirs / "annots" / "annotations"))
+    objs = {r["annotated_object_rgd_id"] for r in ann.collect()}
+    # variant itself, its single gene, and the rat homolog (ISO)
+    assert {2, 102, 202} <= objs
