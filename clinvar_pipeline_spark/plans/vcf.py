@@ -127,8 +127,11 @@ def add_rs_ids(
     W7 no-op-downgrade rule.
 
     Returns the variants frame with an ``rs_id`` column (added or
-    updated). Scale: one broadcast join against the deduped dbSNP
-    projection; the variant side never shuffles."""
+    updated). Scale: both join sides are fact-sized in production
+    (every variant's position; dbSNP has ~1e9 rows), so both joins are
+    plain hash joins keyed on rgd_id / position — AQE broadcasts
+    whichever side turns out dim-sized at runtime, and the position
+    join co-partitions with the variant key either way."""
     pos = map_positions.filter(F.col("map_key") == GRCH38_MAP_KEY).select(
         "rgd_id",
         F.col("chromosome").alias("_chr"),
@@ -150,8 +153,8 @@ def add_rs_ids(
         if "rs_id" in variants.columns
         else variants.withColumn("rs_id", F.lit(None).cast("string"))
     )
-    joined = v.join(F.broadcast(pos), "rgd_id", "left").join(
-        F.broadcast(snp),
+    joined = v.join(pos, "rgd_id", "left").join(
+        snp,
         (F.col("_chr") == F.col("_schr"))
         & (F.col("_pos") == F.col("_spos"))
         & (F.col("ref_nuc") == F.col("_sref"))
