@@ -108,6 +108,11 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[name] = round(time.time() - t0, 3)
+            # each invocation persists FRESH intermediates (the plan
+            # object is new per call) — release them so cache blocks
+            # don't accumulate across the 3 passes and thrash the
+            # storage pool (r3's unexplained ANN warm regressions)
+            q.release_cached()
     warm = {n: min(warm1[n], warm2[n]) for n in warm1}
 
     total = round(sum(timings.values()), 3)

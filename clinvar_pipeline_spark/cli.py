@@ -12,7 +12,7 @@ parquet files for the auxiliary tables the reference reads over JDBC:
     python -m clinvar_pipeline_spark --annotate \
         --snapshot SNAP_DIR --aux AUX_DIR --out OUT_DIR
     python -m clinvar_pipeline_spark --addRsIds \
-        --snapshot SNAP_DIR --dbsnp db_snp.parquet --out SNAP_DIR2
+        --snapshot SNAP_DIR [--dbsnp db_snp.parquet] --out SNAP_DIR2
     python -m clinvar_pipeline_spark --clinvar2vcf \
         --snapshot SNAP_DIR [--dbsnp F] [--ref-bases F] --out out.vcf
     python -m clinvar_pipeline_spark --qcDuplicateTerms \
@@ -85,16 +85,24 @@ def cmd_annotate(spark: SparkSession, args) -> None:
 
 
 def cmd_add_rs_ids(spark: SparkSession, args) -> None:
+    """--addRsIds (Manager.java -> VariantRsId.run): by default rs ids
+    come from the snapshot's own xdb_ids (xdb_key 48, link_text
+    starting 'rs'), the reference pipeline's source. Passing --dbsnp
+    instead runs the positional (chr,pos,ref,alt) dbSNP lookup of
+    Clinvar2Vcf.getRsIs — a documented extension, not Manager parity."""
     from clinvar_pipeline_spark.plans.load import (
         Snapshot,
         read_snapshot,
         write_snapshot,
     )
-    from clinvar_pipeline_spark.plans.vcf import add_rs_ids
+    from clinvar_pipeline_spark.plans.vcf import add_rs_ids, assign_rs_from_xdb
 
     snap = read_snapshot(spark, args.snapshot)
-    db_snp = spark.read.parquet(args.dbsnp)
-    updated = add_rs_ids(snap.variants, snap.map_positions, db_snp)
+    if args.dbsnp:
+        db_snp = spark.read.parquet(args.dbsnp)
+        updated = add_rs_ids(snap.variants, snap.map_positions, db_snp)
+    else:
+        updated = assign_rs_from_xdb(snap.variants, snap.xdb_ids)
     write_snapshot(
         Snapshot(
             variants=updated,
@@ -156,11 +164,6 @@ def cmd_qc_duplicate_terms(
             F.col("acc"), F.col("name"), F.lit(True).alias("is_narrow_broad")
         )
         named = named.unionByName(syns)
-    # A9 dump filter (TermNameMatcher.java:161-172): short all-caps
-    # spellings (gene-symbol-like) are excluded from the QC report
-    named = named.filter(
-        ~((F.length("name") <= 3) & (F.upper("name") == F.col("name")))
-    )
     cand = named.select(
         normalize_term_key("name").alias("group_key"), "acc", "is_narrow_broad"
     ).distinct()
@@ -168,11 +171,27 @@ def cmd_qc_duplicate_terms(
         "acc", "annot_count", "child_count", "parent_count"
     ).dropDuplicates(["acc"])
     picks = pick_duplicate_terms(cand, stats, ancestors)
-    groups = (
+    groups_all = (
         cand.groupBy("group_key")
         .agg(F.countDistinct("acc").alias("n_terms"))
         .filter(F.col("n_terms") > 1)
     )
+    # A9 dump filter (TermNameMatcher.java:161-172): REPORT-only —
+    # detection and term picking above see every name; only the dump
+    # skips raw names <=3 chars that equal their own uppercase (the
+    # reference's predicate is vacuously true for digit-only names
+    # too; kept as-is for parity). The reference keys the dump by
+    # whichever raw spelling was seen second (HashMap order); this
+    # deterministic analog reports a group if ANY contributing raw
+    # spelling survives the filter.
+    reportable = (
+        named.filter(
+            ~((F.length("name") <= 3) & (F.upper("name") == F.col("name")))
+        )
+        .select(normalize_term_key("name").alias("group_key"))
+        .distinct()
+    )
+    groups = groups_all.join(reportable, "group_key", "left_semi")
     groups.write.mode("overwrite").parquet(f"{args.out}/duplicate_groups")
     picks.write.mode("overwrite").parquet(f"{args.out}/surviving_terms")
     print(f"duplicate_groups: {groups.count()}")

@@ -239,10 +239,12 @@ def ann_topk_ivf(
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         sims = V @ C.T
         # argpartition (O(cells)) then sort only the probe prefix —
-        # cheaper than a full argsort when num_cells >> n_probe_cells
-        part = np.argpartition(-sims, n_probe_cells - 1, axis=1)[
-            :, :n_probe_cells
-        ]
+        # cheaper than a full argsort when num_cells >> n_probe_cells.
+        # kth is clamped: the trained cell count is min(num_cells,
+        # len(sample)), which a tiny corpus can push below
+        # n_probe_cells — an unclamped kth raises "kth out of bounds".
+        kth = min(n_probe_cells, sims.shape[1]) - 1
+        part = np.argpartition(-sims, kth, axis=1)[:, : kth + 1]
         order = np.argsort(
             -np.take_along_axis(sims, part, axis=1), axis=1
         )

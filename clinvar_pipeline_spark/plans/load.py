@@ -602,11 +602,20 @@ def build_incoming_gene_assocs(inc: DataFrame, genes_dim: DataFrame) -> DataFram
 # J1 variant match + rgd_id assignment
 # ---------------------------------------------------------------------------
 
-def match_variants(variants_in: DataFrame, prev: Snapshot) -> DataFrame:
+def match_variants(
+    variants_in: DataFrame,
+    prev: Snapshot,
+    _scratch: list | None = None,
+) -> DataFrame:
     """Dao.java:80-127: find the existing variant by primary-RCV xdb
     (key 52), else by symbol, else by name; >1 hit at any stage =
     no-match (ambiguity guard inside cascade_lookup). New variants get
-    rgd_ids above the previous max, dense by symbol (deterministic)."""
+    rgd_ids above the previous max, dense by symbol (deterministic).
+
+    ``_scratch``, when given, collects the internally persisted frames
+    so the caller can unpersist them once the returned plan has
+    materialized (load_run releases after its eager checkpoint) —
+    otherwise repeated invocations in one session leak cache blocks."""
     rcv_lookup = (
         prev.xdb_ids.filter(F.col("xdb_key") == XDB_KEY_CLINVAR)
         .join(
@@ -666,6 +675,8 @@ def match_variants(variants_in: DataFrame, prev: Snapshot) -> DataFrame:
         "_local_rn",
         F.row_number().over(Window.partitionBy("_pid").orderBy("symbol")),
     ).persist()
+    if _scratch is not None:
+        _scratch.append(local)
     offsets = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -831,8 +842,14 @@ def load_run(
         .alias("counter")
     ).groupBy("counter").agg(F.count(F.lit(1)).alias("value"))
 
-    matched = match_variants(inc, prev)
+    _scratch: list = []
+    matched = match_variants(inc, prev, _scratch=_scratch)
     merged = qc_merge_variants(matched, prev.variants).localCheckpoint(eager=True)
+    # the eager checkpoint above materialized every consumer of the
+    # frames match_variants persisted — release them so repeated
+    # load_run calls in one session don't accumulate cache blocks
+    for _df in _scratch:
+        _df.unpersist()
 
     # satellites keyed by symbol -> rgd_id
     sym2id = merged.select("symbol", "rgd_id")

@@ -120,18 +120,26 @@ def add_rs_ids(
     map_positions: DataFrame,
     db_snp: DataFrame,
 ) -> DataFrame:
-    """--addRsIds (Dao.java:731-745, rs lookup per Clinvar2Vcf.java:
-    420-448): resolve each variant's rs id from dbSNP by
-    (chr, pos, ref, alt) on its GRCh38 position and write it onto the
-    variant row — only rows whose stored value differs change, the
-    W7 no-op-downgrade rule.
+    """Position-based rs lookup (Clinvar2Vcf.java:420-448 getRsIs):
+    resolve each variant's rs id from dbSNP by (chr, pos, ref, alt)
+    on its GRCh38 position and write it onto the variant row — only
+    rows whose stored value differs change, the W7 no-op-downgrade
+    rule. (The --addRsIds CLI mode uses ``assign_rs_from_xdb`` below,
+    which is the reference's VariantRsId pipeline; this positional
+    variant backs the VCF-export path and the ``--dbsnp`` extension.)
 
     Returns the variants frame with an ``rs_id`` column (added or
-    updated). Scale: both join sides are fact-sized in production
-    (every variant's position; dbSNP has ~1e9 rows), so both joins are
-    plain hash joins keyed on rgd_id / position — AQE broadcasts
-    whichever side turns out dim-sized at runtime, and the position
-    join co-partitions with the variant key either way."""
+    updated), exactly one row per input variant row: rs candidates
+    are aggregated per rgd_id (min snp_name) BEFORE joining onto
+    variants, so a variant with multiple GRCh38 placements cannot
+    fan out into duplicate snapshot rows.
+
+    Scale: both join sides are fact-sized in production (every
+    variant's position; dbSNP has ~1e9 rows), so the position join is
+    a plain hash join — AQE broadcasts whichever side turns out
+    dim-sized at runtime; the per-rgd_id aggregate then shuffles only
+    (rgd_id, snp) pairs, and the final join co-partitions on the
+    variant key."""
     pos = map_positions.filter(F.col("map_key") == GRCH38_MAP_KEY).select(
         "rgd_id",
         F.col("chromosome").alias("_chr"),
@@ -153,17 +161,70 @@ def add_rs_ids(
         if "rs_id" in variants.columns
         else variants.withColumn("rs_id", F.lit(None).cast("string"))
     )
-    joined = v.join(pos, "rgd_id", "left").join(
-        snp,
-        (F.col("_chr") == F.col("_schr"))
-        & (F.col("_pos") == F.col("_spos"))
-        & (F.col("ref_nuc") == F.col("_sref"))
-        & (F.col("var_nuc") == F.col("_svar")),
-        "left",
+    # rs candidate per variant: join positions (not variants) to dbSNP,
+    # then collapse to one row per rgd_id — a multi-placement variant
+    # contributes several candidate rows here but exactly one survives
+    # the min() aggregate, so the variants join below cannot fan out.
+    alleles = v.select("rgd_id", "ref_nuc", "var_nuc")
+    cand = (
+        alleles.join(pos, "rgd_id")
+        .join(
+            snp,
+            (F.col("_chr") == F.col("_schr"))
+            & (F.col("_pos") == F.col("_spos"))
+            & (F.col("ref_nuc") == F.col("_sref"))
+            & (F.col("var_nuc") == F.col("_svar")),
+        )
+        .groupBy("rgd_id")
+        .agg(F.min("_snp").alias("_snp"))
     )
-    return joined.withColumn("rs_id", F.coalesce("_snp", "rs_id")).drop(
-        "_chr", "_pos", "_schr", "_spos", "_sref", "_svar", "_snp"
+    joined = v.join(cand, "rgd_id", "left")
+    return joined.withColumn("rs_id", F.coalesce("_snp", "rs_id")).drop("_snp")
+
+
+DBSNP_XDB_KEY = 48
+
+
+def assign_rs_from_xdb(variants: DataFrame, xdb_ids: DataFrame) -> DataFrame:
+    """--addRsIds (Manager.java --addRsIds -> VariantRsId.run,
+    VariantRsId.java:21-60): resolve each variant's rs id from its own
+    dbSNP xdb entries — xdb_key 48, link_text starting ``rs`` — and
+    update the variant row only where the stored value differs
+    (Utils.stringsAreEqual guard, VariantRsId.java:39). The reference
+    applies the first differing xdb in DAO list order and then locks
+    the rgd_id; that order is unspecified SQL result order, so this
+    plan picks min(link_text) per rgd_id for determinism.
+
+    Returns the variants frame with ``rs_id`` added/updated, one row
+    per input row. Scale: xdb_ids is filtered to one key and an
+    ``rs`` prefix before the join (predicate pushdown to the snapshot
+    scan), then collapsed to one candidate per rgd_id — the join onto
+    variants moves only (rgd_id, rs) pairs and co-partitions on the
+    snapshot key."""
+    v = (
+        variants
+        if "rs_id" in variants.columns
+        else variants.withColumn("rs_id", F.lit(None).cast("string"))
     )
+    cand = (
+        xdb_ids.filter(
+            (F.col("xdb_key") == DBSNP_XDB_KEY)
+            & F.col("link_text").startswith("rs")
+        )
+        .groupBy("rgd_id")
+        .agg(F.min("link_text").alias("_rs_new"))
+    )
+    joined = v.join(cand, "rgd_id", "left")
+    # W7 no-op rule: only differing values change; equal or absent
+    # candidates leave the stored rs untouched.
+    return joined.withColumn(
+        "rs_id",
+        F.when(
+            F.col("_rs_new").isNotNull()
+            & ~F.col("_rs_new").eqNullSafe(F.col("rs_id")),
+            F.col("_rs_new"),
+        ).otherwise(F.col("rs_id")),
+    ).drop("_rs_new")
 
 
 def clinvar2vcf_drop_counters(

@@ -49,6 +49,33 @@ def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
+# Query plans that persist an intermediate register it here so callers
+# that re-invoke queries in one session (bench passes, test loops) can
+# release the cache blocks between runs — a .persist() inside a lazily
+# returned plan can't unpersist itself, and un-released blocks
+# accumulate across invocations (each call persists a NEW frame),
+# eventually thrashing the storage pool.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every frame registered by ``_persist``; returns the
+    count released. Safe to call at any point after the dependent
+    plans have materialized (blocking=False semantics: Spark drops
+    blocks asynchronously)."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
+
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
 
@@ -696,8 +723,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # five plan branches read the exploded shingle index (both join
     # sides, two size lookups, the df counts) — persist so
-    # tokenize+shingle runs once
-    sh = sh.persist()
+    # tokenize+shingle runs once (released via release_cached())
+    sh = _persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     hot = (
         sh.groupBy("shingle")

@@ -19,7 +19,7 @@ from clinvar_pipeline_spark.functions.text import (
     pack_width_buckets,
 )
 from clinvar_pipeline_spark.operators.fixpoint import resolve_transitive
-from clinvar_pipeline_spark.queries import DEC4, _spread, _t, register
+from clinvar_pipeline_spark.queries import DEC4, _persist, _spread, _t, register
 
 # ---------------------------------------------------------------------
 # F7/F8/F9 — map-position validity, assembly->map_key, cytogenetic parse
@@ -638,7 +638,8 @@ def q_duplicate_term_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three consumers (cand, stats, ancestors) — persist the tiny term
     # table instead of recomputing the part scan + groupBy per branch
-    terms = base.unionByName(rev).persist()
+    # (released via queries.release_cached())
+    terms = _persist(base.unionByName(rev))
     cand = terms.select(
         normalize_term_key("name").alias("group_key"),
         "acc",
@@ -1079,7 +1080,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector count (see _spread)."""
     from clinvar_pipeline_spark.operators.similarity import ann_topk_hyperplane
 
-    e = _spread(_t(spark, sf_dir, "embeddings"), parts=8).persist()
+    e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
     return ann_topk_hyperplane(e, e, k=5)
 
 
@@ -1101,5 +1102,5 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     not 32: measured 35s → 2.4s at sf0.1 (see _spread)."""
     from clinvar_pipeline_spark.operators.similarity import ann_topk_ivf
 
-    e = _spread(_t(spark, sf_dir, "embeddings"), parts=8).persist()
+    e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
     return ann_topk_ivf(e, e, k=5)

@@ -91,6 +91,26 @@ def test_cli_add_rs_ids_and_vcf(spark, cli_dirs):
     assert all(line.startswith("#") for line in content)
 
 
+def test_cli_add_rs_ids_default_xdb_path(spark, cli_dirs):
+    # Without --dbsnp the CLI mirrors VariantRsId.run: rs ids come from
+    # the snapshot's own xdb_ids (key 48, link_text 'rs...'). The
+    # fixture's FULL_RECORD carries <XRef DB="dbSNP" ID="397704705"
+    # Type="rs"> which the loader stored as link_text 'rs397704705'.
+    snap1 = cli_dirs / "snap1"
+    assert (snap1 / "variants").exists()
+    main(
+        [
+            "--addRsIds",
+            "--snapshot", str(snap1),
+            "--out", str(cli_dirs / "snap2x"),
+        ]
+    )
+    v2 = spark.read.parquet(str(cli_dirs / "snap2x" / "variants"))
+    assert v2.filter(F.col("rs_id") == "rs397704705").count() == 1
+    # one row per input variant — no fanout from the candidate join
+    assert v2.count() == spark.read.parquet(str(snap1 / "variants")).count()
+
+
 def test_cli_qc_duplicate_terms(spark, cli_dirs):
     spark.createDataFrame(
         [

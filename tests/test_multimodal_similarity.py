@@ -96,6 +96,21 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall > 0.4, recall
 
 
+def test_ivf_tiny_corpus_fewer_cells_than_probes(spark):
+    # trained cell count = min(num_cells, |sample|); a corpus smaller
+    # than n_probe_cells used to crash argpartition ("kth out of
+    # bounds") — the probe list must clamp to the trained cell count
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_ivf
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(4)
+    )
+    out = ann_topk_ivf(emb, emb, k=2, num_cells=32, n_probe_cells=8)
+    # 4 unit vectors, every pair probed -> each query finds neighbors
+    assert out.count() > 0
+
+
 def test_resize_images_contract(spark, docs):
     from clinvar_pipeline_spark.operators.multimodal import (
         attach_binary,
