@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     # LLM-data extensions
     "exact_dedup",
     "ngram_jaccard_pairs",
+    # r4: minhash_lsh_pairs keeps its name (set frozen at the r3 24)
+    # but became oracle-checkable — verify threshold 0.10 -> 0.5 and
+    # 16x4 -> 32x2 banding; same signature work, fewer surviving pairs
     "minhash_lsh_pairs",
     "simhash_signatures",
     "text_profile",

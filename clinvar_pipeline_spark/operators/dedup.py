@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from clinvar_pipeline_spark.caching import register_persist
 from clinvar_pipeline_spark.functions.hashes import (
     band_keys,
     jaccard,
@@ -96,8 +97,9 @@ def minhash_lsh_candidate_pairs(
     )
     # the signature table feeds three plan branches (both sides of the
     # band self-join + the jaccard verify); without a persist Spark
-    # recomputes tokenize->shingle->minhash once per branch
-    sig = sig.persist()
+    # recomputes tokenize->shingle->minhash once per branch (released
+    # between repeated invocations via caching.release_cached)
+    sig = register_persist(sig)
     banded = sig.select(
         "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))

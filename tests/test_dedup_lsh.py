@@ -1,0 +1,49 @@
+"""MinHash+LSH verified pairs must equal the exact Jaccard pair set at
+the verify threshold — the property that makes minhash_lsh_pairs
+oracle-checkable (LSH generates candidates; banding is parameterized so
+a qualifying pair's miss probability is negligible, see
+queries.q_minhash_lsh_pairs)."""
+
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.functions.hashes import (
+    jaccard,
+    normalized_tokens,
+    shingles_of_tokens,
+)
+from clinvar_pipeline_spark.operators.dedup import minhash_lsh_candidate_pairs
+
+THRESHOLD = 0.5
+
+
+def _exact_pairs(docs):
+    """Brute-force all-pairs exact Jaccard (fine at sf0.001 size)."""
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        normalized_tokens(F.col("text")).alias("toks"),
+    ).select("id", shingles_of_tokens(F.col("toks"), 3).alias("sh"))
+    a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("j") >= THRESHOLD)
+        .select("id_a", "id_b", "j")
+    )
+
+
+def test_lsh_verified_equals_exact_pair_set(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = minhash_lsh_candidate_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=32,
+        threshold=THRESHOLD,
+    )
+    got_set = {(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in got.collect()}
+    want_set = {(r["id_a"], r["id_b"], r["j"]) for r in _exact_pairs(docs).collect()}
+    assert got_set == want_set
+    assert len(want_set) > 0  # the fixture plants near-duplicates
