@@ -2,12 +2,18 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
-This container has no image/audio codecs, so the decode kernels are
-STUBBED: if PIL/soundfile are importable they are used; otherwise a
-clearly-marked deterministic fake derives metadata from the raw bytes.
+Decode ladder (per payload, inside the kernel):
+1. PIL, when importable — full codec coverage;
+2. the pure-Python real codecs in functions/png.py — full PNG decode
+   (zlib inflate + unfilter, CRC-checked) and JPEG/GIF header parses,
+   stdlib-only, so real images decode for real even in this
+   codec-less container;
+3. a clearly-marked deterministic fake for bytes that are not a
+   recognizable image (the text-derived test corpora) — metadata
+   derived from byte length, format prefixed ``fake/``.
 Everything Spark-side — schema, partitioning, UDF signatures, Arrow
-batch shape — is real and tested; swapping the kernel for a real codec
-changes no plan.
+batch shape — is identical across tiers; swapping tiers changes no
+plan.
 
 Scale notes:
 - binary payloads stay columnar end-to-end (parquet binary -> Arrow ->
@@ -51,17 +57,50 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 
 def _decode_image_fake(raw: bytes) -> tuple[int, int, str]:
-    """DETERMINISTIC FAKE decode (no codec in container): dimensions
-    derived from the byte length, format from the first byte. Replace
-    with PIL decode where available."""
+    """DETERMINISTIC FAKE decode for non-image bytes: dimensions
+    derived from the byte length, format from the first byte. Only the
+    last rung of the decode ladder — real PNG/JPEG/GIF payloads never
+    reach it (see :func:`_decode_image`)."""
     n = len(raw)
     return n % 256, (n // 256) % 256, "fake/%d" % (raw[0] if n else 0)
+
+
+def _decode_image(raw: bytes) -> tuple[int, int, str]:
+    """(width, height, format) via the decode ladder: PIL -> pure
+    PNG/JPEG/GIF parsers (functions/png.py, real stdlib codecs) ->
+    deterministic fake for unrecognizable bytes."""
+    from clinvar_pipeline_spark.functions import png as _codec
+
+    if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(raw)) as im:
+                return im.width, im.height, im.format or "unknown"
+        except Exception:
+            return _decode_image_fake(raw)
+    try:
+        if _codec.is_png(raw):
+            w, h, _depth, _color = _codec.png_info(raw)
+            return w, h, "PNG"
+        if raw[:2] == b"\xff\xd8":
+            w, h = _codec.jpeg_info(raw)
+            return w, h, "JPEG"
+        if raw[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _codec.gif_info(raw)
+            return w, h, "GIF"
+    except ValueError:
+        pass  # malformed image bytes -> fake tier, never a task crash
+    return _decode_image_fake(raw)
 
 
 def extract_image_meta(binaries: DataFrame) -> DataFrame:
     """(id, content) -> (id, n_bytes, sha256, width, height, format)
     via mapInPandas (one Python worker pass per input batch; output
-    rows 1:1 with input)."""
+    rows 1:1 with input). Real images get real dimensions (decode
+    ladder above); non-image bytes get the deterministic fake tier."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,11 +114,7 @@ def extract_image_meta(binaries: DataFrame) -> DataFrame:
                     ),
                 }
             )
-            if _HAS_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real PIL decode path not wired in this container"
-                )
-            dims = raws.map(lambda b: _decode_image_fake(b or b""))
+            dims = raws.map(lambda b: _decode_image(b or b""))
             out["width"] = dims.map(lambda d: d[0])
             out["height"] = dims.map(lambda d: d[1])
             out["format"] = dims.map(lambda d: d[2])
@@ -125,34 +160,54 @@ def resize_images(
     binaries: DataFrame, out_width: int = 32, out_height: int = 32
 ) -> DataFrame:
     """(id, content) -> (id, out_width, out_height, resized): the
-    image-resize stage shape. With PIL present this would decode,
-    ``Image.resize((w, h))`` and re-encode; in this container the
-    DETERMINISTIC FAKE emits a byte payload of exactly w*h bytes by
-    tiling the source bytes (so downstream stages see correctly-sized
-    fixed-length payloads and the 1:1 row contract holds).
+    image-resize stage. PNG payloads are REALLY resized — full decode
+    (functions/png.py or PIL), nearest-neighbor resample, PNG
+    re-encode — so ``resized`` is itself a decodable PNG at the target
+    dimensions. Non-image bytes fall to the DETERMINISTIC FAKE tier: a
+    payload of exactly w*h bytes tiled from the source (downstream
+    stages still see fixed-size payloads and the 1:1 row contract).
 
     Scale: mapInPandas, batch-streamed; output size is bounded
-    (w*h bytes/row) regardless of input payload size — the shrink
-    happens inside the task, nothing oversized is shuffled."""
+    (~w*h*channels bytes/row) regardless of input payload size — the
+    shrink happens inside the task, nothing oversized is shuffled."""
+    from clinvar_pipeline_spark.functions import png as _codec
+
     target = out_width * out_height
+
+    def one(raw: bytes) -> bytes:
+        raw = raw or b"\0"
+        if _HAS_PIL:  # pragma: no cover - PIL absent in this container
+            import io
+
+            from PIL import Image
+
+            try:
+                with Image.open(io.BytesIO(raw)) as im:
+                    buf = io.BytesIO()
+                    im.resize((out_width, out_height)).save(buf, "PNG")
+                    return buf.getvalue()
+            except Exception:
+                pass
+        else:
+            try:
+                if _codec.is_png(raw):
+                    w, h, ch, px = _codec.png_decode(raw)
+                    rs = _codec.resize_nearest(
+                        w, h, ch, px, out_width, out_height
+                    )
+                    return _codec.png_encode(out_width, out_height, ch, rs)
+            except ValueError:
+                pass
+        return (raw * (target // max(len(raw), 1) + 1))[:target]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAS_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real PIL resize path not wired in this container"
-                )
-            resized = pdf["content"].map(
-                lambda b: ((b or b"\0") * (target // max(len(b or b"\0"), 1) + 1))[
-                    :target
-                ]
-            )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "out_width": out_width,
                     "out_height": out_height,
-                    "resized": resized,
+                    "resized": pdf["content"].map(one),
                 }
             )
 

@@ -1,0 +1,177 @@
+"""The pure-Python image codecs (functions/png.py) are REAL: PNGs
+round-trip pixel-exactly (including all five scanline filters on
+decode), JPEG/GIF headers parse actual marker structures, and the
+multimodal operators surface real dimensions for real images."""
+
+import struct
+import zlib
+
+import pytest
+
+from clinvar_pipeline_spark.functions.png import (
+    gif_info,
+    is_png,
+    jpeg_info,
+    png_decode,
+    png_encode,
+    png_info,
+    resize_nearest,
+)
+
+
+def _gradient(w, h, ch):
+    return bytes(
+        (x * 17 + y * 31 + c * 7) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_pixel_exact(ch):
+    w, h = 7, 5
+    px = _gradient(w, h, ch)
+    raw = png_encode(w, h, ch, px)
+    assert is_png(raw)
+    assert png_info(raw)[:2] == (w, h)
+    dw, dh, dch, dpx = png_decode(raw)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert dpx == px
+
+
+def _encode_with_filter(w, h, ch, px, ftype):
+    """Reference encoder emitting a chosen filter type per scanline —
+    exercises the decoder's unfilter paths independently."""
+    stride = w * ch
+    rows = []
+    prev = bytearray(stride)
+    for r in range(h):
+        line = bytearray(px[r * stride : (r + 1) * stride])
+        filt = bytearray(line)
+        if ftype == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                filt[i] = (line[i] - line[i - ch]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                filt[i] = (line[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                filt[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            from clinvar_pipeline_spark.functions.png import _paeth
+
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                filt[i] = (line[i] - _paeth(a, prev[i], c)) & 0xFF
+        rows.append(bytes([ftype]) + bytes(filt))
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_all_filter_types(ftype):
+    w, h, ch = 6, 4, 3
+    px = _gradient(w, h, ch)
+    raw = _encode_with_filter(w, h, ch, px, ftype)
+    assert png_decode(raw) == (w, h, ch, px)
+
+
+def test_png_crc_verified():
+    raw = bytearray(png_encode(3, 3, 3, _gradient(3, 3, 3)))
+    raw[20] ^= 0xFF  # corrupt a byte inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        png_info(bytes(raw))
+
+
+def test_png_palette_expansion():
+    # hand-built 2x2 palette image: indices [0,1,2,3]
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    scan = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = png_decode(raw)
+    assert (w, h, ch) == (2, 2, 3)
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+
+def test_resize_nearest_downsample():
+    # 4x4 -> 2x2 picks pixels (0,0),(2,0),(0,2),(2,2)
+    px = _gradient(4, 4, 3)
+    out = resize_nearest(4, 4, 3, px, 2, 2)
+
+    def pick(x, y):
+        return px[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+
+    assert out == pick(0, 0) + pick(2, 0) + pick(0, 2) + pick(2, 2)
+
+
+def test_jpeg_header_parse():
+    # minimal marker stream: SOI, APP0, SOF0 (h=13, w=37), EOI
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 13, 37
+    ) + b"\x01\x11\x00"
+    raw = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof + b"\xff\xd9"
+    assert jpeg_info(raw) == (37, 13)
+
+
+def test_gif_header_parse():
+    raw = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert gif_info(raw) == (320, 200)
+
+
+def test_extract_image_meta_real_png(spark):
+    from clinvar_pipeline_spark.operators.multimodal import extract_image_meta
+
+    png = png_encode(12, 7, 3, _gradient(12, 7, 3))
+    df = spark.createDataFrame([(1, png), (2, b"plain text")], "id long, content binary")
+    rows = {r["id"]: r for r in extract_image_meta(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["format"]) == (12, 7, "PNG")
+    assert rows[2]["format"].startswith("fake/")  # non-image -> fake tier
+
+
+def test_resize_images_real_png_roundtrip(spark):
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    px = _gradient(8, 8, 3)
+    png = png_encode(8, 8, 3, px)
+    df = spark.createDataFrame([(1, png)], "id long, content binary")
+    out = resize_images(df, out_width=4, out_height=4).collect()[0]
+    # the resized payload is itself a real, decodable PNG
+    w, h, ch, rs = png_decode(bytes(out["resized"]))
+    assert (w, h, ch) == (4, 4, 3)
+    assert rs == resize_nearest(8, 8, 3, px, 4, 4)
