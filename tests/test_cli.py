@@ -111,6 +111,114 @@ def test_cli_add_rs_ids_default_xdb_path(spark, cli_dirs):
     assert v2.count() == spark.read.parquet(str(snap1 / "variants")).count()
 
 
+def test_cli_chained_load_annotate_golden_counters(spark, cli_dirs):
+    """The reference's own validation mechanism is the end-of-run
+    counter dump (GlobalCounters.java:23-29; changes.txt:396-405 pins
+    run stats): chain --load -> --annotate through the CLI on one
+    release and assert the COMPLETE counter frames of both stages
+    against golden values — not just spot keys.
+
+    The release is the fixture with FULL_RECORD's Indel retyped to
+    Deletion (carpe-compliant, F14) and a single-gene dim, so the
+    annotate stage produces the full ladder: variant D annotation,
+    gene IAGP, rat-homolog ISO."""
+    root = cli_dirs / "chain"
+    xml = root / "release.xml"
+    root.mkdir()
+    xml.write_text(
+        HEADER
+        + FULL_RECORD.replace(
+            "<VariantType>Indel</VariantType>",
+            "<VariantType>Deletion</VariantType>",
+        )
+        + MINUS_RECORD
+        + TRAILER,
+        "utf-8",
+    )
+    # only AP5Z1: the gene/homolog annotations require exactly one
+    # associated gene (J13 single-gene rule)
+    spark.createDataFrame(
+        [(101, "9907", "AP5Z1")],
+        "gene_rgd_id long, gene_id string, symbol string",
+    ).write.parquet(str(root / "genes.parquet"))
+
+    main(
+        [
+            "--load",
+            "--xml", str(xml),
+            "--genes", str(root / "genes.parquet"),
+            "--out", str(root / "snap"),
+        ]
+    )
+    load_counters = {
+        r["counter"]: r["value"]
+        for r in spark.read.parquet(str(root / "snap" / "counters")).collect()
+    }
+    assert load_counters == {
+        "RECORDS_SIMPLE": 2,
+        "NON_CURRENT_RECORD": 1,
+        "NON_HUMAN_SPECIES": 1,
+        "CLINVAR_ENTRY_CONDITION_NOT_PROVIDED": 1,
+        "CLINVAR_ENTRY_OTHER": 1,
+        "VARIANTS_INSERT": 2,
+        "XDB_IDS_INSERT": 12,
+        "GENE_ASSOCIATIONS_INSERT": 1,
+        "MAP_POSITIONS_INSERT": 2,
+        "HGVS_NAMES_INSERT": 2,
+        "ALIASES_INSERT": 1,
+    }, load_counters
+
+    # aux tables keyed to the release: the condition matches an RDO
+    # term; the gene has a rat ortholog (species key 3)
+    aux = root / "aux"
+    spark.createDataFrame(
+        [(101, 501, 3)],
+        "gene_rgd_id long, homolog_rgd_id long, homolog_species_type_key int",
+    ).write.parquet(str(aux / "orthologs.parquet"))
+    spark.createDataFrame(
+        [("RDO:0001", "RDO", "Hereditary spastic paraplegia 48", False)],
+        "acc_id string, ontology_id string, term string, is_obsolete boolean",
+    ).write.parquet(str(aux / "ont_terms.parquet"))
+    spark.createDataFrame(
+        [], "term_acc string, name string, type string"
+    ).write.parquet(str(aux / "ont_synonyms.parquet"))
+    spark.createDataFrame(
+        [], "cui string, gene_rgd_id long, omim_id string"
+    ).write.parquet(str(aux / "concept_omim.parquet"))
+    spark.createDataFrame(
+        [],
+        "annotated_object_rgd_id long, term_acc string, aspect string,"
+        " evidence string, with_info string, xref_source string, notes string",
+    ).write.parquet(str(aux / "existing_annotations.parquet"))
+
+    main(
+        [
+            "--annotate",
+            "--snapshot", str(root / "snap"),
+            "--aux", str(aux),
+            "--out", str(root / "annots"),
+        ]
+    )
+    annot_counters = {
+        r["counter"]: r["value"]
+        for r in spark.read.parquet(str(root / "annots" / "counters")).collect()
+    }
+    assert annot_counters == {"ANNOTATIONS_INSERT": 3}, annot_counters
+    ann = spark.read.parquet(str(root / "annots" / "annotations"))
+    rows = sorted(
+        (r["annotated_object_rgd_id"], r["term_acc"], r["aspect"], r["evidence"])
+        for r in ann.collect()
+    )
+    # dense-by-symbol id assignment: CV26042 -> rgd_id 1 (the compliant
+    # deletion), CV55 -> 2 (no condition). Ladder: variant, its single
+    # gene (IAGP), the gene's rat homolog (ISO).
+    assert rows == [
+        (1, "RDO:0001", "D", "IAGP"),
+        (101, "RDO:0001", "D", "IAGP"),
+        (501, "RDO:0001", "D", "ISO"),
+    ], rows
+
+
 def test_cli_qc_duplicate_terms(spark, cli_dirs):
     spark.createDataFrame(
         [
