@@ -1,0 +1,118 @@
+"""Ops-facing audits, importable and CLI-surfaced (``--audit``).
+
+The reference pipeline's operational discipline is its end-of-run
+counter email (SURVEY §5.1); this engine's equivalents are:
+
+- :func:`skew_report` — the documented skew caps with their observed
+  drop counts (no silent truncation: the pair-generation queries keep
+  their hot-key exclusions lazy, this reports what they exclude);
+- :func:`explain_audit` — physical-plan smells over the whole query
+  registry (cartesian products, row-Python UDFs, unpruned scans),
+  with an explicit waiver table for the plans that are intended.
+
+``tools/skew_report.py`` and ``tools/explain_audit.py`` are thin
+wrappers; ``python -m clinvar_pipeline_spark --audit --sf DIR`` runs
+both.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# query -> smells that are understood and accepted, with the reason
+WAIVERS: dict[str, set[str]] = {
+    # exact baseline is definitionally all-pairs
+    "topk_cosine": {"nested-loop-join"},
+    # embedding near-dup at sf scale compares all pairs (oracle twin);
+    # minhash/simhash/ann are the scale paths
+    "embedding_neardup_pairs": {"nested-loop-join"},
+    # the guard joins ONE aggregated count row (broadcast) against the
+    # delete set — the distributed form of the driver-side threshold
+    # branch (W4); a 1-row broadcast cross join is the intended plan
+    "threshold_guard": {"nested-loop-join"},
+}
+
+
+def plan_smells(name: str, plan: str) -> list[str]:
+    """Scale smells in one formatted physical plan, minus waivers."""
+    smells = []
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan):
+        smells.append("nested-loop-join")
+    if "BatchEvalPython" in plan:
+        smells.append("row-python-udf")
+    # every parquet scan should prune columns (ReadSchema never lists
+    # all 16 lineitem columns for narrow queries — heuristic: >12 cols)
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = len(m.group(1).split(",")) if m.group(1) else 0
+        if ncols > 12:
+            smells.append(f"wide-scan({ncols} cols)")
+    return [s for s in smells if s not in WAIVERS.get(name, set())]
+
+
+def explain_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    show: bool = False,
+) -> int:
+    """Audit every registry query's physical plan; returns the number
+    of queries with un-waivered smells (0 = clean)."""
+    import clinvar_pipeline_spark.queries as q
+
+    registry = q.queries()
+    names = names or sorted(registry)
+    bad = 0
+    for name in names:
+        df = registry[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        smells = plan_smells(name, plan)
+        status = "SMELL" if smells else "ok"
+        print(f"{status:5s} {name}" + (f": {', '.join(smells)}" if smells else ""))
+        if show or smells:
+            print(plan)
+        bad += bool(smells)
+    print(f"\n{len(names) - bad}/{len(names)} clean")
+    return bad
+
+
+def skew_report(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Observed drop counts for the documented skew caps; returns the
+    report lines (also printed by callers)."""
+    import clinvar_pipeline_spark.queries as q
+    from clinvar_pipeline_spark.functions.hashes import (
+        normalized_tokens,
+        shingles_of_tokens,
+    )
+
+    lines = []
+    d = q._t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            shingles_of_tokens(normalized_tokens(F.col("text")), k=3)
+        ).alias("sh_str"),
+    ).select("doc_id", F.xxhash64("sh_str").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfreq.filter(F.col("df") > q.SHINGLE_DF_CAP)
+    n_hot, n_total = hot.count(), dfreq.count()
+    lines.append(
+        f"ngram_jaccard_pairs: {n_hot}/{n_total} shingles over "
+        f"SHINGLE_DF_CAP={q.SHINGLE_DF_CAP} dropped from the candidate join"
+    )
+
+    e = q._t(spark, sf_dir, "embeddings")
+    blocks = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    over = blocks.filter(F.col("n") > q.BLOCK_CAP)
+    n_over, n_blocks = over.count(), blocks.count()
+    lines.append(
+        f"embedding_neardup_pairs: {n_over}/{n_blocks} label blocks over "
+        f"BLOCK_CAP={q.BLOCK_CAP} dropped from the pair join"
+    )
+    return lines

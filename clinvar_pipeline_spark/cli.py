@@ -198,6 +198,21 @@ def cmd_qc_duplicate_terms(
     print(f"surviving_terms: {picks.count()}")
 
 
+def cmd_audit(spark: SparkSession, args) -> None:
+    """--audit: the ops-facing counterpart of the reference's run-stat
+    counter email — skew-cap drop counts plus a physical-plan smell
+    audit over the whole query registry (clinvar_pipeline_spark.audit).
+    Exits nonzero if any un-waivered plan smell is found."""
+    from clinvar_pipeline_spark.audit import explain_audit, skew_report
+
+    sf = args.sf or "/root/testdata/sf0.01"
+    for line in skew_report(spark, sf):
+        print(line)
+    bad = explain_audit(spark, sf)
+    if bad:
+        sys.exit(1)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="clinvar_pipeline_spark")
     mode = p.add_mutually_exclusive_group(required=True)
@@ -208,6 +223,7 @@ def main(argv: list[str] | None = None) -> None:
         "--clinvar2vcf",
         "--qcDuplicateTerms",
         "--qcDuplicateTermsAndSynonyms",
+        "--audit",
     ):
         mode.add_argument(flag, action="store_true")
     p.add_argument("--xml")
@@ -218,8 +234,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--dbsnp")
     p.add_argument("--ref-bases", dest="ref_bases")
     p.add_argument("--ont")
-    p.add_argument("--out", required=True)
+    p.add_argument("--sf", help="--audit: table dir (default sf0.01 testdata)")
+    p.add_argument("--out")
     args = p.parse_args(argv)
+    if not args.audit and not args.out:
+        p.error("--out is required for pipeline modes")
 
     from clinvar_pipeline_spark.session import get_spark
 
@@ -236,6 +255,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_qc_duplicate_terms(spark, args, with_synonyms=False)
     elif args.qcDuplicateTermsAndSynonyms:
         cmd_qc_duplicate_terms(spark, args, with_synonyms=True)
+    elif args.audit:
+        cmd_audit(spark, args)
 
 
 if __name__ == "__main__":
