@@ -1,0 +1,89 @@
+"""SimHash operator coverage (previously attested rows-only + untested):
+exact agreement with an independent pure-Python reference, determinism,
+and the semantic property that near-duplicate documents land at small
+Hamming distance while unrelated documents don't."""
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.operators.dedup import simhash_signatures
+
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+def _ref_simhash(text: str) -> int:
+    """Independent reference implementation of the kernel's contract:
+    distinct lowercase alnum tokens, blake2b/8 per token, majority vote
+    per bit over positions 0..62 (sign bit stays clear)."""
+    toks = set(_TOK.findall((text or "").lower()))
+    if not toks:
+        return 0
+    sig = 0
+    hashes = [
+        int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+        for t in toks
+    ]
+    for bit in range(63):
+        votes = sum((h >> bit) & 1 for h in hashes)
+        if votes * 2 > len(toks):
+            sig |= 1 << bit
+    return sig
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_matches_pure_python_reference(spark):
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs!"),
+        (3, ""),
+        (4, None),
+        (5, "Numbers 123 and CASE folding MiXeD"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["id"]: r["simhash"]
+        for r in simhash_signatures(df, "doc_id", "text").collect()
+    }
+    for i, t in texts:
+        assert got[i] == _ref_simhash(t or ""), i
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = {
+        r["id"]: r["simhash"]
+        for r in simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    # planted near-duplicates: pairs sharing a 3-token prefix key per
+    # the exact_dedup contract are verbatim-ish copies
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    import itertools
+
+    near, far = [], []
+    ids = sorted(sig)
+    for a, b in itertools.combinations(ids, 2):
+        ta, tb = (texts[a] or ""), (texts[b] or "")
+        sa = set(_TOK.findall(ta.lower()))
+        sb = set(_TOK.findall(tb.lower()))
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        d = _hamming(sig[a], sig[b])
+        if j >= 0.8:
+            near.append(d)
+        elif j <= 0.1:
+            far.append(d)
+    assert near and far, "fixture must contain both pair classes"
+    # deterministic on the fixed fixture + blake2b: measured near
+    # max=16 / mean 7.3 vs far min=18 / mean 29.8 — the two classes
+    # separate completely (random 63-bit pairs concentrate near 31.5)
+    assert max(near) <= 16, max(near)
+    assert min(far) >= 18, min(far)
+    assert sum(far) / len(far) >= 25, sum(far) / len(far)
