@@ -17,6 +17,8 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         --snapshot SNAP_DIR [--dbsnp F] [--ref-bases F] --out out.vcf
     python -m clinvar_pipeline_spark --qcDuplicateTerms \
         --ont ONT_DIR --out OUT_DIR   (synonyms variant adds --synonyms)
+    python -m clinvar_pipeline_spark --audit [--sf TABLE_DIR]
+        (ops report: skew-cap drop counts + plan smell audit)
 
 AUX_DIR holds orthologs / ont_terms / ont_synonyms / concept_omim /
 existing_annotations as ``<name>.parquet``; ONT_DIR holds

@@ -88,10 +88,23 @@ def _rerank_topk(
     """Exact cosine re-rank of deduped candidate (query_id, nn_id)
     pairs: join the normalized vector tables back (AQE broadcasts them
     when small; at scale they hash-partition on id like any dim), score
-    with one Arrow-batched dot product, keep top-k per query."""
+    with one Arrow-batched dot product, keep top-k per query.
+
+    Self-search (queries IS corpus — the dedup/self-kNN case) computes
+    the normalization once and reuses it for both roles via column
+    renames over one persisted frame, halving the normalize work."""
+    if queries is corpus:
+        from clinvar_pipeline_spark.caching import register_persist
+
+        norm = register_persist(_l2_normalized(corpus, id_col, vec_col, "nn"))
+        q_norm = norm.withColumnsRenamed({"nn_id": "query_id", "nn_v": "query_v"})
+        c_norm = norm
+    else:
+        q_norm = _l2_normalized(queries, id_col, vec_col, "query")
+        c_norm = _l2_normalized(corpus, id_col, vec_col, "nn")
     scored = (
-        pairs.join(_l2_normalized(queries, id_col, vec_col, "query"), "query_id")
-        .join(_l2_normalized(corpus, id_col, vec_col, "nn"), "nn_id")
+        pairs.join(q_norm, "query_id")
+        .join(c_norm, "nn_id")
         .select(
             "query_id",
             "nn_id",
@@ -146,14 +159,7 @@ def ann_topk_hyperplane(
         num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim
     )
 
-    def keyed(df: DataFrame, role: str, probe: bool) -> DataFrame:
-        # all num_tables bucket ids in one vectorized pass (numpy
-        # matmul per Arrow batch), then the key array explodes; vectors
-        # do NOT travel with the keys
-        buckets = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            bucket_udf(v).alias("_bs"),
-        )
+    def key_exprs(probe: bool) -> list:
         keys = []
         for t in range(num_tables):
             b = F.col("_bs").getItem(t)
@@ -162,12 +168,30 @@ def ann_topk_hyperplane(
             if probe:
                 for bit in range(min(n_probes - 1, num_planes)):
                     keys.append(tb + b.bitwiseXOR(F.lit(1 << bit)))
-        return buckets.select(
-            f"{role}_id", F.explode(F.array(*keys)).alias("bucket")
+        return keys
+
+    def keyed(buckets: DataFrame, role: str, probe: bool) -> DataFrame:
+        renamed = buckets.withColumnRenamed("_id", f"{role}_id")
+        return renamed.select(
+            f"{role}_id", F.explode(F.array(*key_exprs(probe))).alias("bucket")
         )
 
-    c = keyed(corpus, "nn", probe=False)
-    q = keyed(queries, "query", probe=True)
+    # all num_tables bucket ids in one vectorized pass (numpy matmul
+    # per Arrow batch), then the key arrays explode; vectors do NOT
+    # travel with the keys. Self-search runs the bucket kernel ONCE
+    # and derives both roles' keys from the persisted bucket frame.
+    def bucket_frame(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col).alias("_id"), bucket_udf(v).alias("_bs"))
+
+    if queries is corpus:
+        from clinvar_pipeline_spark.caching import register_persist
+
+        shared = register_persist(bucket_frame(corpus))
+        c = keyed(shared, "nn", probe=False)
+        q = keyed(shared, "query", probe=True)
+    else:
+        c = keyed(bucket_frame(corpus), "nn", probe=False)
+        q = keyed(bucket_frame(queries), "query", probe=True)
     # dedup (query, nn) id-pairs BEFORE fetching vectors or scoring:
     # the same true pair surfaces once per agreeing (table, probe)
     pairs = (
@@ -263,14 +287,29 @@ def ann_topk_ivf(
         return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
 
     v = F.col(vec_col).cast("array<double>")
-    c_cells = corpus.select(
-        F.col(id_col).alias("nn_id"),
-        nearest_cell(v).alias("cell"),
-    )
-    q_cells = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(probe_cells(v)).alias("cell"),
-    )
+    if queries is corpus:
+        # self-search: one probe-kernel pass serves both roles — the
+        # ranked probe list's head IS the argmax cell assignment
+        from clinvar_pipeline_spark.caching import register_persist
+
+        shared = register_persist(
+            corpus.select(F.col(id_col).alias("_id"), probe_cells(v).alias("_pc"))
+        )
+        c_cells = shared.select(
+            F.col("_id").alias("nn_id"), F.col("_pc").getItem(0).alias("cell")
+        )
+        q_cells = shared.select(
+            F.col("_id").alias("query_id"), F.explode("_pc").alias("cell")
+        )
+    else:
+        c_cells = corpus.select(
+            F.col(id_col).alias("nn_id"),
+            nearest_cell(v).alias("cell"),
+        )
+        q_cells = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_cells(v)).alias("cell"),
+        )
     pairs = (
         q_cells.join(c_cells, "cell")
         .filter(F.col("query_id") != F.col("nn_id"))
