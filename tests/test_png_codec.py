@@ -151,6 +151,33 @@ def test_gif_header_parse():
     assert gif_info(raw) == (320, 200)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ch=st.integers(1, 4),
+        data=st.data(),
+    )
+    def test_png_roundtrip_property(w, h, ch, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        assert png_decode(png_encode(w, h, ch, px)) == (w, h, ch, px)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_extract_image_meta_real_png(spark):
     from clinvar_pipeline_spark.operators.multimodal import extract_image_meta
 
