@@ -121,17 +121,19 @@ def cmd_add_rs_ids(spark: SparkSession, args) -> None:
 
 
 def cmd_clinvar2vcf(spark: SparkSession, args) -> None:
+    from clinvar_pipeline_spark.caching import release_cached
     from clinvar_pipeline_spark.plans.load import read_snapshot
-    from clinvar_pipeline_spark.plans.vcf import (
-        clinvar2vcf_drop_counters,
-        clinvar2vcf_lines,
-    )
+    from clinvar_pipeline_spark.plans.vcf import clinvar2vcf_export
     from clinvar_pipeline_spark.sources.vcf_sink import write_vcf
 
     snap = read_snapshot(spark, args.snapshot)
     db_snp = spark.read.parquet(args.dbsnp) if args.dbsnp else None
     ref_bases = spark.read.parquet(args.ref_bases) if args.ref_bases else None
-    lines = clinvar2vcf_lines(snap.variants, snap.map_positions, db_snp, ref_bases)
+    # lines + drop counters share one persisted flagged-rows frame
+    # (one pass over the variant-position join, not two)
+    lines, counters = clinvar2vcf_export(
+        snap.variants, snap.map_positions, db_snp, ref_bases
+    )
     # write_vcf emits a Spark text directory (one ordered part file);
     # the CLI contract is a single .vcf file like the reference's
     out_dir = f"{args.out}._spark_text"
@@ -144,10 +146,9 @@ def cmd_clinvar2vcf(spark: SparkSession, args) -> None:
     shutil.move(part, args.out)
     shutil.rmtree(out_dir)
     print(f"wrote {args.out} ({os.path.getsize(args.out)} bytes)")
-    for r in clinvar2vcf_drop_counters(
-        snap.variants, snap.map_positions, db_snp, ref_bases
-    ).collect():
+    for r in counters.collect():
         print(f"{r['counter']}: {r['value']}")
+    release_cached()
 
 
 def cmd_qc_duplicate_terms(

@@ -237,11 +237,36 @@ def clinvar2vcf_drop_counters(
     the export applies — the observable twin of the reference's
     hasBadRef flags and the Clinvar2Vcf.java:251 RuntimeException."""
     flagged = _flagged_rows(variants, map_positions, db_snp, ref_bases)
+    return _drop_counters_of(flagged)
+
+
+def _drop_counters_of(flagged: DataFrame) -> DataFrame:
     return (
         flagged.filter(F.col("_drop_reason").isNotNull())
         .groupBy(F.col("_drop_reason").alias("counter"))
         .agg(F.count(F.lit(1)).alias("value"))
     )
+
+
+def clinvar2vcf_export(
+    variants: DataFrame,
+    map_positions: DataFrame,
+    db_snp: DataFrame | None = None,
+    ref_bases: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(lines, drop_counters) sharing ONE persisted flagged-rows frame
+    — the CLI path. Calling clinvar2vcf_lines and
+    clinvar2vcf_drop_counters separately runs the join/check pipeline
+    twice; at production scale that is two full passes over the
+    variant-position join. The persist is registered with
+    caching.register_persist; the caller releases after both outputs
+    materialize (cli.cmd_clinvar2vcf does)."""
+    from clinvar_pipeline_spark.caching import register_persist
+
+    flagged = register_persist(
+        _flagged_rows(variants, map_positions, db_snp, ref_bases)
+    )
+    return _lines_of(flagged), _drop_counters_of(flagged)
 
 
 def clinvar2vcf_lines(
@@ -258,9 +283,11 @@ def clinvar2vcf_lines(
     snp_name) optional rs-id source; ``ref_bases`` (chromosome,
     position, base) optional reference-base table for the F18 check
     and W6 padding."""
-    rows = _flagged_rows(variants, map_positions, db_snp, ref_bases).filter(
-        F.col("_drop_reason").isNull()
-    )
+    return _lines_of(_flagged_rows(variants, map_positions, db_snp, ref_bases))
+
+
+def _lines_of(flagged: DataFrame) -> DataFrame:
+    rows = flagged.filter(F.col("_drop_reason").isNull())
 
     pad_ins = F.coalesce("_pad", F.lit("N"))
     pad_del = F.coalesce("_pad_prev", F.lit("N"))
