@@ -276,6 +276,53 @@ def minhash_signature_batch(num_hashes: int = 64, seed: int = 42):
     return sig
 
 
+def minhash_band_buckets_batch(
+    num_hashes: int, bands: int, seed: int = 42
+):
+    """Arrow-batched MinHash + LSH banding fused in one kernel:
+    array<string> shingles -> array<long> of ``bands`` band-bucket ids.
+
+    Folding the banding into the kernel replaces ``bands`` interpreted
+    slice/cast/concat/xxhash expression chains over the signature array
+    (the per-band cost of :func:`band_keys`, measured ~1s at 69 bands x
+    5k docs) with one vectorized fold, and shrinks the exploded frame's
+    source row from ``num_hashes`` to ``bands`` longs. Buckets combine
+    each band's ``rows`` signature values with a splitmix64 fold —
+    deterministic across runs/executors; join on (band_index, bucket)
+    via posexplode."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = num_hashes // bands
+    rng = random.Random(seed)
+    seeds = np.array(
+        [rng.randrange(0, 1 << 64) for _ in range(num_hashes)], dtype=np.uint64
+    )
+    empty_sig = np.full(num_hashes, 1 << 62, dtype=np.uint64)
+
+    def fold_buckets(sig_row: "np.ndarray") -> "np.ndarray":
+        banded = sig_row[: bands * rows].reshape(bands, rows)
+        acc = np.zeros(bands, dtype=np.uint64)
+        for r in range(rows):
+            acc = _splitmix64(acc ^ banded[:, r])
+        return (acc >> np.uint64(1)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if arr is None or len(arr) == 0:
+                sig_row = empty_sig
+            else:
+                base = np.array(
+                    [_blake64(s.encode("utf-8")) for s in arr], dtype=np.uint64
+                )
+                sig_row = _splitmix64(base[:, None] ^ seeds[None, :]).min(axis=0)
+            out.append(fold_buckets(sig_row))
+        return pd.Series(out)
+
+    return buckets
+
+
 def simhash64_batch():
     """Arrow-batched SimHash: text -> 64-bit signature (sign bit clear).
     Tokenization matches :func:`normalized_tokens` (lowercase, strip

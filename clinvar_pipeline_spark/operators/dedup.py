@@ -10,7 +10,9 @@ Four tiers, cheapest-first (the standard 100 TB dedup funnel):
 4. n-gram Jaccard (exact): inverted shingle index self-join — precise
    but hot-shingle skew; use as verification or small-corpus path.
 
-All JVM-side expressions (xxhash64 / higher-order functions); no UDFs.
+JVM-side expressions where they win (fingerprints, pigeonhole chunks);
+Arrow-batched numpy kernels for the hash-matrix work (MinHash, SimHash)
+where interpreted higher-order expressions measured 10-1000x slower.
 """
 
 from __future__ import annotations
@@ -20,10 +22,9 @@ from pyspark.sql import functions as F
 
 from clinvar_pipeline_spark.caching import register_persist
 from clinvar_pipeline_spark.functions.hashes import (
-    band_keys,
     jaccard,
     md5_fingerprint,
-    minhash_signature_batch,
+    minhash_band_buckets_batch,
     normalized_tokens,
     shingles_of_tokens,
     simhash64_batch,
@@ -72,8 +73,8 @@ def minhash_lsh_candidate_pairs(
     """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
 
     Plan shape (scale-critical):
-      docs → (id, shingles, signature)           map-only
-           → explode 16 band keys                map-only ×16
+      docs → (id, shingles, band buckets)        map-only (one kernel)
+           → posexplode `bands` bucket longs     map-only
            → self-join on (band, bucket)         shuffle on band hash
            → distinct candidate (a, b)           dedup across bands
            → join back shingle sets, verify      2 joins on id
@@ -82,9 +83,11 @@ def minhash_lsh_candidate_pairs(
     buckets. Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
     verified sim ≥ threshold.
     """
-    rows = num_hashes // bands
     # two-step tokenize → shingle so the tokenizer is evaluated once
-    # per row, not once per shingle (see shingles_of_tokens)
+    # per row, not once per shingle (see shingles_of_tokens); MinHash
+    # and LSH banding are fused in one Arrow kernel — the row carries
+    # `bands` bucket longs, not the full signature, and no per-band
+    # slice/concat expression chains run JVM-side
     sig = (
         df.select(
             F.col(id_col).alias("id"),
@@ -92,7 +95,8 @@ def minhash_lsh_candidate_pairs(
         )
         .select("id", shingles_of_tokens(F.col("toks"), shingle_k).alias("sh"))
         .withColumn(
-            "sig", minhash_signature_batch(num_hashes, seed)(F.col("sh"))
+            "bks",
+            minhash_band_buckets_batch(num_hashes, bands, seed)(F.col("sh")),
         )
     )
     # the signature table feeds three plan branches (both sides of the
@@ -101,8 +105,8 @@ def minhash_lsh_candidate_pairs(
     # between repeated invocations via caching.release_cached)
     sig = register_persist(sig)
     banded = sig.select(
-        "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+        "id", F.posexplode("bks").alias("band", "bucket")
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")

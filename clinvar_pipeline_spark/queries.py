@@ -770,21 +770,29 @@ MINHASH_VERIFY_THRESHOLD = 0.5
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (the 100 TB dedup path): shingle →
-    64-hash MinHash signature → 32 bands × 2 rows → band-bucket join →
+    207-hash MinHash signature → 69 bands × 3 rows → band-bucket join →
     exact Jaccard verified on candidates only.
 
     Oracle-checkable projection (round-3 ask): the emitted set is the
     exact-Jaccard-verified pairs at MINHASH_VERIFY_THRESHOLD (0.5),
     which DuckDB twins with a brute inverted-index join — LSH is the
     *generation* path, and the banding is parameterized so generation
-    provably covers the oracle set on this data: per-band collision
-    probability at Jaccard s is s^2, so a qualifying pair (s >= 0.5)
-    is missed by all 32 bands with probability <= (1 - 0.25)^32 ~ 1e-4,
-    and the corpus' similarity distribution is bimodal (planted
-    near-dups at s >= 0.8, miss probability (1 - 0.64)^32 ~ 6e-15;
-    background pairs at s <= 0.15 stay below threshold). The signature
-    hash family itself (xxhash64) has no SQL twin — only the verified
-    projection is checkable, which is exactly what the driver hashes."""
+    provably covers the oracle set: per-band collision probability at
+    Jaccard s is s^3, so a qualifying pair (s >= 0.5) is missed by all
+    69 bands with probability <= (1 - 0.125)^69 ~ 1e-4, and the
+    corpus' planted near-dups (s >= 0.8) with (1 - 0.512)^69 ~ 3e-22.
+
+    Why 3-row bands and not 2 (an r4 iteration): width-2 bands hit the
+    boundary guarantee with 32 bands of a 64-hash signature, but each
+    band collides on background pairs at ~s^2 — measured 4,198
+    candidate pairs vs 256 at sf0.1, and at 1e9 documents that
+    quadratic-in-corpus background collision mass IS the bottleneck.
+    Width-3 bands cost a 3.2x longer signature (map-side, vectorized,
+    amortized over the scan) and cut per-band background collisions to
+    ~s^3 — an order of magnitude fewer candidate pairs entering the
+    shuffle + verify stage. The signature hash family itself has no
+    SQL twin — only the verified projection is checkable, which is
+    exactly what the driver hashes."""
     from clinvar_pipeline_spark.operators.dedup import minhash_lsh_candidate_pairs
 
     d = _spread(_t(spark, sf_dir, "documents"))
@@ -792,8 +800,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         id_col="doc_id",
         text_col="text",
-        num_hashes=64,
-        bands=32,
+        num_hashes=207,
+        bands=69,
         threshold=MINHASH_VERIFY_THRESHOLD,
     )
 
