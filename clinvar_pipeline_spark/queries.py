@@ -817,6 +817,25 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
+@register("simhash_neardup", None)  # blake2b hash family: no SQL twin
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole block join
+    (operators/dedup.py simhash_neardup_pairs): signatures split into
+    4 x 16-bit chunks; candidates = pairs agreeing on >= 1 chunk (an
+    equi-join on (block, value), never all-pairs), exact Hamming
+    verified on candidates. The contract — every emitted pair has
+    hamming <= 8 AND shares a chunk; any pair with hamming <= 3 is
+    GUARANTEED found (pigeonhole: 3 flips cannot touch all 4 blocks) —
+    is pinned by tests/test_simhash.py against a brute-force twin.
+    Registered past the driver window (rows-only: blake2b signatures
+    have no DuckDB twin; the Hamming/near-dup semantics are attested
+    by the unit twin instead)."""
+    from clinvar_pipeline_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(d, "doc_id", "text")
+
+
 # =====================================================================
 # 7. Text analysis suite (extension, first-class)
 # =====================================================================

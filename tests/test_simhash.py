@@ -55,6 +55,42 @@ def test_simhash_matches_pure_python_reference(spark):
         assert got[i] == _ref_simhash(t or ""), i
 
 
+def test_simhash_neardup_pairs_match_bruteforce_contract(spark):
+    """simhash_neardup_pairs == brute force over signatures with the
+    operator's exact contract: hamming <= max_hamming AND >= 1 agreeing
+    16-bit chunk (the pigeonhole candidate condition)."""
+    import itertools
+
+    from clinvar_pipeline_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=8, blocks=4
+        ).collect()
+    }
+    sig = {
+        r["id"]: r["simhash"]
+        for r in simhash_signatures(docs, "doc_id", "text").collect()
+    }
+
+    def chunks(v):
+        return [(v >> (i * 16)) & 0xFFFF for i in range(4)]
+
+    want = set()
+    for a, b in itertools.combinations(sorted(sig), 2):
+        h = _hamming(sig[a], sig[b])
+        if h <= 8 and any(x == y for x, y in zip(chunks(sig[a]), chunks(sig[b]))):
+            want.add((a, b, h))
+    assert got == want
+    assert want, "fixture must contain simhash near-dups"
+    # pigeonhole guarantee: every pair with hamming <= 3 IS in the set
+    for a, b in itertools.combinations(sorted(sig), 2):
+        if _hamming(sig[a], sig[b]) <= 3:
+            assert (a, b, _hamming(sig[a], sig[b])) in got
+
+
 def test_simhash_near_dups_have_small_hamming_distance(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     sig = {
