@@ -203,6 +203,85 @@ def ann_topk_hyperplane(
     return _rerank_topk(pairs, queries, corpus, id_col, vec_col, k)
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    n_probes: int = 9,
+    num_tables: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH buckets — the
+    label-free scale path beside the label-blocked exact query
+    (queries.q_embedding_neardup_pairs): candidates come from the same
+    multi-table/multi-probe bucket join as :func:`ann_topk_hyperplane`
+    (ids + buckets only in the exchange), then exact cosine verifies
+    each candidate against ``threshold``.
+
+    Sign-LSH collision probability per plane is (1 - angle/pi), so the
+    operator targets HIGH-similarity near-dups: at cosine 0.99
+    (angle ~8 deg) a pair survives one 8-plane table with p ~ 0.69 and
+    all 6 tables miss with p ~ 1e-3 before multi-probe; at cosine 0.5
+    recall degrades by design — near-uniform pairs are the ANN top-k
+    queries' job, not dedup's. Emits (id_a, id_b, cos_sim) with
+    id_a < id_b, cos_sim >= threshold."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket_udf = hyperplane_bucket_arrays(
+        num_planes=num_planes, num_tables=num_tables, seed=seed, dim=dim
+    )
+    from clinvar_pipeline_spark.caching import register_persist
+
+    buckets = register_persist(
+        df.select(F.col(id_col).alias("_id"), bucket_udf(v).alias("_bs"))
+    )
+    keys = []
+    for t in range(num_tables):
+        b = F.col("_bs").getItem(t)
+        tb = F.lit(t << num_planes).cast("long")
+        keys.append(tb + b)
+        for bit in range(min(n_probes - 1, num_planes)):
+            keys.append(tb + b.bitwiseXOR(F.lit(1 << bit)))
+    # one side probes (Hamming-1 neighbors), the other holds the exact
+    # bucket — same asymmetry as the ANN query/corpus roles
+    probed = buckets.select("_id", F.explode(F.array(*keys)).alias("bucket"))
+    exact = buckets.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(t << num_planes).cast("long") + F.col("_bs").getItem(t)
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        probed.withColumnRenamed("_id", "id_a")
+        .join(exact.withColumnRenamed("_id", "id_b"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    norm = register_persist(_l2_normalized(df, id_col, vec_col, "nn"))
+    scored = (
+        pairs.join(
+            norm.withColumnsRenamed({"nn_id": "id_a", "nn_v": "va"}), "id_a"
+        )
+        .join(norm.withColumnsRenamed({"nn_id": "id_b", "nn_v": "vb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_product_batch()(F.col("va"), F.col("vb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def ann_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,

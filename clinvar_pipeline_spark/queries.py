@@ -817,6 +817,23 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
+@register("embedding_neardup_lsh", None)  # sign-LSH buckets: no SQL twin
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free embedding near-dup pairs via sign-LSH bucket join +
+    exact cosine verify (operators/similarity.py lsh_neardup_pairs) —
+    the 100 TB path when no blocking key exists; the label-blocked
+    exact twin (embedding_neardup_pairs) is the oracle-checked
+    reference. Threshold 0.45 on the near-uniform testdata keeps the
+    emitted set tiny; the full-recall guarantee on genuinely
+    near-duplicate vectors (cos >= 0.99) is pinned by
+    tests/test_lsh_neardup.py on constructed duplicates. Registered
+    past the driver window (hash family has no SQL twin)."""
+    from clinvar_pipeline_spark.operators.similarity import lsh_neardup_pairs
+
+    e = _spread(_t(spark, sf_dir, "embeddings"), parts=8)
+    return lsh_neardup_pairs(e, threshold=0.45)
+
+
 @register("simhash_neardup", None)  # blake2b hash family: no SQL twin
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole block join
