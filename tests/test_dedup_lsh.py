@@ -33,6 +33,26 @@ def _exact_pairs(docs):
     )
 
 
+def test_lsh_pairs_invariant_under_partitioning(spark):
+    # band buckets come from an Arrow kernel; at scale different
+    # executors hash different partitions, so the kernel must be a
+    # pure function of the row — the pair set cannot depend on how
+    # the input was split
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    outs = []
+    for parts in (1, 7):
+        got = minhash_lsh_candidate_pairs(
+            docs.repartition(parts),
+            id_col="doc_id",
+            text_col="text",
+            num_hashes=207,
+            bands=69,
+            threshold=THRESHOLD,
+        )
+        outs.append({tuple(r) for r in got.collect()})
+    assert outs[0] == outs[1] and outs[0]
+
+
 def test_lsh_verified_equals_exact_pair_set(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     got = minhash_lsh_candidate_pairs(
