@@ -61,6 +61,7 @@ def explain_audit(
     """Audit every registry query's physical plan; returns the number
     of queries with un-waivered smells (0 = clean)."""
     import clinvar_pipeline_spark.queries as q
+    from clinvar_pipeline_spark.caching import release_cached
 
     registry = q.queries()
     names = names or sorted(registry)
@@ -72,6 +73,11 @@ def explain_audit(
                 "formatted"
             )
         )
+        # release per query: a persisted frame left registered would be
+        # substituted as InMemoryRelation into LATER queries' plans,
+        # masking their real scans from this very audit (and leaking
+        # the registrations release_cached exists to reclaim)
+        release_cached()
         smells = plan_smells(name, plan)
         status = "SMELL" if smells else "ok"
         print(f"{status:5s} {name}" + (f": {', '.join(smells)}" if smells else ""))

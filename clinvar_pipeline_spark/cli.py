@@ -16,7 +16,9 @@ parquet files for the auxiliary tables the reference reads over JDBC:
     python -m clinvar_pipeline_spark --clinvar2vcf \
         --snapshot SNAP_DIR [--dbsnp F] [--ref-bases F] --out out.vcf
     python -m clinvar_pipeline_spark --qcDuplicateTerms \
-        --ont ONT_DIR --out OUT_DIR   (synonyms variant adds --synonyms)
+        --ont ONT_DIR --out OUT_DIR
+    python -m clinvar_pipeline_spark --qcDuplicateTermsAndSynonyms \
+        --ont ONT_DIR --out OUT_DIR   (also reads ONT_DIR/synonyms.parquet)
     python -m clinvar_pipeline_spark --audit [--sf TABLE_DIR]
         (ops report: skew-cap drop counts + plan smell audit)
 

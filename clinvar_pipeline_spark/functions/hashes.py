@@ -98,7 +98,13 @@ def band_keys(signature: Column, bands: int, rows: int) -> Column:
     """LSH banding: split a MinHash signature into ``bands`` bands of
     ``rows`` values; each band becomes ``(band_idx, xxhash64(joined))``.
     Explode the result and groupBy the key to find candidate pairs —
-    the join is on band hash, never all-pairs."""
+    the join is on band hash, never all-pairs.
+
+    REFERENCE-ONLY since r4: the shipped pipeline fuses banding into
+    :func:`minhash_band_buckets_batch` (per-band expression chains
+    measured ~1s at 69 bands x 5k docs); this expression form is kept
+    for composition inside pure-SQL plans and as the documented
+    alternative — it is not called by operators/dedup.py."""
     return F.array(
         *[
             F.struct(
@@ -250,7 +256,10 @@ def minhash_signature_batch(num_hashes: int = 64, seed: int = 42):
     (same algorithm family, different hash constants): evaluating H
     interpreted zip_with chains per shingle costs ~100x more than the
     vectorized matrix. Values are deterministic but NOT equal between
-    the two forms — pick one per pipeline."""
+    the two forms — pick one per pipeline. The shipped LSH pipeline
+    uses :func:`minhash_band_buckets_batch` (banding fused in-kernel);
+    this standalone-signature form is the public API for callers that
+    need raw signatures (e.g. signature similarity estimation)."""
     from pyspark.sql.functions import pandas_udf
 
     rng = random.Random(seed)
@@ -293,6 +302,14 @@ def minhash_band_buckets_batch(
     from pyspark.sql.functions import pandas_udf
 
     rows = num_hashes // bands
+    # rows == 0 would fold every document to identical all-zero buckets
+    # (the LSH join degenerates to a full quadratic all-pairs product,
+    # silently); a non-dividing bands count would silently discard the
+    # remainder hashes — both are caller bugs, fail fast.
+    if rows == 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     rng = random.Random(seed)
     seeds = np.array(
         [rng.randrange(0, 1 << 64) for _ in range(num_hashes)], dtype=np.uint64

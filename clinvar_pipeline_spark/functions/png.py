@@ -17,11 +17,28 @@ decides (metadata-only callers can still use :func:`png_info`).
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _valueerror_boundary(fn):
+    """Public decode entry points raise ONLY ValueError on malformed
+    input: struct.error (short buffers) and zlib.error (corrupt
+    streams) escaping the parsers would crash callers' except-ValueError
+    ladders (the multimodal kernels' never-crash-a-task contract)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, zlib.error, IndexError) as e:
+            raise ValueError(f"malformed image bytes: {e}") from e
+
+    return wrapped
 
 
 def is_png(raw: bytes) -> bool:
@@ -45,6 +62,7 @@ def _chunks(raw: bytes):
             return
 
 
+@_valueerror_boundary
 def png_info(raw: bytes) -> tuple[int, int, int, int]:
     """(width, height, bit_depth, color_type) from IHDR — real header
     parse (signature + CRC checked), no pixel decode."""
@@ -66,6 +84,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_valueerror_boundary
 def png_decode(raw: bytes) -> tuple[int, int, int, bytes]:
     """Full PNG decode: (width, height, channels, pixel_bytes).
 
@@ -122,8 +141,18 @@ def png_decode(raw: bytes) -> tuple[int, int, int, bytes]:
         out[row * stride : (row + 1) * stride] = line
         prev = line
     if color == 3:  # palette -> RGB
+        # a short slice assigned into a bytearray SHRINKS it silently,
+        # so out-of-range indices / missing PLTE must raise instead of
+        # corrupting every subsequent pixel
+        n_entries = len(plte) // 3
+        if n_entries == 0:
+            raise ValueError("palette PNG missing PLTE chunk")
         rgb = bytearray(w * h * 3)
         for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
             rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
         return w, h, 3, bytes(rgb)
     return w, h, ch, bytes(out)
@@ -173,6 +202,7 @@ def resize_nearest(
     return bytes(out)
 
 
+@_valueerror_boundary
 def jpeg_info(raw: bytes) -> tuple[int, int]:
     """(width, height) from the first JPEG SOF0-SOF15 frame header —
     real marker-segment walk per ITU T.81."""
@@ -196,9 +226,10 @@ def jpeg_info(raw: bytes) -> tuple[int, int]:
     raise ValueError("JPEG missing SOF header")
 
 
+@_valueerror_boundary
 def gif_info(raw: bytes) -> tuple[int, int]:
     """(width, height) from the GIF logical screen descriptor."""
-    if raw[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF")
+    if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 10:
+        raise ValueError("not a GIF / truncated header")
     w, h = struct.unpack("<HH", raw[6:10])
     return w, h

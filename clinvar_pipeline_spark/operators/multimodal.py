@@ -68,7 +68,10 @@ def _decode_image_fake(raw: bytes) -> tuple[int, int, str]:
 def _decode_image(raw: bytes) -> tuple[int, int, str]:
     """(width, height, format) via the decode ladder: PIL -> pure
     PNG/JPEG/GIF parsers (functions/png.py, real stdlib codecs) ->
-    deterministic fake for unrecognizable bytes."""
+    deterministic fake for unrecognizable bytes. Each tier falls
+    through to the next on failure, so a PIL build missing a plugin
+    still gets the stdlib parse, and only unrecognizable/malformed
+    bytes reach the fake tier (never a task crash)."""
     from clinvar_pipeline_spark.functions import png as _codec
 
     if _HAS_PIL:  # pragma: no cover - PIL absent in this container
@@ -80,7 +83,7 @@ def _decode_image(raw: bytes) -> tuple[int, int, str]:
             with Image.open(io.BytesIO(raw)) as im:
                 return im.width, im.height, im.format or "unknown"
         except Exception:
-            return _decode_image_fake(raw)
+            pass  # tier 2 below still gets its chance
     try:
         if _codec.is_png(raw):
             w, h, _depth, _color = _codec.png_info(raw)
@@ -187,17 +190,14 @@ def resize_images(
                     im.resize((out_width, out_height)).save(buf, "PNG")
                     return buf.getvalue()
             except Exception:
-                pass
-        else:
-            try:
-                if _codec.is_png(raw):
-                    w, h, ch, px = _codec.png_decode(raw)
-                    rs = _codec.resize_nearest(
-                        w, h, ch, px, out_width, out_height
-                    )
-                    return _codec.png_encode(out_width, out_height, ch, rs)
-            except ValueError:
-                pass
+                pass  # tier 2 below still gets its chance
+        try:
+            if _codec.is_png(raw):
+                w, h, ch, px = _codec.png_decode(raw)
+                rs = _codec.resize_nearest(w, h, ch, px, out_width, out_height)
+                return _codec.png_encode(out_width, out_height, ch, rs)
+        except ValueError:
+            pass  # malformed PNG -> fake tier, never a task crash
         return (raw * (target // max(len(raw), 1) + 1))[:target]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

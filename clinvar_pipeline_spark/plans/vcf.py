@@ -206,24 +206,25 @@ def assign_rs_from_xdb(variants: DataFrame, xdb_ids: DataFrame) -> DataFrame:
         if "rs_id" in variants.columns
         else variants.withColumn("rs_id", F.lit(None).cast("string"))
     )
+    # The reference skips candidates EQUAL to the stored value and
+    # applies the first differing one (VariantRsId.java:39
+    # stringsAreEqual guard inside the xdb loop) — so the differing
+    # filter must run BEFORE the per-key pick: min() over all
+    # candidates would suppress a legitimate update whenever the
+    # lexicographic min happens to equal the stored rs.
+    rs_cand = xdb_ids.filter(
+        (F.col("xdb_key") == DBSNP_XDB_KEY)
+        & F.col("link_text").startswith("rs")
+    ).select("rgd_id", "link_text")
     cand = (
-        xdb_ids.filter(
-            (F.col("xdb_key") == DBSNP_XDB_KEY)
-            & F.col("link_text").startswith("rs")
-        )
+        rs_cand.join(v.select("rgd_id", "rs_id"), "rgd_id")
+        .filter(~F.col("link_text").eqNullSafe(F.col("rs_id")))
         .groupBy("rgd_id")
         .agg(F.min("link_text").alias("_rs_new"))
     )
     joined = v.join(cand, "rgd_id", "left")
-    # W7 no-op rule: only differing values change; equal or absent
-    # candidates leave the stored rs untouched.
     return joined.withColumn(
-        "rs_id",
-        F.when(
-            F.col("_rs_new").isNotNull()
-            & ~F.col("_rs_new").eqNullSafe(F.col("rs_id")),
-            F.col("_rs_new"),
-        ).otherwise(F.col("rs_id")),
+        "rs_id", F.coalesce("_rs_new", "rs_id")
     ).drop("_rs_new")
 
 

@@ -178,6 +178,102 @@ except ImportError:  # pragma: no cover
     pass
 
 
+def test_malformed_images_raise_valueerror_only():
+    """Every malformed-input failure mode surfaces as ValueError — a
+    struct.error or zlib.error escaping the codec would crash the
+    mapInPandas kernels whose ladder catches ValueError."""
+    cases = [
+        (gif_info, b"GIF89a"),                      # truncated header
+        (jpeg_info, b"\xff\xd8\xff\xc0\x00"),       # truncated SOF
+        (png_decode, b"\x89PNG\r\n\x1a\n\x00\x00"),  # truncated chunk
+    ]
+    # corrupt zlib stream inside a CRC-valid IDAT
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"notzlib")
+        + chunk(b"IEND", b"")
+    )
+    cases.append((png_decode, bad_idat))
+    for fn, raw in cases:
+        with pytest.raises(ValueError):
+            fn(raw)
+
+
+def test_palette_out_of_range_raises():
+    # short-slice assignment into a bytearray SHRINKS it silently; the
+    # decoder must raise instead of returning a corrupt short buffer
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    scan = b"\x00" + bytes([0, 5])  # index 5 over a 2-entry palette
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(6))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode(raw)
+    # missing PLTE entirely
+    raw2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(raw2)
+
+
+def test_operators_survive_malformed_image_bytes(spark):
+    # end-to-end: truncated GIF/JPEG prefixes and a corrupt PNG flow
+    # through both operators into the fake tier, never a task crash
+    from clinvar_pipeline_spark.operators.multimodal import (
+        extract_image_meta,
+        resize_images,
+    )
+
+    corrupt_png = bytearray(png_encode(4, 4, 3, _gradient(4, 4, 3)))
+    corrupt_png[20] ^= 0xFF
+    df = spark.createDataFrame(
+        [
+            (1, b"GIF89a"),
+            (2, b"\xff\xd8\xff\xc0\x00"),
+            (3, bytes(corrupt_png)),
+        ],
+        "id long, content binary",
+    )
+    meta = {r["id"]: r["format"] for r in extract_image_meta(df).collect()}
+    assert all(fmt.startswith("fake/") for fmt in meta.values()), meta
+    out = resize_images(df, out_width=3, out_height=3).collect()
+    assert all(len(r["resized"]) == 9 for r in out)  # fake tier payload
+
+
+def test_band_bucket_kernel_rejects_degenerate_banding():
+    from clinvar_pipeline_spark.functions.hashes import (
+        minhash_band_buckets_batch,
+    )
+
+    for num_hashes, bands in ((64, 69), (64, 48)):
+        with pytest.raises(ValueError, match="evenly divide"):
+            minhash_band_buckets_batch(num_hashes, bands)
+
+
 def test_extract_image_meta_real_png(spark):
     from clinvar_pipeline_spark.operators.multimodal import extract_image_meta
 

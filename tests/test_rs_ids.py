@@ -45,24 +45,30 @@ def test_assign_rs_from_xdb_matches_variant_rs_id_semantics(spark):
             (2, "rs222"),    # equal candidate -> untouched (no-op rule)
             (3, None),       # null stored -> updated
             (4, "rs_keep"),  # no key-48 rs candidate -> untouched
+            (5, "rs000"),    # min candidate EQUALS stored: the equal one
+                             # is skipped, the differing one still applies
+                             # (VariantRsId.java:39 filters equal inside
+                             # the loop, BEFORE any pick)
         ],
         "rgd_id long, rs_id string",
     )
     xdb_ids = spark.createDataFrame(
         [
             (1, 48, "397704705", "rs111"),
-            (1, 48, "397704706", "rs000"),  # min(link_text) wins
+            (1, 48, "397704706", "rs000"),  # min over differing wins
             (2, 48, "5", "rs222"),
             (3, 48, "6", "rs333"),
             (4, 21, "HGNC:1", "rsNOT48"),   # wrong key: ignored
             (4, 48, "7", "ss444"),          # no 'rs' prefix: ignored
+            (5, 48, "8", "rs000"),          # equal -> skipped
+            (5, 48, "9", "rs111"),          # differing -> applied
         ],
         "rgd_id long, xdb_key int, acc_id string, link_text string",
     )
     out = assign_rs_from_xdb(variants, xdb_ids)
     rows = {r["rgd_id"]: r["rs_id"] for r in out.collect()}
-    assert out.count() == 4
-    assert rows == {1: "rs000", 2: "rs222", 3: "rs333", 4: "rs_keep"}
+    assert out.count() == 5
+    assert rows == {1: "rs000", 2: "rs222", 3: "rs333", 4: "rs_keep", 5: "rs111"}
 
 
 def test_assign_rs_from_xdb_adds_missing_column(spark):
