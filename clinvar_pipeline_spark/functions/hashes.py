@@ -53,10 +53,19 @@ def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     — measured 6x slower on real documents.
     """
     n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
+    # degenerate guard: for n < k, sequence(1, n-k+1) would DESCEND
+    # (Spark sequence counts down to a smaller bound, e.g. [1, 0]) and
+    # slice(toks, 0, k) then raises INVALID_PARAMETER_VALUE — so a
+    # single short/empty document would crash the whole stage. Emit an
+    # empty shingle set instead, matching the DuckDB oracle's
+    # range(1, greatest(n-k+1,0)+1) which is empty for n < k. CaseWhen
+    # branches evaluate lazily per-row, so the sequence never runs for
+    # short docs.
+    starts = F.sequence(F.lit(1), n - (k - 1))
+    full = F.array_distinct(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     )
+    return F.when(n >= F.lit(k), full).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:

@@ -112,8 +112,14 @@ def png_decode(raw: bytes) -> tuple[int, int, int, bytes]:
         )
     ch = _CHANNELS[color]
     stride = w * ch
-    decomp = zlib.decompress(bytes(idat))
-    if len(decomp) != (stride + 1) * h:
+    # bounded inflate: IDAT is untrusted corpus bytes, and a tiny
+    # crafted stream can inflate to gigabytes inside an executor. Ask
+    # for at most expected+1 bytes — a bomb is detected (and aborted)
+    # after one excess byte instead of materializing the whole payload.
+    expected = (stride + 1) * h
+    d = zlib.decompressobj()
+    decomp = d.decompress(bytes(idat), expected + 1)
+    if len(decomp) != expected or d.unconsumed_tail:
         raise ValueError("PNG pixel data length mismatch")
     out = bytearray(stride * h)
     prev = bytearray(stride)
@@ -214,9 +220,16 @@ def jpeg_info(raw: bytes) -> tuple[int, int]:
             pos += 1
             continue
         marker = raw[pos + 1]
+        if marker == 0xFF:  # fill byte: FF FF ... FF <marker> padding
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker in (0xDA, 0xD9):
+            # SOS (entropy-coded data follows — SOF always precedes it)
+            # or EOI: no frame header was seen, stop walking
+            break
         (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
         # SOF markers, excluding DHT(C4)/JPG(C8)/DAC(CC)
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

@@ -104,7 +104,14 @@ def minhash_lsh_candidate_pairs(
     # recomputes tokenize->shingle->minhash once per branch (released
     # between repeated invocations via caching.release_cached)
     sig = register_persist(sig)
-    banded = sig.select(
+    # empty-shingle docs (shorter than shingle_k tokens) all map to the
+    # SAME constant signature in the kernel, so without this filter
+    # every such pair collides in every band — O(n^2) candidates among
+    # empty docs at scale, shuffled before the verify can drop them.
+    # They can never verify anyway (Jaccard over two empty sets is
+    # null), so excluding them from banding changes nothing in the
+    # output and keeps the candidate set linear.
+    banded = sig.filter(F.size("sh") > 0).select(
         "id", F.posexplode("bks").alias("band", "bucket")
     )
 

@@ -146,6 +146,52 @@ def test_jpeg_header_parse():
     assert jpeg_info(raw) == (37, 13)
 
 
+def test_png_decompression_bomb_bounded():
+    # a few-KB IDAT inflating to ~10 MB against a 1x1 header must raise
+    # (bounded decompressobj stops one byte past the expected size —
+    # the executor never materializes the bomb)
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 20_000  # the payload really is tiny on the wire
+    with pytest.raises(ValueError, match="length mismatch"):
+        png_decode(bomb)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    # ITU T.81 allows any number of 0xFF fill bytes before a marker; a
+    # naive walk reads the fill byte as a marker and a bogus seglen
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 13, 37) + b"\x01\x11\x00"
+    )
+    raw = b"\xff\xd8" + b"\xff\xff\xff" + sof + b"\xff\xd9"
+    assert jpeg_info(raw) == (37, 13)
+
+
+def test_jpeg_stops_at_sos_no_sof_misparse():
+    # SOF-looking bytes INSIDE entropy-coded data (after SOS) must not
+    # be parsed as a frame header — the walk stops at SOS
+    sos = b"\xff\xda" + struct.pack(">H", 3) + b"\x01"
+    fake_sof_in_entropy = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 99, 99
+    ) + b"\x01\x11\x00"
+    raw = b"\xff\xd8" + sos + fake_sof_in_entropy + b"\xff\xd9"
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg_info(raw)
+
+
 def test_gif_header_parse():
     raw = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
     assert gif_info(raw) == (320, 200)
