@@ -6,7 +6,8 @@ variant snapshot as VCF data lines:
 - per-chromosome scan          -> one partitioned scan (no driver loop)
 - J17 dbSNP position join      (Clinvar2Vcf.java:420-448)
 - J18 reference-base check     (Clinvar2Vcf.java:362-403; the per-row
-  HTTP fetch becomes a broadcast join against a ref_bases table)
+  HTTP fetch becomes a hash join against a ref_bases table — un-hinted
+  so AQE broadcasts only when the actual table is dim-sized)
 - F18 bad-ref filter, W6 indel padding normalization
   (Clinvar2Vcf.java:188-259)
 - A5 grouping by chr|pos|rs|type with sorted comma-set allele merge,
@@ -46,7 +47,11 @@ def _flagged_rows(
     )
     rows = v.join(pos, "rgd_id")
 
-    # J17: rs-id resolution from dbSNP by (chr, pos, ref, alt)
+    # J17: rs-id resolution from dbSNP by (chr, pos, ref, alt).
+    # NO broadcast hint: production dbSNP is fact-sized (~1e9 rows —
+    # see add_rs_ids' scale note below), so a forced broadcast would
+    # OOM the driver at scale. Plain hash join; AQE broadcasts at
+    # runtime when the actual table fits under the threshold.
     if db_snp is not None:
         snp = db_snp.select(
             F.col("chromosome").alias("chr"),
@@ -56,7 +61,7 @@ def _flagged_rows(
             F.col("snp_name").alias("_snp"),
         )
         rows = rows.join(
-            F.broadcast(snp), ["chr", "pos", "ref_nuc", "var_nuc"], "left"
+            snp, ["chr", "pos", "ref_nuc", "var_nuc"], "left"
         ).withColumn("rs_id", F.coalesce("rs_id", "_snp")).drop("_snp")
 
     # J18/F18/W6: padding bases + SNV reference check. Insertions pad
@@ -75,8 +80,10 @@ def _flagged_rows(
             (F.col("position") + 1).alias("pos"),
             F.col("base").alias("_pad_prev"),
         )
-        rows = rows.join(F.broadcast(rb), ["chr", "pos"], "left").join(
-            F.broadcast(rb_prev), ["chr", "pos"], "left"
+        # ref_bases is per-position genome bases — fact-sized in
+        # production (3e9 positions), same no-hint policy as db_snp
+        rows = rows.join(rb, ["chr", "pos"], "left").join(
+            rb_prev, ["chr", "pos"], "left"
         )
     else:
         rows = rows.withColumn("_pad", F.lit(None).cast("string")).withColumn(
