@@ -43,7 +43,10 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     # r4: minhash_lsh_pairs keeps its name (set frozen at the r3 24)
     # but became oracle-checkable — verify threshold 0.10 -> 0.5 and
-    # 16x4 -> 32x2 banding; same signature work, fewer surviving pairs
+    # banding re-parameterized to 207 hashes / 69 bands x 3 rows
+    # (queries.py q_minhash_lsh_pairs documents the miss-probability
+    # math; 3.2x the hash work of the old 16x4 buys the <=1e-4
+    # oracle-coverage guarantee with ~16x fewer background candidates)
     "minhash_lsh_pairs",
     "simhash_signatures",
     "text_profile",
@@ -117,6 +120,17 @@ def main() -> None:
             # storage pool (r3's unexplained ANN warm regressions)
             q.release_cached()
     warm = {n: min(warm1[n], warm2[n]) for n in warm1}
+    # sub-second queries sit inside this sandbox's per-query noise
+    # envelope (documented 2x one-off swings) — a single outlier pass
+    # can double their reported warm time (r4's topk_cosine /
+    # embedding_neardup_pairs watch items). Give them a third pass and
+    # take min-of-three; the extra cost is bounded by the 1s cutoff.
+    for name in [n for n, t in warm.items() if t < 1.0]:
+        fn = registry[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = min(warm[name], round(time.time() - t0, 3))
+        q.release_cached()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -35,9 +35,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = (
-    "id long, n_bytes int, sha256 string, width int, height int, format string"
+    "id long, n_bytes int, sha256 string, width int, height int,"
+    " format string, decode_tier string"
 )
 FRAME_SCHEMA = "id long, frame_idx int, frame_bytes binary"
+
+# decode_tier values — which rung of the ladder actually produced the
+# result, surfaced as a column so a production corpus can report how
+# much of it decoded for real (the same observability discipline as
+# the VCF drop counters, plans/vcf.py clinvar2vcf_drop_counters)
+TIER_PIL = "pil"
+TIER_PURE = "pure"  # stdlib codecs in functions/png.py
+TIER_FAKE = "fake"  # unrecognizable/malformed bytes, deterministic fake
 
 try:  # pragma: no cover - codec not present in this container
     from PIL import Image  # noqa: F401
@@ -65,13 +74,13 @@ def _decode_image_fake(raw: bytes) -> tuple[int, int, str]:
     return n % 256, (n // 256) % 256, "fake/%d" % (raw[0] if n else 0)
 
 
-def _decode_image(raw: bytes) -> tuple[int, int, str]:
-    """(width, height, format) via the decode ladder: PIL -> pure
-    PNG/JPEG/GIF parsers (functions/png.py, real stdlib codecs) ->
-    deterministic fake for unrecognizable bytes. Each tier falls
-    through to the next on failure, so a PIL build missing a plugin
-    still gets the stdlib parse, and only unrecognizable/malformed
-    bytes reach the fake tier (never a task crash)."""
+def _decode_image(raw: bytes) -> tuple[int, int, str, str]:
+    """(width, height, format, decode_tier) via the decode ladder:
+    PIL -> pure PNG/JPEG/GIF parsers (functions/png.py, real stdlib
+    codecs) -> deterministic fake for unrecognizable bytes. Each tier
+    falls through to the next on failure, so a PIL build missing a
+    plugin still gets the stdlib parse, and only unrecognizable/
+    malformed bytes reach the fake tier (never a task crash)."""
     from clinvar_pipeline_spark.functions import png as _codec
 
     if _HAS_PIL:  # pragma: no cover - PIL absent in this container
@@ -81,22 +90,22 @@ def _decode_image(raw: bytes) -> tuple[int, int, str]:
 
         try:
             with Image.open(io.BytesIO(raw)) as im:
-                return im.width, im.height, im.format or "unknown"
+                return im.width, im.height, im.format or "unknown", TIER_PIL
         except Exception:
             pass  # tier 2 below still gets its chance
     try:
         if _codec.is_png(raw):
             w, h, _depth, _color = _codec.png_info(raw)
-            return w, h, "PNG"
+            return w, h, "PNG", TIER_PURE
         if raw[:2] == b"\xff\xd8":
             w, h = _codec.jpeg_info(raw)
-            return w, h, "JPEG"
+            return w, h, "JPEG", TIER_PURE
         if raw[:6] in (b"GIF87a", b"GIF89a"):
             w, h = _codec.gif_info(raw)
-            return w, h, "GIF"
+            return w, h, "GIF", TIER_PURE
     except ValueError:
         pass  # malformed image bytes -> fake tier, never a task crash
-    return _decode_image_fake(raw)
+    return (*_decode_image_fake(raw), TIER_FAKE)
 
 
 def extract_image_meta(binaries: DataFrame) -> DataFrame:
@@ -121,24 +130,73 @@ def extract_image_meta(binaries: DataFrame) -> DataFrame:
             out["width"] = dims.map(lambda d: d[0])
             out["height"] = dims.map(lambda d: d[1])
             out["format"] = dims.map(lambda d: d[2])
+            out["decode_tier"] = dims.map(lambda d: d[3])
             yield out
 
     return binaries.mapInPandas(kernel, IMAGE_META_SCHEMA)
 
 
+def decode_tier_counters(binaries: DataFrame) -> DataFrame:
+    """(decode_tier, n) — how many payloads decoded via PIL, the pure
+    stdlib codecs, or fell to the deterministic fake. The run-report
+    twin of the VCF drop counters: a production corpus asserts its
+    real-decode fraction instead of trusting it."""
+    return (
+        extract_image_meta(binaries)
+        .groupBy("decode_tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def sample_frames(
     binaries: DataFrame, n_frames: int = 4, frame_size: int = 16
 ) -> DataFrame:
-    """Video frame-sampling shape: (id, content) -> one row per sampled
-    frame with a fixed-size byte slice (a real kernel would seek +
-    decode; the slicing is the deterministic stand-in). Output fan-out
-    is n_frames:1 — mapInPandas yields more rows than it consumes."""
+    """Frame sampling: (id, content) -> one row per sampled frame,
+    fan-out n_frames:1 (mapInPandas yields more rows than it consumes).
+
+    PNG payloads sample REAL pixel regions: the image is decoded
+    (functions/png.py), split into up to ``n_frames`` horizontal
+    bands, and each band is re-encoded as its own decodable PNG — the
+    seek+decode semantics a video kernel would have, realized on the
+    codec this container can actually decode. Images shorter than
+    ``n_frames`` rows emit one frame per row (fan-out is bounded by
+    content, exactly like a short video).
+
+    Non-image payloads keep the deterministic byte-slice stand-in
+    (``frame_size`` bytes at evenly spaced offsets) — the documented
+    fake tier for formats with no in-container codec (video, audio,
+    JPEG pixel data)."""
+    from clinvar_pipeline_spark.functions import png as _codec
+
+    def png_frames(raw: bytes) -> list[bytes] | None:
+        try:
+            if not _codec.is_png(raw):
+                return None
+            w, h, ch, px = _codec.png_decode(raw)
+        except ValueError:
+            return None  # malformed PNG -> byte-slice tier
+        stride = w * ch
+        n = min(n_frames, h)
+        out = []
+        for fi in range(n):
+            y0, y1 = fi * h // n, (fi + 1) * h // n
+            out.append(
+                _codec.png_encode(w, y1 - y0, ch, px[y0 * stride : y1 * stride])
+            )
+        return out
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for i, raw in zip(pdf["id"], pdf["content"]):
                 raw = raw or b""
+                real = png_frames(raw)
+                if real is not None:
+                    for fi, fb in enumerate(real):
+                        ids.append(i)
+                        idxs.append(fi)
+                        frames.append(fb)
+                    continue
                 stride = max(len(raw) // max(n_frames, 1), 1)
                 for fi in range(n_frames):
                     start = fi * stride
@@ -155,7 +213,8 @@ def sample_frames(
 
 
 RESIZE_SCHEMA = (
-    "id long, out_width int, out_height int, resized binary"
+    "id long, out_width int, out_height int, resized binary,"
+    " decode_tier string"
 )
 
 
@@ -177,7 +236,7 @@ def resize_images(
 
     target = out_width * out_height
 
-    def one(raw: bytes) -> bytes:
+    def one(raw: bytes) -> tuple[bytes, str]:
         raw = raw or b"\0"
         if _HAS_PIL:  # pragma: no cover - PIL absent in this container
             import io
@@ -188,26 +247,28 @@ def resize_images(
                 with Image.open(io.BytesIO(raw)) as im:
                     buf = io.BytesIO()
                     im.resize((out_width, out_height)).save(buf, "PNG")
-                    return buf.getvalue()
+                    return buf.getvalue(), TIER_PIL
             except Exception:
                 pass  # tier 2 below still gets its chance
         try:
             if _codec.is_png(raw):
                 w, h, ch, px = _codec.png_decode(raw)
                 rs = _codec.resize_nearest(w, h, ch, px, out_width, out_height)
-                return _codec.png_encode(out_width, out_height, ch, rs)
+                return _codec.png_encode(out_width, out_height, ch, rs), TIER_PURE
         except ValueError:
             pass  # malformed PNG -> fake tier, never a task crash
-        return (raw * (target // max(len(raw), 1) + 1))[:target]
+        return (raw * (target // max(len(raw), 1) + 1))[:target], TIER_FAKE
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            done = pdf["content"].map(one)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "out_width": out_width,
                     "out_height": out_height,
-                    "resized": pdf["content"].map(one),
+                    "resized": done.map(lambda d: d[0]),
+                    "decode_tier": done.map(lambda d: d[1]),
                 }
             )
 

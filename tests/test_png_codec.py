@@ -330,6 +330,73 @@ def test_extract_image_meta_real_png(spark):
     assert rows[2]["format"].startswith("fake/")  # non-image -> fake tier
 
 
+def test_decode_tier_observability(spark):
+    # the tier column + counter frame report how much of a corpus
+    # decoded for real: PNG/JPEG/GIF -> 'pure' (stdlib codecs), text
+    # bytes -> 'fake'; PIL would report 'pil' where installed
+    from clinvar_pipeline_spark.operators.multimodal import (
+        decode_tier_counters,
+        extract_image_meta,
+        resize_images,
+    )
+
+    png = png_encode(5, 4, 3, _gradient(5, 4, 3))
+    jpeg = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 4, 5) + b"\x01\x11\x00" + b"\xff\xd9"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 5, 4) + b"\x00\x00\x00"
+    df = spark.createDataFrame(
+        [(1, png), (2, jpeg), (3, gif), (4, b"plain text")],
+        "id long, content binary",
+    )
+    tiers = {r["id"]: r["decode_tier"] for r in extract_image_meta(df).collect()}
+    assert tiers == {1: "pure", 2: "pure", 3: "pure", 4: "fake"}, tiers
+    counts = {r["decode_tier"]: r["n"] for r in decode_tier_counters(df).collect()}
+    assert counts == {"pure": 3, "fake": 1}, counts
+    # resize reports its own tier: only PNG has a pixel decode path
+    rtiers = {r["id"]: r["decode_tier"] for r in resize_images(df, 3, 3).collect()}
+    assert rtiers == {1: "pure", 2: "fake", 3: "fake", 4: "fake"}, rtiers
+
+
+def test_sample_frames_real_png_pixel_regions(spark):
+    from clinvar_pipeline_spark.operators.multimodal import sample_frames
+
+    w, h, ch = 6, 8, 3
+    px = _gradient(w, h, ch)
+    png = png_encode(w, h, ch, px)
+    df = spark.createDataFrame(
+        [(1, png), (2, b"not an image at all, 32 bytes...")],
+        "id long, content binary",
+    )
+    rows = sample_frames(df, n_frames=4, frame_size=16).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], {})[r["frame_idx"]] = bytes(r["frame_bytes"])
+    # PNG payload: 4 horizontal bands of 2 rows each, each frame itself
+    # a decodable PNG whose pixels are exactly that band's rows
+    assert len(by_id[1]) == 4
+    stride = w * ch
+    for fi in range(4):
+        fw, fh, fch, fpx = png_decode(by_id[1][fi])
+        assert (fw, fh, fch) == (w, 2, ch)
+        assert fpx == px[fi * 2 * stride : (fi + 1) * 2 * stride]
+    # non-image payload keeps the byte-slice stand-in
+    assert by_id[2][0] == b"not an image at all, 32 bytes..."[:16]
+
+
+def test_sample_frames_png_shorter_than_n_frames(spark):
+    from clinvar_pipeline_spark.operators.multimodal import sample_frames
+
+    png = png_encode(4, 2, 3, _gradient(4, 2, 3))  # only 2 pixel rows
+    df = spark.createDataFrame([(1, png)], "id long, content binary")
+    rows = sample_frames(df, n_frames=4).collect()
+    assert len(rows) == 2  # one frame per row, fan-out bounded by content
+    for r in rows:
+        fw, fh, _fch, _fpx = png_decode(bytes(r["frame_bytes"]))
+        assert (fw, fh) == (4, 1)
+
+
 def test_resize_images_real_png_roundtrip(spark):
     from clinvar_pipeline_spark.operators.multimodal import (
         attach_binary,
