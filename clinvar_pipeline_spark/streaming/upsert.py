@@ -8,7 +8,13 @@ fingerprint, and each micro-batch emits INSERT (key never seen),
 UPDATE (fingerprint differs) or UNCHANGED (fingerprint equal) — the
 reference's no-op-downgrade rule (W2) as stream semantics. DELETE is
 deliberately absent: absence of a key is not an event, so stale-key
-deletion stays a batch concern (the W4/W5 guarded deletes).
+DELETION stays a batch concern (the W4/W5 guarded deletes) — but
+stale-key OBSERVABILITY is streamable: with ``stale_after_ms`` set,
+keys that receive no record for that long surface one STALE marker
+row via GroupStateTimeout (processing time), the streaming analogue
+of the batch W4 delete-candidate scan (operators/guarded_delete.py).
+The marker is an observation, not a delete — downstream thresholds
+and decides, exactly as the batch guard does before deleting.
 
 Semantics match batch diff_sync on duplicate keys: every row in a
 micro-batch classifies against the state AT BATCH START (the batch
@@ -40,12 +46,18 @@ from clinvar_pipeline_spark.operators.diff_sync import (
 _STATE_SCHEMA = "fp string"
 _CHANGE_SCHEMA = "change_type string, fingerprint string"
 
+#: Marker emitted for keys silent longer than ``stale_after_ms`` —
+#: the streaming observability analogue of the batch W4/W5 guarded
+#: delete candidates. Never emitted by the batch diff_sync.
+STALE = "STALE"
+
 
 def diff_sync_stream(
     records: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str],
     key_schema: str,
+    stale_after_ms: int | None = None,
 ) -> DataFrame:
     """Classify a record stream into INSERT/UPDATE/UNCHANGED per key.
 
@@ -54,8 +66,15 @@ def diff_sync_stream(
     output (e.g. ``"symbol string"``) — applyInPandasWithState needs
     the output schema declared.
 
+    ``stale_after_ms``: if set, a key that receives no record for this
+    long (processing time) emits one ``STALE`` marker row carrying its
+    last fingerprint, and its state is dropped — so a key that later
+    reappears classifies as INSERT, matching the batch engine's view
+    of a deleted-then-reinserted row. State stays bounded: silent keys
+    are evicted instead of accumulating forever.
+
     Returns a stream of (key..., change_type, fingerprint) rows, one
-    per input row, in update mode.
+    per input row (plus STALE markers), in update mode.
     """
     keyed = records.withColumn("_fp", row_fingerprint(compare_cols)).select(
         *key_cols, "_fp"
@@ -67,6 +86,19 @@ def diff_sync_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if stale_after_ms is not None and state.hasTimedOut:
+            # No records this batch and the silence window elapsed:
+            # surface the key once, drop its state (bounded store).
+            prev_fp = state.get[0] if state.exists else None
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    **{c: [key[i]] for i, c in enumerate(key_cols)},
+                    "change_type": [STALE],
+                    "fingerprint": [prev_fp],
+                }
+            )
+            return
         prev_fp = state.get[0] if state.exists else None
         last_fp = prev_fp
         out = []
@@ -82,6 +114,10 @@ def diff_sync_stream(
                 last_fp = fp
         if last_fp is not None:
             state.update((last_fp,))
+            if stale_after_ms is not None:
+                # Timeouts reset on every function call; re-arm so the
+                # silence clock restarts at the key's latest record.
+                state.setTimeoutDuration(stale_after_ms)
         yield pd.DataFrame(
             {
                 **{c: [key[i]] * len(out) for i, c in enumerate(key_cols)},
@@ -90,11 +126,16 @@ def diff_sync_stream(
             }
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if stale_after_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return keyed.groupBy(*key_cols).applyInPandasWithState(
         classify,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
