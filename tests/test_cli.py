@@ -121,7 +121,46 @@ def test_cli_chained_load_annotate_golden_counters(spark, cli_dirs):
     The release is the fixture with FULL_RECORD's Indel retyped to
     Deletion (carpe-compliant, F14) and a single-gene dim, so the
     annotate stage produces the full ladder: variant D annotation,
-    gene IAGP, rat-homolog ISO."""
+    gene IAGP, rat-homolog ISO.
+
+    The third record is an SNV clone of FULL_RECORD (single-base
+    G>T at a distinct GRCh38 position, dbSNP xref rs555) so the chain
+    can continue past annotate: --addRsIds (xdb-sourced, the
+    VariantRsId default) then --clinvar2vcf, asserting the EXACT vcf
+    file text — the full load_and_annotate.sh + export parity loop
+    (Manager.java:45-68) under one golden test."""
+    # single nucleotide variant record: new ids, single-base alleles
+    # on BOTH SequenceLocations (ref/alt-VCF picks are last-wins),
+    # distinct position, its own alias + dbSNP rs
+    snv_record = (
+        FULL_RECORD.replace("VCV000000011", "VCV000000777")
+        .replace('VariationID="11"', 'VariationID="777"')
+        .replace('AlleleID="26042"', 'AlleleID="26777"')
+        .replace(
+            "NM_014855.3(AP5Z1):c.80_83delinsTGCTGTAAACTGTAACTGTAAA",
+            "NM_014855.3(AP5Z1):c.100G&gt;T",
+        )
+        .replace(
+            "<VariantType>Indel</VariantType>",
+            "<VariantType>single nucleotide variant</VariantType>",
+        )
+        .replace(
+            "<OtherNameList><Name>AP5Z1, 4-BP DEL/22-BP INS</Name><Name>second-alt</Name></OtherNameList>",
+            "<OtherNameList><Name>third-alt</Name></OtherNameList>",
+        )
+        .replace(
+            'start="4775623" stop="4775648" referenceAlleleVCF="GGAT" alternateAlleleVCF="TGCTGTAAACTGTAACTGTAAA"',
+            'start="4775700" stop="4775700" referenceAlleleVCF="G" alternateAlleleVCF="T"',
+        )
+        .replace(
+            'referenceAlleleVCF="GGAT2" alternateAlleleVCF="ALT2"',
+            'referenceAlleleVCF="G" alternateAlleleVCF="T"',
+        )
+        .replace(
+            '<XRef DB="dbSNP" ID="397704705" Type="rs"/>',
+            '<XRef DB="dbSNP" ID="555" Type="rs"/>',
+        )
+    )
     root = cli_dirs / "chain"
     xml = root / "release.xml"
     root.mkdir()
@@ -131,6 +170,7 @@ def test_cli_chained_load_annotate_golden_counters(spark, cli_dirs):
             "<VariantType>Indel</VariantType>",
             "<VariantType>Deletion</VariantType>",
         )
+        + snv_record
         + MINUS_RECORD
         + TRAILER,
         "utf-8",
@@ -155,17 +195,19 @@ def test_cli_chained_load_annotate_golden_counters(spark, cli_dirs):
         for r in spark.read.parquet(str(root / "snap" / "counters")).collect()
     }
     assert load_counters == {
-        "RECORDS_SIMPLE": 2,
+        "RECORDS_SIMPLE": 3,
         "NON_CURRENT_RECORD": 1,
         "NON_HUMAN_SPECIES": 1,
         "CLINVAR_ENTRY_CONDITION_NOT_PROVIDED": 1,
-        "CLINVAR_ENTRY_OTHER": 1,
-        "VARIANTS_INSERT": 2,
-        "XDB_IDS_INSERT": 12,
-        "GENE_ASSOCIATIONS_INSERT": 1,
-        "MAP_POSITIONS_INSERT": 2,
-        "HGVS_NAMES_INSERT": 2,
-        "ALIASES_INSERT": 1,
+        "CLINVAR_ENTRY_OTHER": 2,
+        "VARIANTS_INSERT": 3,
+        # the SNV clone carries FULL_RECORD's entire xref/citation set
+        # (12 rows), both assembly placements, both HGVS, one valid alias
+        "XDB_IDS_INSERT": 24,
+        "GENE_ASSOCIATIONS_INSERT": 2,
+        "MAP_POSITIONS_INSERT": 4,
+        "HGVS_NAMES_INSERT": 4,
+        "ALIASES_INSERT": 2,
     }, load_counters
 
     # aux tables keyed to the release: the condition matches an RDO
@@ -203,20 +245,53 @@ def test_cli_chained_load_annotate_golden_counters(spark, cli_dirs):
         r["counter"]: r["value"]
         for r in spark.read.parquet(str(root / "annots" / "counters")).collect()
     }
-    assert annot_counters == {"ANNOTATIONS_INSERT": 3}, annot_counters
+    # both carpe-compliant variants annotate; the gene IAGP and
+    # homolog ISO rows MERGE across the two variants (A1/A2), so the
+    # ladder is 2 variant rows + 1 gene + 1 homolog
+    assert annot_counters == {"ANNOTATIONS_INSERT": 4}, annot_counters
     ann = spark.read.parquet(str(root / "annots" / "annotations"))
     rows = sorted(
         (r["annotated_object_rgd_id"], r["term_acc"], r["aspect"], r["evidence"])
         for r in ann.collect()
     )
-    # dense-by-symbol id assignment: CV26042 -> rgd_id 1 (the compliant
-    # deletion), CV55 -> 2 (no condition). Ladder: variant, its single
-    # gene (IAGP), the gene's rat homolog (ISO).
+    # dense-by-symbol id assignment: the two AP5Z1 variants get rgd_ids
+    # 1 and 2, CV55 (no gene, no condition) gets 3 and does not
+    # annotate. Ladder: both variants, their shared gene (IAGP, one
+    # merged row), the gene's rat homolog (ISO).
     assert rows == [
         (1, "RDO:0001", "D", "IAGP"),
+        (2, "RDO:0001", "D", "IAGP"),
         (101, "RDO:0001", "D", "IAGP"),
         (501, "RDO:0001", "D", "ISO"),
     ], rows
+
+    # ---- chain stages 3+4: --addRsIds then --clinvar2vcf ----
+    # rs ids come from the snapshot's own dbSNP xrefs (xdb key 48):
+    # the deletion carries rs397704705, the SNV rs555
+    main(
+        [
+            "--addRsIds",
+            "--snapshot", str(root / "snap"),
+            "--out", str(root / "snap_rs"),
+        ]
+    )
+    main(
+        [
+            "--clinvar2vcf",
+            "--snapshot", str(root / "snap_rs"),
+            "--out", str(root / "out.vcf"),
+        ]
+    )
+    # Exact file text: fixed header, then the ONE surviving data line.
+    # The deletion's merged line (ref GGAT2/alt ALT2, both multi-char)
+    # is removed by the F17 guard; the SNV renders at its GRCh38
+    # placement with the xdb-sourced rs id.
+    assert (root / "out.vcf").read_text("utf-8") == (
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=RGD,Number=1,Type=String,Description="RGD variant rgd id">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "7\t4775700\trs555\tG\tT\t.\t.\t.\n"
+    )
 
 
 def test_cli_qc_duplicate_terms(spark, cli_dirs):
