@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""ANN scale probe: ann_topk (hyperplane LSH) and ann_topk_ivf at a
+10x replication of the sf embeddings corpus — the same adversarial
+replication as the round-4 dedup skew probe (each vector copied
+``--factor`` times with shifted ids, labels kept), so every point has
+factor-1 planted exact duplicates.
+
+Reports, per ANN variant:
+- wall: full self-search (every point queries the whole corpus),
+  persisted + counted — the 100 TB plan shape under 10x load
+- recall@k vs exact brute force on ``--sample`` queries, using the
+  score-threshold definition (an ANN hit counts if its cosine >= the
+  query's exact k-th best) — robust to ties, which the replication
+  creates by construction (all copies tie at cos 1.0). On this corpus
+  the measure reads as "does the index surface the planted
+  duplicates", the dedup-flavored recall that matters at scale; the
+  nontrivial recall floors on the unreplicated corpus stay pinned by
+  tests/test_multimodal_similarity.py.
+
+Usage: python tools/ann_probe.py [--sf DIR] [--factor 10] [--sample 200]
+Prints one JSON line; paste the numbers into README's probe table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ID_OFFSET = 10**9
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--sample", type=int, default=200)
+    ap.add_argument("--k", type=int, default=5)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from clinvar_pipeline_spark.caching import release_cached
+    from clinvar_pipeline_spark.operators.similarity import (
+        ann_topk_hyperplane,
+        ann_topk_ivf,
+        brute_force_topk,
+    )
+    from clinvar_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{args.sf}/embeddings.parquet")
+    rep = (
+        base.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(args.factor - 1))
+            ).alias("_r"),
+            "vec_id",
+            "embedding",
+            "label",
+        )
+        .select(
+            (
+                F.col("vec_id") + F.col("_r").cast("long") * F.lit(ID_OFFSET)
+            ).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(32)
+        .persist()
+    )
+    n = rep.count()
+
+    # deterministic query sample: lowest base ids (the r=0 copies)
+    sample_ids = [
+        r["vec_id"]
+        for r in rep.filter(F.col("vec_id") < ID_OFFSET)
+        .orderBy("vec_id")
+        .limit(args.sample)
+        .collect()
+    ]
+    qs = rep.filter(F.col("vec_id").isin(sample_ids)).persist()
+    qs.count()
+
+    t0 = time.time()
+    exact = brute_force_topk(qs, rep, k=args.k).collect()
+    exact_wall = round(time.time() - t0, 2)
+    # per query: the k-th best exact score is the hit threshold
+    kth = {}
+    for r in exact:
+        cur = kth.setdefault(r["query_id"], [])
+        cur.append(r["cos_sim"])
+    thresholds = {q: min(scores) for q, scores in kth.items()}
+
+    out = {"sf": args.sf, "factor": args.factor, "corpus_rows": n,
+           "sample": len(sample_ids), "k": args.k,
+           "exact_baseline_wall_sec": exact_wall, "variants": {}}
+
+    for name, fn in (
+        ("ann_topk", ann_topk_hyperplane),
+        ("ann_topk_ivf", ann_topk_ivf),
+    ):
+        t0 = time.time()
+        res = fn(rep, rep, k=args.k).persist()
+        rows = res.count()
+        wall = round(time.time() - t0, 2)
+
+        hits = 0
+        got = res.filter(F.col("query_id").isin(sample_ids)).collect()
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+        for q, thr in thresholds.items():
+            found = sum(1 for s in per_q.get(q, []) if s >= thr - 1e-6)
+            hits += min(found, args.k)
+        recall = round(hits / (args.k * len(thresholds)), 4)
+
+        out["variants"][name] = {
+            "wall_sec": wall,
+            "result_rows": rows,
+            "recall_at_k_vs_exact": recall,
+        }
+        res.unpersist()
+        release_cached()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
