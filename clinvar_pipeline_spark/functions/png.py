@@ -4,8 +4,10 @@ This container ships no PIL/libjpeg, but PNG is zlib + byte filters and
 zlib IS in the stdlib — so the PNG path here is a REAL codec, not a
 stub: chunk parsing with CRC verification, IDAT inflate, scanline
 unfiltering (all five filter types), palette expansion, and a matching
-encoder. JPEG and GIF get real *header* parsers (dimensions + format)
-— full entropy decode is out of scope without a codec library.
+encoder. JPEG and GIF additionally get fast *header* parsers here
+(dimensions + format, used by the metadata path); their full pixel
+codecs live in the sibling modules functions/jpeg.py (baseline DCT
+decode + encode) and functions/gif.py (LZW decode + encode).
 
 Used by operators/multimodal.py as the middle tier of its decode
 ladder (PIL when importable -> these -> deterministic fake for

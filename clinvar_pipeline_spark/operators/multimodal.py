@@ -4,10 +4,12 @@ stages.
 
 Decode ladder (per payload, inside the kernel):
 1. PIL, when importable — full codec coverage;
-2. the pure-Python real codecs in functions/png.py — full PNG decode
-   (zlib inflate + unfilter, CRC-checked) and JPEG/GIF header parses,
-   stdlib-only, so real images decode for real even in this
-   codec-less container;
+2. the pure-Python real codecs in functions/ — full PNG decode
+   (png.py: zlib inflate + unfilter, CRC-checked), full baseline JPEG
+   decode (jpeg.py: Huffman + dequant + IDCT + chroma upsample), and
+   full GIF decode (gif.py: LZW + compositing, including animated
+   multi-frame) — all three advertised image formats decode for real
+   even in this codec-less container;
 3. a clearly-marked deterministic fake for bytes that are not a
    recognizable image (the text-derived test corpora) — metadata
    derived from byte length, format prefixed ``fake/``.
@@ -45,8 +47,29 @@ FRAME_SCHEMA = "id long, frame_idx int, frame_bytes binary"
 # much of it decoded for real (the same observability discipline as
 # the VCF drop counters, plans/vcf.py clinvar2vcf_drop_counters)
 TIER_PIL = "pil"
-TIER_PURE = "pure"  # stdlib codecs in functions/png.py
+TIER_PURE = "pure"  # pure-Python codecs in functions/{png,jpeg,gif}.py
 TIER_FAKE = "fake"  # unrecognizable/malformed bytes, deterministic fake
+
+
+def _decode_pixels(raw: bytes) -> tuple[int, int, int, bytes] | None:
+    """Pure-tier pixel decode for any supported format: (w, h,
+    channels, pixel_bytes), or None when the bytes are not a
+    recognizable PNG/JPEG/GIF or are malformed (ValueError from the
+    codecs is absorbed here — the caller's ladder falls through)."""
+    from clinvar_pipeline_spark.functions import gif as _gif
+    from clinvar_pipeline_spark.functions import jpeg as _jpeg
+    from clinvar_pipeline_spark.functions import png as _png
+
+    try:
+        if _png.is_png(raw):
+            return _png.png_decode(raw)
+        if raw[:2] == b"\xff\xd8":
+            return _jpeg.jpeg_decode(raw)
+        if raw[:6] in _gif.GIF_MAGICS:
+            return _gif.gif_decode(raw)
+    except ValueError:
+        pass  # malformed image bytes -> caller falls to the fake tier
+    return None
 
 try:  # pragma: no cover - codec not present in this container
     from PIL import Image  # noqa: F401
@@ -76,8 +99,10 @@ def _decode_image_fake(raw: bytes) -> tuple[int, int, str]:
 
 def _decode_image(raw: bytes) -> tuple[int, int, str, str]:
     """(width, height, format, decode_tier) via the decode ladder:
-    PIL -> pure PNG/JPEG/GIF parsers (functions/png.py, real stdlib
-    codecs) -> deterministic fake for unrecognizable bytes. Each tier
+    PIL -> pure PNG/JPEG/GIF header parsers (functions/png.py; the
+    metadata path needs dimensions, not pixels, so it uses the cheap
+    parsers while resize/frames use the full codecs) -> deterministic
+    fake for unrecognizable bytes. Each tier
     falls through to the next on failure, so a PIL build missing a
     plugin still gets the stdlib parse, and only unrecognizable/
     malformed bytes reach the fake tier (never a task crash)."""
@@ -154,27 +179,41 @@ def sample_frames(
     """Frame sampling: (id, content) -> one row per sampled frame,
     fan-out n_frames:1 (mapInPandas yields more rows than it consumes).
 
-    PNG payloads sample REAL pixel regions: the image is decoded
-    (functions/png.py), split into up to ``n_frames`` horizontal
-    bands, and each band is re-encoded as its own decodable PNG — the
-    seek+decode semantics a video kernel would have, realized on the
-    codec this container can actually decode. Images shorter than
-    ``n_frames`` rows emit one frame per row (fan-out is bounded by
-    content, exactly like a short video).
+    Animated GIFs — the one genuinely temporal format this container
+    can decode — sample REAL frames: up to ``n_frames`` composited
+    canvas states, evenly spaced across the animation, each
+    re-encoded as its own decodable PNG. Still images (PNG, baseline
+    JPEG, single-frame GIF) sample real pixel REGIONS instead: the
+    decoded image split into up to ``n_frames`` horizontal bands, the
+    seek+decode semantics a video kernel would have. Images shorter
+    than ``n_frames`` rows emit one frame per row (fan-out is bounded
+    by content, exactly like a short video).
 
     Non-image payloads keep the deterministic byte-slice stand-in
     (``frame_size`` bytes at evenly spaced offsets) — the documented
-    fake tier for formats with no in-container codec (video, audio,
-    JPEG pixel data)."""
+    fake tier for formats with no in-container codec (real video
+    containers, audio)."""
+    from clinvar_pipeline_spark.functions import gif as _gif
     from clinvar_pipeline_spark.functions import png as _codec
 
-    def png_frames(raw: bytes) -> list[bytes] | None:
-        try:
-            if not _codec.is_png(raw):
-                return None
-            w, h, ch, px = _codec.png_decode(raw)
-        except ValueError:
-            return None  # malformed PNG -> byte-slice tier
+    def real_frames(raw: bytes) -> list[bytes] | None:
+        # animated GIF: temporal frames (evenly sampled canvas states)
+        if raw[:6] in _gif.GIF_MAGICS:
+            try:
+                w, h, states = _gif.gif_frames(raw)
+            except ValueError:
+                return None  # malformed GIF -> byte-slice tier
+            if len(states) > 1:
+                n = min(n_frames, len(states))
+                picks = [fi * len(states) // n for fi in range(n)]
+                return [
+                    _codec.png_encode(w, h, 3, states[p]) for p in picks
+                ]
+            # single-frame GIF: fall through to band sampling below
+        decoded = _decode_pixels(raw)
+        if decoded is None:
+            return None
+        w, h, ch, px = decoded
         stride = w * ch
         n = min(n_frames, h)
         out = []
@@ -190,7 +229,7 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for i, raw in zip(pdf["id"], pdf["content"]):
                 raw = raw or b""
-                real = png_frames(raw)
+                real = real_frames(raw)
                 if real is not None:
                     for fi, fb in enumerate(real):
                         ids.append(i)
@@ -222,12 +261,13 @@ def resize_images(
     binaries: DataFrame, out_width: int = 32, out_height: int = 32
 ) -> DataFrame:
     """(id, content) -> (id, out_width, out_height, resized): the
-    image-resize stage. PNG payloads are REALLY resized — full decode
-    (functions/png.py or PIL), nearest-neighbor resample, PNG
-    re-encode — so ``resized`` is itself a decodable PNG at the target
-    dimensions. Non-image bytes fall to the DETERMINISTIC FAKE tier: a
-    payload of exactly w*h bytes tiled from the source (downstream
-    stages still see fixed-size payloads and the 1:1 row contract).
+    image-resize stage. PNG, baseline JPEG, and GIF payloads are
+    REALLY resized — full decode (functions/{png,jpeg,gif}.py or
+    PIL), nearest-neighbor resample, PNG re-encode — so ``resized``
+    is itself a decodable PNG at the target dimensions. Non-image
+    bytes fall to the DETERMINISTIC FAKE tier: a payload of exactly
+    w*h bytes tiled from the source (downstream stages still see
+    fixed-size payloads and the 1:1 row contract).
 
     Scale: mapInPandas, batch-streamed; output size is bounded
     (~w*h*channels bytes/row) regardless of input payload size — the
@@ -250,13 +290,11 @@ def resize_images(
                     return buf.getvalue(), TIER_PIL
             except Exception:
                 pass  # tier 2 below still gets its chance
-        try:
-            if _codec.is_png(raw):
-                w, h, ch, px = _codec.png_decode(raw)
-                rs = _codec.resize_nearest(w, h, ch, px, out_width, out_height)
-                return _codec.png_encode(out_width, out_height, ch, rs), TIER_PURE
-        except ValueError:
-            pass  # malformed PNG -> fake tier, never a task crash
+        decoded = _decode_pixels(raw)
+        if decoded is not None:
+            w, h, ch, px = decoded
+            rs = _codec.resize_nearest(w, h, ch, px, out_width, out_height)
+            return _codec.png_encode(out_width, out_height, ch, rs), TIER_PURE
         return (raw * (target // max(len(raw), 1) + 1))[:target], TIER_FAKE
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
