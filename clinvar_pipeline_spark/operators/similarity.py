@@ -282,6 +282,136 @@ def lsh_neardup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    num_cells: int,
+    train_sample: int,
+    lloyd_iters: int,
+    seed: int,
+) -> np.ndarray:
+    """Coarse quantizer for IVF-family operators: k-means (spherical,
+    cosine via unit-norm dot) over a bounded driver-side sample.
+
+    Bounded and deterministic: ≤``train_sample`` vectors are collected
+    (the one sanctioned ``collect`` in this module — standard IVF
+    practice trains the quantizer on a sample and applies it
+    distributively), init is seeded, and a fixed number of Lloyd
+    iterations runs in numpy. Returns (num_cells, dim) unit-norm
+    centroids, broadcast to executors via UDF closure capture."""
+    sample = [
+        r[0]
+        for r in corpus.select(F.col(vec_col).cast("array<double>"))
+        .limit(train_sample)
+        .collect()
+    ]
+    X = np.asarray(sample, dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(num_cells, len(X)), replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(X @ cent.T, axis=1)  # cosine on unit vectors
+        for ci in range(len(cent)):
+            members = X[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[ci] = m / n
+    return cent  # (num_cells, dim), unit-norm
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.95,
+    num_cells: int = 32,
+    train_sample: int = 10000,
+    lloyd_iters: int = 5,
+    seed: int = 42,
+    cell_cap: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    each cluster drop every vector that has a lower-id neighbor with
+    cosine ≥ ``tau``. Returns the DROPPED rows as
+    ``(vec_id, kept_by, sim)`` where ``kept_by`` is the smallest-id
+    same-cluster neighbor above threshold (the surviving
+    representative) and ``sim`` the cosine to it; survivors are the
+    complement (an anti-join the caller composes).
+
+    Greedy-by-id is the standard parallel approximation of SemDeDup's
+    sequential scan: a vector is dropped iff ANY earlier (smaller-id)
+    in-cluster vector is within tau — no iterative
+    connected-components pass, so the whole operator is two narrow
+    shuffles (cell assignment is map-only; the pair join keys on
+    cell).
+
+    Scale: candidates come from the intra-cell equi-join, never
+    all-pairs; per-cell work is quadratic in cell size, so cells
+    beyond ``cell_cap`` members are excluded from the pair join (the
+    BLOCK_CAP discipline of queries.embedding_neardup_pairs — oversize
+    cells mean num_cells is undersized for the corpus; the lazy guard
+    keeps one mega-cell from owning a 100x scale-up). num_cells scales
+    with corpus size (FAISS practice ~sqrt(N) cells), keeping expected
+    cell width ~sqrt(N)."""
+    C = _train_centroids(
+        corpus, vec_col, num_cells, train_sample, lloyd_iters, seed
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest_cell(s: pd.Series) -> pd.Series:
+        V = np.asarray(s.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype="int32")
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    assigned = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        nearest_cell(F.col(vec_col).cast("array<double>")).alias("_cell"),
+    )
+    oversize = (
+        assigned.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cell_cap)
+        .select("_cell")
+    )
+    assigned = assigned.join(F.broadcast(oversize), "_cell", "left_anti")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = cosine_similarity(F.col("a._v"), F.col("b._v"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(sim >= tau)
+        .select(
+            F.col("b._id").alias(id_col),
+            F.col("a._id").alias("_keeper"),
+            F.round(sim, 6).alias("_sim"),
+        )
+    )
+    # smallest-id qualifying neighbor wins; its sim rides along in the
+    # struct-min (lexicographic on (_keeper, _sim); _keeper is unique
+    # per (vec_id, keeper) pair so _sim never decides)
+    pick = F.min(F.struct("_keeper", "_sim")).alias("_m")
+    return (
+        pairs.groupBy(id_col)
+        .agg(pick)
+        .select(
+            id_col,
+            F.col("_m._keeper").alias("kept_by"),
+            F.col("_m._sim").alias("sim"),
+        )
+    )
+
+
 def ann_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -312,27 +442,9 @@ def ann_topk_ivf(
     — AQE skew-join splits hot cells."""
     from pyspark.sql.functions import pandas_udf
 
-    # --- train coarse quantizer on a bounded sample (driver-side) ---
-    sample = [
-        r[0]
-        for r in corpus.select(F.col(vec_col).cast("array<double>"))
-        .limit(train_sample)
-        .collect()
-    ]
-    X = np.asarray(sample, dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    cent = X[rng.choice(len(X), size=min(num_cells, len(X)), replace=False)]
-    for _ in range(lloyd_iters):
-        assign = np.argmax(X @ cent.T, axis=1)  # cosine on unit vectors
-        for ci in range(len(cent)):
-            members = X[assign == ci]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    cent[ci] = m / n
-    C = cent  # (num_cells, dim), unit-norm
+    C = _train_centroids(
+        corpus, vec_col, num_cells, train_sample, lloyd_iters, seed
+    )
 
     @pandas_udf("array<int>")
     def probe_cells(s: pd.Series) -> pd.Series:

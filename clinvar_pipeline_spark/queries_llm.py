@@ -1,0 +1,421 @@
+"""LLM-training-data pipeline suite, round 5: the corpus-preparation
+operators a 100 TB pretraining pipeline runs downstream of dedup —
+domain rebalancing (stratified sampling), PII scrubbing, benchmark
+decontamination, sequence packing (concat-and-chunk), and SemDeDup
+semantic deduplication.
+
+Same registry idiom as queries.py: every operator is a named query
+over the driver's generic tables with a DuckDB oracle twin (SQL twin
+omitted only for semantic_dedup, whose k-means quantizer has no DuckDB
+builtin — it gets the rows-only check plus an exact contract test,
+the SURVEY §5 t2 policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.functions.hashes import (
+    normalized_tokens,
+    shingles_of_tokens,
+)
+from clinvar_pipeline_spark.operators.similarity import semantic_dedup
+from clinvar_pipeline_spark.queries import (
+    _TOKENIZE_SQL,
+    _persist,
+    _spread,
+    _t,
+    register,
+)
+
+# ---------------------------------------------------------------------
+# Stratified (deterministic) sampling — domain rebalancing
+# ---------------------------------------------------------------------
+
+# Engine-portable per-row hash for sampling decisions: a Knuth
+# multiplicative hash on the id, mod 1000 ("per-mille bucket"). Chosen
+# over xxhash64/md5 because BOTH engines compute it with exact int64
+# arithmetic (doc_id * K stays < 2^63 for any realistic id space), so
+# the oracle is bit-identical; production would use
+# pmod(xxhash64(id), 1000) — same plan shape, same selectivity.
+_SAMPLE_K = 2654435761
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    rates AS (
+        SELECT lang,
+               CAST(floor(1000.0 * (SELECT min(cnt) FROM counts) / cnt)
+                    AS BIGINT) AS rate
+        FROM counts)
+    SELECT d.doc_id, d.lang,
+           (d.doc_id * {_SAMPLE_K}) % 1000 AS bucket
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (d.doc_id * {_SAMPLE_K}) % 1000 < r.rate
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling that rebalances languages to
+    the smallest language's size (the domain-mixing step of corpus
+    prep; `lang` is the skewed stratum in this corpus — `source` is
+    uniform by construction, which would make the rebalance vacuous):
+    per-language keep-rate = 1000 * min_count / count per-mille, kept
+    iff its hash bucket falls under the rate. Hash-based (not
+    sampleBy/rand): the decision is a pure function of the row, so the
+    sample is reproducible across runs, engines, and partitionings —
+    the property a training-data pipeline needs for auditable mixes.
+
+    Scale: one groupBy for the per-language counts (tiny result —
+    cardinality of `lang`), broadcast back; the keep-filter is
+    map-only over the fact table. No per-row state, no rand()."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    # global min via a window over the counts frame — it is
+    # stratum-cardinality-sized (a handful of rows), so the single
+    # window task is trivial, and it avoids a scalar cross join
+    mn = F.min("cnt").over(Window.partitionBy(F.lit(1)))
+    rates = counts.select(
+        "lang",
+        F.floor(F.lit(1000.0) * mn / F.col("cnt")).cast("long").alias("rate"),
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(_SAMPLE_K), F.lit(1000))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate"))
+        .select("doc_id", "lang", bucket.alias("bucket"))
+    )
+
+
+# ---------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------
+
+# Conservative regexes that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround, no \b.
+_PAT_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PAT_CARD = r"\d{4}-\d{4}-\d{4}-\d{4}"
+_PAT_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def pii_scrub_exprs(t: F.Column) -> dict[str, F.Column]:
+    """The scrub pipeline as reusable column expressions over a text
+    column: occurrence counts per PII class + the fully redacted text.
+    Redaction/count order is pinned (email → card → IP; n_ip counted
+    post-email-redaction) — see q_pii_scrub."""
+    no_email = F.regexp_replace(t, _PAT_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(no_email, _PAT_CARD, "<CARD>"), _PAT_IP, "<IP>"
+    )
+    return {
+        "n_email": F.regexp_count(t, F.lit(_PAT_EMAIL)),
+        "n_card": F.regexp_count(t, F.lit(_PAT_CARD)),
+        "n_ip": F.regexp_count(no_email, F.lit(_PAT_IP)),
+        "scrubbed": scrubbed,
+    }
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH aug AS (
+        SELECT doc_id,
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@mail.example from 10.',
+                      CAST(doc_id % 256 AS VARCHAR),
+                      '.0.1 card 4111-1111-1111-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                 AS t
+        FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PAT_EMAIL}')) AS n_email,
+           len(regexp_extract_all(t, '{_PAT_CARD}')) AS n_card,
+           len(regexp_extract_all(
+               regexp_replace(t, '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+               '{_PAT_IP}')) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                   t, '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PAT_CARD}', '<CARD>', 'g'),
+                   '{_PAT_IP}', '<IP>', 'g')) AS scrub_fp
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email / payment-card / IPv4): count
+    occurrences, replace with typed placeholder tokens, fingerprint the
+    scrubbed text. The generated corpus contains no organic PII, so the
+    query PLANTS one deterministic instance of each class per document
+    (a pure function of doc_id, computed identically by the oracle) —
+    the regex engines, replacement order, and counters are what is
+    under test; unit tests cover multi-occurrence and overlap cases.
+
+    Order matters and is pinned: email → card → IP (emails are counted
+    and redacted before the IP pass so a digit-bearing mail domain
+    can't double-count as an address; n_ip is counted after email
+    redaction for the same reason).
+
+    Scale: map-only single scan, all regexes JVM codegen'd
+    (RegExpReplace/RegExpCount), no shuffle — the canonical
+    100 TB scrub pass."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 card 4111-1111-1111-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    base = d.select("doc_id", aug.alias("t"))
+    e = pii_scrub_exprs(F.col("t"))
+    return base.select(
+        "doc_id",
+        e["n_email"].alias("n_email"),
+        e["n_card"].alias("n_card"),
+        e["n_ip"].alias("n_ip"),
+        F.md5(e["scrubbed"]).alias("scrub_fp"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------
+
+DECONTAM_K = 3  # production uses 8-13-gram windows; 3 matches the
+# generated corpus's ~30-token docs (5-grams almost never recur)
+DECONTAM_FLAG = 0.5  # contaminated if >= this fraction of shingles hit
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS s
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - {DECONTAM_K - 1}, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(toks, i, i + {DECONTAM_K - 1}), ' ')
+                   ) AS sh_list
+            FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (
+        SELECT doc_id, count(*) AS n_contaminated
+        FROM tr JOIN ev USING (s) GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id)
+    SELECT doc_id, n_shingles, n_contaminated,
+           round(CAST(n_contaminated AS DOUBLE) / n_shingles, 4)
+             AS contamination_ratio,
+           CASE WHEN CAST(n_contaminated AS DOUBLE) / n_shingles
+                     >= {DECONTAM_FLAG} THEN 1 ELSE 0 END
+             AS flag_contaminated
+    FROM hits JOIN sizes USING (doc_id)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    k-token shingles with a held-out eval set (here: every 97th doc
+    stands in for the benchmark — the generated corpus has no external
+    benchmark, and a deterministic id-slice keeps the oracle exact).
+    Emits per-document overlap counts, ratio, and the contaminated
+    flag; only documents with at least one hit appear (the 100 TB
+    report is the exception list, not the full corpus).
+
+    Scale: the eval shingle set is benchmark-sized (tiny relative to
+    the corpus) and DISTINCT — it broadcasts; contamination detection
+    is then a broadcast semi-join on the 8-byte shingle hash, map-only
+    over the training side. Two aggregations share the exploded
+    shingle index (persisted once). No all-pairs anything."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    sh = (
+        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_of_tokens(F.col("toks"), k=DECONTAM_K)
+            ).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("s"))
+    )
+    sh = _persist(sh)
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        tr.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ratio = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(ratio, 4).alias("contamination_ratio"),
+        F.when(ratio >= DECONTAM_FLAG, 1).otherwise(0).alias(
+            "flag_contaminated"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------
+
+SEQ_LEN = 128  # tokens per packed training sequence
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH d AS (
+        SELECT doc_id, len(toks) AS n
+        FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0),
+    placed AS (
+        SELECT doc_id, n,
+               CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) - n AS start
+        FROM d),
+    e AS (
+        SELECT doc_id, n, start, start + n AS fin,
+               unnest(range(start // {SEQ_LEN},
+                            (start + n - 1) // {SEQ_LEN} + 1)) AS seq_id
+        FROM placed)
+    SELECT seq_id,
+           count(*) AS n_docs,
+           CAST(sum(least(fin, (seq_id + 1) * {SEQ_LEN})
+                    - greatest(start, seq_id * {SEQ_LEN})) AS BIGINT)
+             AS n_tokens,
+           CAST(sum(CASE WHEN start < seq_id * {SEQ_LEN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_carry_in,
+           min(doc_id) AS first_doc
+    FROM e GROUP BY seq_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-chunk (the GPT-pretraining layout):
+    documents are concatenated in doc_id order into one global token
+    stream, which is cut into fixed SEQ_LEN-token training sequences;
+    documents may span a cut. Emits the per-sequence manifest — how
+    many documents contribute, tokens filled (== SEQ_LEN except the
+    tail), how many docs carried over a boundary, and the first doc —
+    i.e. the metadata an attention-mask/packing loader needs.
+
+    The global running offset is computed WITHOUT a single-partition
+    window (the plans/load.py id-allocation discipline): range-
+    partition by doc_id → per-partition running sums (parallel) →
+    exclusive prefix-sum of per-partition totals over ~n_partitions
+    rows → broadcast the offsets back. Same result as
+    sum() OVER (ORDER BY doc_id) — the oracle's formulation — at any
+    partition count; pinned partitioning-invariant by test.
+
+    Scale: one range exchange + one broadcast join + one groupBy on
+    seq_id; the explode fans out ~n/SEQ_LEN rows per doc (≥1), all
+    narrow (ids and offsets only)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.size(normalized_tokens(F.col("text"))).alias("n")
+        )
+        .filter(F.col("n") > 0)
+    )
+    part = d.repartitionByRange("doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # persisted: offsets + placement both read the range exchange, and
+    # both must see ONE materialization (a retry could resample range
+    # bounds and shift partition ids — the load.py lesson)
+    local = _persist(
+        part.withColumn(
+            "_local_end",
+            F.sum("n").over(
+                Window.partitionBy("_pid")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum("n").alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_cnt")
+    )
+    placed = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "n",
+            (F.col("_local_end") + F.col("_offset") - F.col("n")).alias(
+                "start"
+            ),
+        )
+        .withColumn("fin", F.col("start") + F.col("n"))
+    )
+    e = placed.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {SEQ_LEN}"),
+                F.expr(f"(fin - 1) div {SEQ_LEN}"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.col("seq_id") * SEQ_LEN
+    return e.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.least(F.col("fin"), lo + SEQ_LEN) - F.greatest(F.col("start"), lo)
+        ).alias("n_tokens"),
+        F.sum(F.when(F.col("start") < lo, 1).otherwise(0)).alias(
+            "n_carry_in"
+        ),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------
+
+@register("semantic_dedup", None)  # rows-only: k-means has no DuckDB twin
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means cells + intra-cell
+    cosine ≥ τ → drop-list with surviving representative. Rows-only
+    at the driver (the coarse quantizer is engine-specific, same
+    documented impossibility as ann_topk); the exact contract —
+    identical-vector groups always collapse to their min-id member,
+    dissimilar vectors never drop — is pinned by
+    tests/test_multimodal_similarity.py.
+
+    τ here is 0.4, not the operator's production default 0.95: the
+    synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.51 at sf0.01), so the production threshold would make this
+    registry instance vacuously empty; 0.4 exercises the full
+    cluster→pair→pick path on real data."""
+    e = _spread(_t(spark, sf_dir, "embeddings"), 8)
+    return semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", tau=0.4
+    ).orderBy("vec_id")

@@ -1,0 +1,210 @@
+"""Round-5 LLM-pipeline suite: stratified sampling, PII scrub,
+decontamination, sequence packing, semantic dedup — exact contracts on
+handcrafted fixtures plus the invariants (determinism, partitioning
+independence, token conservation) the oracle check can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import clinvar_pipeline_spark.queries_llm as ql
+from clinvar_pipeline_spark.operators.similarity import semantic_dedup
+
+
+# ---------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------
+
+@pytest.fixture()
+def skewed_docs(spark, tmp_path):
+    rows = [(i, f"word{i} text body", "en" if i < 40 else "fr", "s", 10)
+            for i in range(50)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_stratified_sample_balances_and_is_deterministic(spark, skewed_docs):
+    out1 = {
+        (r["doc_id"], r["lang"])
+        for r in ql.q_stratified_sample(spark, skewed_docs).collect()
+    }
+    out2 = {
+        (r["doc_id"], r["lang"])
+        for r in ql.q_stratified_sample(spark, skewed_docs).collect()
+    }
+    assert out1 == out2  # pure function of the rows, no rand()
+    # min stratum (fr, 10 docs) keeps everything: rate = 1000
+    fr = {d for d, lg in out1 if lg == "fr"}
+    assert fr == set(range(40, 50))
+    # en rate = floor(1000*10/40) = 250 per-mille; kept ids are exactly
+    # the ones whose hash bucket clears it
+    en_expected = {
+        i for i in range(40) if (i * ql._SAMPLE_K) % 1000 < 250
+    }
+    assert {d for d, lg in out1 if lg == "en"} == en_expected
+    assert 0 < len(en_expected) < 40  # non-vacuous both ways
+
+
+# ---------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------
+
+def test_pii_scrub_multi_occurrence_and_order(spark):
+    txt = (
+        "mail a@b.co and second c.d+e@f-g.org then ip 10.1.2.3 and "
+        "255.255.255.255 card 1234-5678-9012-3456 done"
+    )
+    e = ql.pii_scrub_exprs(F.lit(txt))
+    row = spark.range(1).select(
+        e["n_email"].alias("ne"), e["n_card"].alias("nc"),
+        e["n_ip"].alias("ni"), e["scrubbed"].alias("s"),
+    ).first()
+    assert (row["ne"], row["nc"], row["ni"]) == (2, 1, 2)
+    assert row["s"] == (
+        "mail <EMAIL> and second <EMAIL> then ip <IP> and "
+        "<IP> card <CARD> done"
+    )
+
+
+def test_pii_scrub_email_wins_over_ip_in_domain(spark):
+    # a digit-dotted mail domain must scrub as ONE email, not count as
+    # an IP — the pinned email-before-IP order
+    e = ql.pii_scrub_exprs(F.lit("x bob@10.2.3.44.example.com y"))
+    row = spark.range(1).select(
+        e["n_email"].alias("ne"), e["n_ip"].alias("ni"),
+        e["scrubbed"].alias("s"),
+    ).first()
+    assert (row["ne"], row["ni"]) == (1, 0)
+    assert row["s"] == "x <EMAIL> y"
+
+
+# ---------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------
+
+@pytest.fixture()
+def contam_docs(spark, tmp_path):
+    rows = [
+        # doc 0: eval member (0 % 97 == 0)
+        (0, "alpha beta gamma delta epsilon zeta"),
+        # doc 5: verbatim copy of the eval doc -> fully contaminated
+        (5, "alpha beta gamma delta epsilon zeta"),
+        # doc 6: shares one 3-gram window with eval (alpha beta gamma)
+        (6, "alpha beta gamma completely different tail words"),
+        # doc 7: disjoint -> must not appear
+        (7, "quick brown fox jumps over lazy dog"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_decontaminate_flags_copies_only(spark, contam_docs):
+    out = {
+        r["doc_id"]: r for r in ql.q_decontaminate(spark, contam_docs).collect()
+    }
+    assert set(out) == {5, 6}  # disjoint doc 7 absent, eval doc excluded
+    assert out[5]["n_contaminated"] == out[5]["n_shingles"]
+    assert out[5]["flag_contaminated"] == 1
+    assert out[6]["n_contaminated"] == 1
+    assert out[6]["flag_contaminated"] == 0
+
+
+# ---------------------------------------------------------------------
+# sequence_packing
+# ---------------------------------------------------------------------
+
+def _docs_with_token_counts(spark, tmp_path, counts, parts=1):
+    rows = [
+        (i + 1, " ".join(f"t{j}" for j in range(n)))
+        for i, n in enumerate(counts)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        parts
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_sequence_packing_manifest_exact(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(ql, "SEQ_LEN", 8)
+    # doc1: 5 tokens [0,5) ; doc2: 6 [5,11) ; doc3: 4 [11,15) ;
+    # doc4: 3 [15,18) — chunk0 = {1,2}, chunk1 = {2,3,4}, chunk2 = {4}
+    d = _docs_with_token_counts(spark, tmp_path, [5, 6, 4, 3])
+    out = {
+        r["seq_id"]: r for r in ql.q_sequence_packing(spark, d).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_docs"], out[0]["n_tokens"], out[0]["n_carry_in"],
+            out[0]["first_doc"]) == (2, 8, 0, 1)
+    assert (out[1]["n_docs"], out[1]["n_tokens"], out[1]["n_carry_in"],
+            out[1]["first_doc"]) == (3, 8, 1, 2)
+    assert (out[2]["n_docs"], out[2]["n_tokens"], out[2]["n_carry_in"],
+            out[2]["first_doc"]) == (1, 2, 1, 4)
+
+
+def test_sequence_packing_partitioning_invariant(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(ql, "SEQ_LEN", 16)
+    counts = [7, 3, 12, 5, 9, 1, 20, 4]
+    d1 = _docs_with_token_counts(
+        spark, tmp_path / "a", counts, parts=1
+    )
+    d8 = _docs_with_token_counts(
+        spark, tmp_path / "b", counts, parts=8
+    )
+    r1 = sorted(map(tuple, ql.q_sequence_packing(spark, d1).collect()))
+    r8 = sorted(map(tuple, ql.q_sequence_packing(spark, d8).collect()))
+    assert r1 == r8
+    # conservation: every token lands in exactly one chunk; all chunks
+    # but the tail are exactly full
+    total = sum(counts)
+    by_seq = {t[0]: t for t in r1}
+    assert sum(t[2] for t in r1) == total
+    tail = max(by_seq)
+    for sid, t in by_seq.items():
+        assert t[2] == (16 if sid != tail else total - 16 * tail)
+
+
+# ---------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------
+
+def test_semantic_dedup_contract(spark):
+    dim = 8
+
+    def one_hot(i, scale=1.0):
+        v = [0.0] * dim
+        v[i] = scale
+        return v
+
+    rows = (
+        # group A: ids 10,11,12 identical -> 11,12 dropped, kept_by 10
+        [(10, one_hot(0)), (11, one_hot(0, 2.0)), (12, one_hot(0, 0.5))]
+        # group B: ids 20,21 identical -> 21 dropped, kept_by 20
+        + [(20, one_hot(1)), (21, one_hot(1))]
+        # singletons: orthogonal, never dropped
+        + [(30, one_hot(2)), (31, one_hot(3)), (32, one_hot(4))]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: (r["kept_by"], r["sim"])
+        for r in semantic_dedup(df, tau=0.95, num_cells=4).collect()
+    }
+    assert set(out) == {11, 12, 21}
+    assert out[11][0] == 10 and out[12][0] == 10 and out[21][0] == 20
+    for _, s in out.values():
+        assert s == pytest.approx(1.0, abs=1e-6)
+
+
+def test_semantic_dedup_cell_cap_guard(spark):
+    # a cell larger than cell_cap is excluded: no pairs emitted from it
+    rows = [(i, [1.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, tau=0.95, num_cells=2, cell_cap=5).collect()
+    assert out == []
