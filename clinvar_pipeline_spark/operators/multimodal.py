@@ -161,6 +161,74 @@ def extract_image_meta(binaries: DataFrame) -> DataFrame:
     return binaries.mapInPandas(kernel, IMAGE_META_SCHEMA)
 
 
+VIDEO_META_SCHEMA = (
+    "id long, n_bytes int, sha256 string, container string, width int,"
+    " height int, fps double, n_frames int, duration_s double,"
+    " n_tracks int, codecs string, decode_tier string"
+)
+
+TIER_HEADER = "header"  # container metadata parsed; media not decoded
+
+
+def _decode_video(raw: bytes) -> tuple:
+    """(container, w, h, fps, n_frames, duration_s, n_tracks, codecs,
+    tier) via the video ladder: Y4M full parse (frame-accurate — tier
+    'pure') → ISO-BMFF box walk (duration/tracks/codecs without media
+    decode — tier 'header') → deterministic fake."""
+    from clinvar_pipeline_spark.functions import mp4 as _mp4
+    from clinvar_pipeline_spark.functions import y4m as _y4m
+
+    try:
+        if raw.startswith(_y4m.Y4M_MAGIC):
+            w, h, fn, fd, _chroma, n = _y4m.y4m_info(raw)
+            fps = round(fn / fd, 3) if fd else 0.0
+            dur = round(n * fd / fn, 3) if fn else 0.0
+            return ("y4m", w, h, fps, n, dur, 1, "rawvideo", TIER_PURE)
+        if len(raw) >= 12 and raw[4:8] == b"ftyp":
+            m = _mp4.mp4_info(raw)
+            return (
+                m["container"], 0, 0, 0.0, 0,
+                m.get("duration_s", 0.0), m["n_tracks"],
+                "|".join(m["codecs"]), TIER_HEADER,
+            )
+    except ValueError:
+        pass  # malformed container -> fake tier, never a task crash
+    n = len(raw)
+    return (
+        "fake/%d" % (raw[0] if n else 0), n % 256, (n // 256) % 256,
+        0.0, 0, 0.0, 0, "", TIER_FAKE,
+    )
+
+
+def extract_video_meta(binaries: DataFrame) -> DataFrame:
+    """(id, content) -> per-asset video manifest row. The video twin
+    of extract_image_meta: real container metadata where a real parser
+    exists (Y4M frame-accurate; MP4 box tree), deterministic fake
+    otherwise, with the tier surfaced for run reports."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = pdf["content"]
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": raws.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": raws.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                }
+            )
+            v = raws.map(lambda b: _decode_video(b or b""))
+            for i, c in enumerate(
+                ["container", "width", "height", "fps", "n_frames",
+                 "duration_s", "n_tracks", "codecs", "decode_tier"]
+            ):
+                out[c] = v.map(lambda d, i=i: d[i])
+            yield out
+
+    return binaries.mapInPandas(kernel, VIDEO_META_SCHEMA)
+
+
 def decode_tier_counters(binaries: DataFrame) -> DataFrame:
     """(decode_tier, n) — how many payloads decoded via PIL, the pure
     stdlib codecs, or fell to the deterministic fake. The run-report
@@ -179,9 +247,10 @@ def sample_frames(
     """Frame sampling: (id, content) -> one row per sampled frame,
     fan-out n_frames:1 (mapInPandas yields more rows than it consumes).
 
-    Animated GIFs — the one genuinely temporal format this container
-    can decode — sample REAL frames: up to ``n_frames`` composited
-    canvas states, evenly spaced across the animation, each
+    Genuinely temporal formats sample REAL frames: Y4M video streams
+    (functions/y4m.py — seek to evenly spaced frame offsets, decode
+    only those) and animated GIFs (up to ``n_frames`` composited
+    canvas states, evenly spaced across the animation), each frame
     re-encoded as its own decodable PNG. Still images (PNG, baseline
     JPEG, single-frame GIF) sample real pixel REGIONS instead: the
     decoded image split into up to ``n_frames`` horizontal bands, the
@@ -189,14 +258,30 @@ def sample_frames(
     than ``n_frames`` rows emit one frame per row (fan-out is bounded
     by content, exactly like a short video).
 
-    Non-image payloads keep the deterministic byte-slice stand-in
+    Other payloads keep the deterministic byte-slice stand-in
     (``frame_size`` bytes at evenly spaced offsets) — the documented
-    fake tier for formats with no in-container codec (real video
-    containers, audio)."""
+    fake tier for formats with no in-container codec (compressed
+    video like MP4/H.26x — metadata via extract_video_meta — and
+    audio)."""
     from clinvar_pipeline_spark.functions import gif as _gif
     from clinvar_pipeline_spark.functions import png as _codec
+    from clinvar_pipeline_spark.functions import y4m as _y4m
 
     def real_frames(raw: bytes) -> list[bytes] | None:
+        # Y4M video: REAL temporal frames — stride to evenly spaced
+        # frame offsets (seek), decode only those (functions/y4m.py),
+        # emit each as its own decodable PNG
+        if raw.startswith(_y4m.Y4M_MAGIC):
+            try:
+                w, h, _fn, _fd, _c, total = _y4m.y4m_info(raw)
+                if total == 0:
+                    return []
+                n = min(n_frames, total)
+                picks = [fi * total // n for fi in range(n)]
+                w, h, frames = _y4m.y4m_frames(raw, picks)
+            except ValueError:
+                return None  # malformed stream -> byte-slice tier
+            return [_codec.png_encode(w, h, 3, fr) for fr in frames]
         # animated GIF: temporal frames (evenly sampled canvas states)
         if raw[:6] in _gif.GIF_MAGICS:
             try:

@@ -397,6 +397,47 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Video manifest (multimodal ladder, video rung)
+# ---------------------------------------------------------------------
+
+@register(
+    "video_meta",
+    """
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 'fake/0'
+                ELSE 'fake/' || ascii(substr(text, 1, 1)) END AS container,
+           octet_length(encode(text)) % 256 AS width,
+           (octet_length(encode(text)) // 256) % 256 AS height,
+           CAST(0.0 AS DOUBLE) AS fps, 0 AS n_frames,
+           CAST(0.0 AS DOUBLE) AS duration_s, 0 AS n_tracks,
+           '' AS codecs, 'fake' AS decode_tier
+    FROM documents
+    """,
+)
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset video manifest via the multimodal video ladder
+    (operators/multimodal.extract_video_meta): real frame-accurate
+    metadata for Y4M streams (functions/y4m.py), box-tree metadata for
+    ISO-BMFF/MP4 (functions/mp4.py), deterministic fake for anything
+    else. The driver's text-derived payloads are all fake-tier — which
+    is exactly what lets DuckDB oracle the byte-derived columns; the
+    real tiers are pinned by tests/test_video_codec.py (the
+    multimodal_frames discipline).
+
+    Scale: mapInPandas over the attached binary column, 1:1 rows,
+    columnar end-to-end, no shuffle."""
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        extract_video_meta,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return extract_video_meta(attach_binary(d, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------
 # Semantic deduplication (SemDeDup)
 # ---------------------------------------------------------------------
 
