@@ -229,6 +229,64 @@ def extract_video_meta(binaries: DataFrame) -> DataFrame:
     return binaries.mapInPandas(kernel, VIDEO_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = (
+    "id long, n_bytes int, sha256 string, sample_rate int,"
+    " channels int, bits int, n_samples long, duration_s double,"
+    " decode_tier string"
+)
+
+
+def _decode_audio(raw: bytes) -> tuple:
+    """(sample_rate, channels, bits, n_samples, duration_s, tier):
+    real RIFF/PCM parse (functions/wav.py — tier 'pure') or the
+    deterministic fake for compressed/unrecognizable audio."""
+    from clinvar_pipeline_spark.functions import wav as _wav
+
+    if raw[:4] == _wav.WAV_MAGIC and raw[8:12] == b"WAVE":
+        try:
+            i = _wav.wav_info(raw)
+            return (
+                i["sample_rate"], i["channels"], i["bits"],
+                i["n_samples"], i["duration_s"], TIER_PURE,
+            )
+        except ValueError:
+            pass  # malformed/non-PCM -> fake tier, never a task crash
+    n = len(raw)
+    # unrounded: n/8000.0 is the same IEEE double in Python and
+    # DuckDB, while round() half-even vs half-up diverge on ties
+    return (8000, 1 + n % 2, 16, n, n / 8000.0, TIER_FAKE)
+
+
+def extract_audio_meta(binaries: DataFrame) -> DataFrame:
+    """(id, content) -> per-asset audio manifest row: the audio twin
+    of extract_image_meta/extract_video_meta. PCM WAV parses for real
+    (sample rate / channels / depth / duration); compressed audio
+    (MP3/AAC) is honestly fake-tier — entropy decode needs a codec
+    library this container lacks."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = pdf["content"]
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": raws.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": raws.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                }
+            )
+            v = raws.map(lambda b: _decode_audio(b or b""))
+            for i, c in enumerate(
+                ["sample_rate", "channels", "bits", "n_samples",
+                 "duration_s", "decode_tier"]
+            ):
+                out[c] = v.map(lambda d, i=i: d[i])
+            yield out
+
+    return binaries.mapInPandas(kernel, AUDIO_META_SCHEMA)
+
+
 def decode_tier_counters(binaries: DataFrame) -> DataFrame:
     """(decode_tier, n) — how many payloads decoded via PIL, the pure
     stdlib codecs, or fell to the deterministic fake. The run-report
@@ -265,9 +323,26 @@ def sample_frames(
     audio)."""
     from clinvar_pipeline_spark.functions import gif as _gif
     from clinvar_pipeline_spark.functions import png as _codec
+    from clinvar_pipeline_spark.functions import wav as _wav
     from clinvar_pipeline_spark.functions import y4m as _y4m
 
     def real_frames(raw: bytes) -> list[bytes] | None:
+        # PCM WAV audio: REAL temporal windows — integer PCM needs no
+        # codec, so each "frame" is frame_size sample-frames sliced at
+        # evenly spaced TIME offsets (functions/wav.py)
+        if raw[:4] == _wav.WAV_MAGIC and raw[8:12] == b"WAVE":
+            try:
+                info = _wav.wav_info(raw)
+                total = info["n_samples"]
+                if total == 0:
+                    return []
+                n = min(n_frames, total)
+                return [
+                    _wav.wav_window(raw, fi * total // n, frame_size)
+                    for fi in range(n)
+                ]
+            except ValueError:
+                return None  # malformed/non-PCM -> byte-slice tier
         # Y4M video: REAL temporal frames — stride to evenly spaced
         # frame offsets (seek), decode only those (functions/y4m.py),
         # emit each as its own decodable PNG

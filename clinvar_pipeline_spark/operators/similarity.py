@@ -289,6 +289,7 @@ def _train_centroids(
     train_sample: int,
     lloyd_iters: int,
     seed: int,
+    id_col: str | None = None,
 ) -> np.ndarray:
     """Coarse quantizer for IVF-family operators: k-means (spherical,
     cosine via unit-norm dot) over a bounded driver-side sample.
@@ -298,13 +299,22 @@ def _train_centroids(
     practice trains the quantizer on a sample and applies it
     distributively), init is seeded, and a fixed number of Lloyd
     iterations runs in numpy. Returns (num_cells, dim) unit-norm
-    centroids, broadcast to executors via UDF closure capture."""
-    sample = [
-        r[0]
-        for r in corpus.select(F.col(vec_col).cast("array<double>"))
-        .limit(train_sample)
-        .collect()
-    ]
+    centroids, broadcast to executors via UDF closure capture.
+
+    When ``id_col`` is given the sample is the train_sample SMALLEST
+    ids (TakeOrderedAndProject — per-partition top-k then a driver
+    merge, scalable and partitioning-independent), making the trained
+    quantizer — and everything downstream of it — deterministic for a
+    given corpus. A bare ``limit`` on a shuffled input returns
+    whichever rows arrive first, which silently made repeated
+    semantic_dedup/IVF runs cluster differently."""
+    sel = corpus.select(
+        *( [F.col(id_col)] if id_col else [] ),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if id_col:
+        sel = sel.orderBy(id_col)
+    sample = [r["_v"] for r in sel.limit(train_sample).collect()]
     X = np.asarray(sample, dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -357,7 +367,8 @@ def semantic_dedup(
     with corpus size (FAISS practice ~sqrt(N) cells), keeping expected
     cell width ~sqrt(N)."""
     C = _train_centroids(
-        corpus, vec_col, num_cells, train_sample, lloyd_iters, seed
+        corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
+        id_col=id_col,
     )
     from pyspark.sql.functions import pandas_udf
 
@@ -443,7 +454,8 @@ def ann_topk_ivf(
     from pyspark.sql.functions import pandas_udf
 
     C = _train_centroids(
-        corpus, vec_col, num_cells, train_sample, lloyd_iters, seed
+        corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
+        id_col=id_col,
     )
 
     @pandas_udf("array<int>")

@@ -437,6 +437,39 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_video_meta(attach_binary(d, "doc_id", "text"))
 
 
+@register(
+    "audio_meta",
+    """
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           8000 AS sample_rate,
+           1 + octet_length(encode(text)) % 2 AS channels,
+           16 AS bits,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+           octet_length(encode(text)) / 8000.0 AS duration_s,
+           'fake' AS decode_tier
+    FROM documents
+    """,
+)
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset audio manifest via the audio ladder
+    (operators/multimodal.extract_audio_meta): real RIFF/PCM parse for
+    WAV payloads (functions/wav.py), deterministic fake for compressed
+    or unrecognizable audio. The driver's text-derived payloads are
+    all fake-tier — the byte-derived fake columns are what DuckDB can
+    oracle; the real tier is pinned by tests/test_audio_codec.py.
+
+    Scale: mapInPandas, 1:1 rows, columnar, no shuffle."""
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        extract_audio_meta,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return extract_audio_meta(attach_binary(d, "doc_id", "text"))
+
+
 # ---------------------------------------------------------------------
 # Semantic deduplication (SemDeDup)
 # ---------------------------------------------------------------------
