@@ -21,6 +21,10 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         --ont ONT_DIR --out OUT_DIR   (also reads ONT_DIR/synonyms.parquet)
     python -m clinvar_pipeline_spark --audit [--sf TABLE_DIR]
         (ops report: skew-cap drop counts + plan smell audit)
+    python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR] --out OUT
+        (LLM corpus-prep chain: profile, repetition gates, near-dup
+        pairs, decontamination, stratified sample, packing manifest,
+        PII scrub, SemDeDup — one parquet dir per stage + counters)
 
 AUX_DIR holds orthologs / ont_terms / ont_synonyms / concept_omim /
 existing_annotations as ``<name>.parquet``; ONT_DIR holds
@@ -203,6 +207,68 @@ def cmd_qc_duplicate_terms(
     print(f"surviving_terms: {picks.count()}")
 
 
+CORPUS_PREP_STAGES = [
+    # registry queries composing the corpus-prep chain; each takes
+    # (spark, sf_dir) and returns a DataFrame
+    "text_profile",
+    "repetition_gates",
+    "minhash_lsh_pairs",
+    "decontaminate",
+    "stratified_sample",
+    "sequence_packing",
+]
+
+
+def cmd_corpus_prep(spark: SparkSession, args) -> None:
+    """--corpusPrep: the LLM training-corpus preparation chain over a
+    table directory (documents.parquet, optionally embeddings.parquet)
+    — the extension pipelines as one runnable job, not just registry
+    queries: per-doc profile, Gopher repetition gates, MinHash-LSH
+    near-dup pairs, benchmark decontamination, language-stratified
+    sample, sequence-packing manifest, raw-text PII scrub, and (when
+    embeddings exist) the SemDeDup drop list. Each stage lands as
+    parquet under --out/<stage>; the run ends with a counters frame
+    (the reference's counter-email discipline, GlobalCounters.java)."""
+    import os
+
+    from clinvar_pipeline_spark import queries as Q
+    from clinvar_pipeline_spark.caching import release_cached
+    from clinvar_pipeline_spark.queries_llm import pii_scrub_exprs
+
+    sf = args.sf or "/root/testdata/sf0.001"
+    reg = Q.queries()
+    counters: list[tuple[str, int]] = []
+
+    def land(name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+        n = spark.read.parquet(f"{args.out}/{name}").count()
+        counters.append((name, n))
+        print(f"{name}: {n}")
+
+    for name in CORPUS_PREP_STAGES:
+        land(name, reg[name](spark, sf))
+    # raw-text scrub: the registry's pii_scrub plants synthetic PII so
+    # DuckDB can oracle it; the CLI scrubs the corpus as-is and keeps
+    # the scrubbed text as the stage output (the actual product)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    e = pii_scrub_exprs(F.col("text"))
+    land(
+        "pii_scrub",
+        d.select(
+            "doc_id",
+            e["n_email"].alias("n_email"),
+            e["n_card"].alias("n_card"),
+            e["n_ip"].alias("n_ip"),
+            e["scrubbed"].alias("text_scrubbed"),
+        ),
+    )
+    if os.path.exists(f"{sf}/embeddings.parquet"):
+        land("semantic_dedup", reg["semantic_dedup"](spark, sf))
+    summary = spark.createDataFrame(counters, "stage string, n_rows long")
+    summary.write.mode("overwrite").parquet(f"{args.out}/run_counters")
+    release_cached()
+
+
 def cmd_audit(spark: SparkSession, args) -> None:
     """--audit: the ops-facing counterpart of the reference's run-stat
     counter email — skew-cap drop counts plus a physical-plan smell
@@ -228,6 +294,7 @@ def main(argv: list[str] | None = None) -> None:
         "--clinvar2vcf",
         "--qcDuplicateTerms",
         "--qcDuplicateTermsAndSynonyms",
+        "--corpusPrep",
         "--audit",
     ):
         mode.add_argument(flag, action="store_true")
@@ -239,7 +306,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--dbsnp")
     p.add_argument("--ref-bases", dest="ref_bases")
     p.add_argument("--ont")
-    p.add_argument("--sf", help="--audit: table dir (default sf0.01 testdata)")
+    p.add_argument(
+        "--sf",
+        help="--audit/--corpusPrep: table dir (default testdata)",
+    )
     p.add_argument("--out")
     args = p.parse_args(argv)
     if not args.audit and not args.out:
@@ -260,6 +330,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_qc_duplicate_terms(spark, args, with_synonyms=False)
     elif args.qcDuplicateTermsAndSynonyms:
         cmd_qc_duplicate_terms(spark, args, with_synonyms=True)
+    elif args.corpusPrep:
+        cmd_corpus_prep(spark, args)
     elif args.audit:
         cmd_audit(spark, args)
 

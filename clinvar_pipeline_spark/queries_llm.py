@@ -397,6 +397,135 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Repetition quality gates (Gopher-style)
+# ---------------------------------------------------------------------
+
+# Gopher-family repetition thresholds (Rae et al. 2021, table A1
+# spirit): a document fails when one token or bigram dominates it.
+# Production web-text values are ~0.30/0.20; tightened here to the
+# generated corpus's compact ~30-token docs (whose max observed
+# fractions are 0.30/0.17 — the production gate would be vacuously
+# all-pass) so the reject path is exercised end-to-end (~2% fail).
+TOP_UNIGRAM_MAX = 0.20
+TOP_BIGRAM_MAX = 0.125
+
+
+@register(
+    "repetition_gates",
+    f"""
+    WITH base AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> array_to_string(
+                                      list_slice(toks, i, i + 1), ' '))
+               ELSE [] END AS bi
+        FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))) AS top_uni,
+               len(bi) AS n_bigrams,
+               CASE WHEN len(bi) = 0 THEN 0
+                    ELSE list_max(list_transform(list_distinct(bi),
+                        b -> len(list_filter(bi, x -> x = b)))) END
+                 AS top_bi,
+               CASE WHEN len(bi) = 0 THEN 0
+                    ELSE len(bi) - len(list_distinct(bi)) END AS dup_bi
+        FROM base)
+    SELECT doc_id, n_tokens,
+           round(CAST(top_uni AS DOUBLE) / n_tokens, 4)
+             AS top_unigram_frac,
+           round(CASE WHEN n_bigrams = 0 THEN 0.0
+                 ELSE CAST(top_bi AS DOUBLE) / n_bigrams END, 4)
+             AS top_bigram_frac,
+           round(CASE WHEN n_bigrams = 0 THEN 0.0
+                 ELSE CAST(dup_bi AS DOUBLE) / n_bigrams END, 4)
+             AS dup_bigram_frac,
+           CASE WHEN CAST(top_uni AS DOUBLE) / n_tokens
+                     <= {TOP_UNIGRAM_MAX}
+                 AND (n_bigrams = 0 OR CAST(top_bi AS DOUBLE) / n_bigrams
+                      <= {TOP_BIGRAM_MAX})
+                THEN 1 ELSE 0 END AS gate_pass
+    FROM m
+    """,
+)
+def q_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates: a document is rejected
+    when its most frequent token exceeds 30% of all tokens or its most
+    frequent bigram exceeds 20% of all bigrams; duplicate-bigram mass
+    is emitted as a diagnostic. Complements text_profile (which scores
+    length/punctuation/stopwords/TTR) with the repetition family —
+    together they are the standard pre-training quality screen.
+
+    Scale: map-only single scan, everything codegen'd JVM-side. The
+    per-doc top-count is O(distinct × n) in expression form — fine for
+    web-scale documents of ordinary length; a pathological many-MB
+    document would route through an Arrow kernel like
+    functions/hashes.py (same plan shape)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = normalized_tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = base.select("doc_id", "toks", bi.alias("bi"))
+
+    def top_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda t: F.size(F.filter(arr, lambda x: x == t)),
+            )
+        )
+
+    nb = F.size("bi")
+    m = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        top_count(F.col("toks")).alias("top_uni"),
+        nb.alias("n_bigrams"),
+        F.when(nb == 0, F.lit(0))
+        .otherwise(top_count(F.col("bi")))
+        .alias("top_bi"),
+        F.when(nb == 0, F.lit(0))
+        .otherwise(nb - F.size(F.array_distinct("bi")))
+        .alias("dup_bi"),
+    )
+    uni_f = F.col("top_uni").cast("double") / F.col("n_tokens")
+    bi_f = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        F.col("top_bi").cast("double") / F.col("n_bigrams")
+    )
+    dup_f = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        F.col("dup_bi").cast("double") / F.col("n_bigrams")
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round(uni_f, 4).alias("top_unigram_frac"),
+        F.round(bi_f, 4).alias("top_bigram_frac"),
+        F.round(dup_f, 4).alias("dup_bigram_frac"),
+        F.when(
+            (uni_f <= TOP_UNIGRAM_MAX)
+            & ((F.col("n_bigrams") == 0) | (bi_f <= TOP_BIGRAM_MAX)),
+            1,
+        )
+        .otherwise(0)
+        .alias("gate_pass"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Video manifest (multimodal ladder, video rung)
 # ---------------------------------------------------------------------
 

@@ -381,3 +381,30 @@ def test_cli_annotate(spark, cli_dirs):
     objs = {r["annotated_object_rgd_id"] for r in ann.collect()}
     # variant itself, its single gene, and the rat homolog (ISO)
     assert {2, 102, 202} <= objs
+
+
+def test_cli_corpus_prep(spark, tmp_path):
+    main(
+        [
+            "--corpusPrep",
+            "--sf", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "prep"),
+        ]
+    )
+    from clinvar_pipeline_spark.cli import CORPUS_PREP_STAGES
+
+    counters = {
+        r["stage"]: r["n_rows"]
+        for r in spark.read.parquet(str(tmp_path / "prep" / "run_counters")).collect()
+    }
+    # every stage landed, counted, and matches its parquet output
+    for stage in CORPUS_PREP_STAGES + ["pii_scrub", "semantic_dedup"]:
+        assert counters[stage] == spark.read.parquet(
+            str(tmp_path / "prep" / stage)
+        ).count()
+    assert counters["text_profile"] > 0
+    assert counters["sequence_packing"] > 0
+    # raw-corpus scrub: the generated text has no PII -> zero counts,
+    # scrubbed text identical
+    scrub = spark.read.parquet(str(tmp_path / "prep" / "pii_scrub"))
+    assert scrub.agg(F.sum("n_email"), F.sum("n_ip")).first() == (0, 0)

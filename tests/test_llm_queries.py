@@ -170,6 +170,36 @@ def test_sequence_packing_partitioning_invariant(spark, tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------
+# repetition_gates
+# ---------------------------------------------------------------------
+
+def test_repetition_gates_flags_repetitive_docs(spark, tmp_path):
+    rows = [
+        # 10 tokens, 'spam' is 5 of them -> top_unigram_frac 0.5, fail
+        (1, "spam spam spam spam spam alpha beta gamma delta epsilon"),
+        # all-distinct tokens -> fracs 0.1/0.111-ish, pass
+        (2, "one two three four five six seven eight nine ten"),
+        # dominant bigram: 'ba da' repeated -> bigram gate fails
+        (3, "ba da ba da ba da ba da xx yy"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in ql.q_repetition_gates(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["top_unigram_frac"] == 0.5
+    assert out[1]["gate_pass"] == 0
+    assert out[2]["gate_pass"] == 1
+    assert out[2]["dup_bigram_frac"] == 0.0
+    # doc 3: 9 bigrams, 'ba da' appears 4 times -> 0.4444 > 0.125
+    assert out[3]["top_bigram_frac"] == pytest.approx(0.4444)
+    assert out[3]["dup_bigram_frac"] > 0
+    assert out[3]["gate_pass"] == 0
+
+
+# ---------------------------------------------------------------------
 # semantic_dedup
 # ---------------------------------------------------------------------
 
