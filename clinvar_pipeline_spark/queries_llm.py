@@ -455,18 +455,32 @@ TOP_BIGRAM_MAX = 0.125
 )
 def q_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates: a document is rejected
-    when its most frequent token exceeds 30% of all tokens or its most
-    frequent bigram exceeds 20% of all bigrams; duplicate-bigram mass
-    is emitted as a diagnostic. Complements text_profile (which scores
-    length/punctuation/stopwords/TTR) with the repetition family —
-    together they are the standard pre-training quality screen.
+    when its most frequent token or most frequent bigram exceeds the
+    TOP_UNIGRAM_MAX / TOP_BIGRAM_MAX share of the document;
+    duplicate-bigram mass is emitted as a diagnostic. Complements
+    text_profile (which scores length/punctuation/stopwords/TTR) with
+    the repetition family — together they are the standard
+    pre-training quality screen."""
+    return repetition_metrics(
+        _spread(_t(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The gates as a stateless DataFrame operator (the batch query
+    above and the streaming twin in streaming/corpus.py both call
+    this — per-row expressions are streaming-legal as-is).
 
     Scale: map-only single scan, everything codegen'd JVM-side. The
     per-doc top-count is O(distinct × n) in expression form — fine for
     web-scale documents of ordinary length; a pathological many-MB
     document would route through an Arrow kernel like
     functions/hashes.py (same plan shape)."""
-    d = _spread(_t(spark, sf_dir, "documents"))
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
     toks = normalized_tokens(F.col("text"))
     base = d.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") > 0

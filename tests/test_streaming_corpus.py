@@ -1,0 +1,79 @@
+"""Streaming corpus-prep twins: the stateless scrub/gate operators
+over a two-micro-batch file stream produce exactly the batch result."""
+
+from __future__ import annotations
+
+import pytest
+
+from clinvar_pipeline_spark.streaming.corpus import (
+    DOCUMENT_SCHEMA,
+    gates_stream,
+    read_document_stream,
+    scrub_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("doc_stream")
+    rows1 = [
+        (1, "mail me at a@b.co twice a@b.co", "en", "s", 30),
+        (2, "spam spam spam spam spam alpha beta gamma delta epsilon",
+         "en", "s", 55),
+    ]
+    rows2 = [
+        (3, "ip 10.0.0.1 card 1234-5678-9012-3456", "en", "s", 36),
+        (4, "one two three four five six seven eight nine ten", "en",
+         "s", 48),
+    ]
+    for rows in (rows1, rows2):  # two drops = two micro-batches
+        spark.createDataFrame(rows, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d / "documents"))
+    return str(d / "documents")
+
+
+def _run(spark, stream_df, tmpdir, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_scrub_equals_batch(spark, doc_stream_dir, tmp_path):
+    got = _run(
+        spark,
+        scrub_stream(read_document_stream(spark, doc_stream_dir)),
+        tmp_path,
+        "scrub_out",
+    )
+    want = scrub_stream(spark.read.parquet(doc_stream_dir))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[1]["n_email"] == 2
+    assert "<EMAIL>" in by_id[1]["text_scrubbed"]
+    assert (by_id[3]["n_ip"], by_id[3]["n_card"]) == (1, 1)
+
+
+def test_streaming_gates_equal_batch(spark, doc_stream_dir, tmp_path):
+    got = _run(
+        spark,
+        gates_stream(read_document_stream(spark, doc_stream_dir)),
+        tmp_path,
+        "gates_out",
+    )
+    want = gates_stream(spark.read.parquet(doc_stream_dir))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[2]["gate_pass"] == 0  # 'spam' dominates
+    assert by_id[4]["gate_pass"] == 1
