@@ -212,6 +212,7 @@ CORPUS_PREP_STAGES = [
     # (spark, sf_dir) and returns a DataFrame
     "text_profile",
     "repetition_gates",
+    "lm_quality",
     "minhash_lsh_pairs",
     "decontaminate",
     "stratified_sample",

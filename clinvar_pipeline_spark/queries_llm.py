@@ -540,6 +540,73 @@ def repetition_metrics(
 
 
 # ---------------------------------------------------------------------
+# LM quality score (CCNet-style unigram logprob)
+# ---------------------------------------------------------------------
+
+@register(
+    "lm_quality",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS t
+        FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0),
+    freq AS (
+        SELECT t, count(*) AS cnt,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS total
+        FROM tok GROUP BY t)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS mean_logprob
+    FROM tok JOIN freq USING (t)
+    GROUP BY doc_id
+    """,
+)
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: per-document mean unigram
+    log-probability under the corpus's own unigram model (the
+    stand-in for a KenLM perplexity filter — the engine-side plan is
+    identical, only the per-token score table changes). Documents full
+    of corpus-typical tokens score high (closer to 0); rare-token
+    documents land in the tail, which is exactly the head/middle/tail
+    partitioning CCNet buckets a corpus by.
+
+    Scale: the unigram table is one groupBy over the exploded tokens
+    (the explode is shared with the per-doc aggregate via one persist);
+    its corpus-wide total rides along as a window over the vocab-sized
+    frame. The score join keys on the token string — vocab-sized, so
+    AQE broadcasts it when it fits and hash-joins otherwise; no hint,
+    per the engine's broadcast policy. Engine-note: ln() may differ
+    from DuckDB's libm in the last ulp; the 4-decimal round is ~12
+    orders of magnitude coarser, so hashes are stable (same discipline
+    as every double-emitting query here)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.explode("toks").alias("t"))
+    )
+    tok = _persist(tok)  # freq build + score join both read it
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "total",
+            F.sum("cnt").over(Window.partitionBy(F.lit(1))).cast("long"),
+        )
+    )
+    lp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 4).alias("mean_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # Video manifest (multimodal ladder, video rung)
 # ---------------------------------------------------------------------
 

@@ -200,6 +200,38 @@ def test_repetition_gates_flags_repetitive_docs(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------
+# lm_quality
+# ---------------------------------------------------------------------
+
+def test_lm_quality_scores_typicality(spark, tmp_path):
+    import math
+
+    rows = [(1, "a a a a"), (2, "a b"), (3, "c d")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r for r in ql.q_lm_quality(spark, str(tmp_path)).collect()
+    }
+    # corpus unigrams: a=5, b=c=d=1, N=8
+    assert out[1]["mean_logprob"] == pytest.approx(
+        round(math.log(5 / 8), 4)
+    )
+    assert out[2]["mean_logprob"] == pytest.approx(
+        round((math.log(5 / 8) + math.log(1 / 8)) / 2, 4)
+    )
+    assert out[3]["mean_logprob"] == pytest.approx(
+        round(math.log(1 / 8), 4)
+    )
+    # typical docs score higher (closer to 0) than rare-token docs
+    assert (
+        out[1]["mean_logprob"]
+        > out[2]["mean_logprob"]
+        > out[3]["mean_logprob"]
+    )
+
+
+# ---------------------------------------------------------------------
 # semantic_dedup
 # ---------------------------------------------------------------------
 
