@@ -572,14 +572,19 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning CCNet buckets a corpus by.
 
     Scale: the unigram table is one groupBy over the exploded tokens
-    (the explode is shared with the per-doc aggregate via one persist);
-    its corpus-wide total rides along as a window over the vocab-sized
-    frame. The score join keys on the token string — vocab-sized, so
-    AQE broadcasts it when it fits and hash-joins otherwise; no hint,
-    per the engine's broadcast policy. Engine-note: ln() may differ
-    from DuckDB's libm in the last ulp; the 4-decimal round is ~12
-    orders of magnitude coarser, so hashes are stable (same discipline
-    as every double-emitting query here)."""
+    (the explode is shared with the per-doc aggregate via one persist).
+    The corpus token total is a bounded single-scalar collect off the
+    persisted explode (the guarded-delete W4 discipline — one long to
+    the driver, folded into the plan as a literal). The alternatives
+    both smell at scale: a single-partition window funnels a 1e8-row
+    production vocabulary through one task, and a constant-key join
+    constant-folds into a nested-loop cross join. The score join keys
+    on the token string — vocab-sized, so AQE broadcasts it when it
+    fits and hash-joins otherwise; no hint, per the engine's
+    broadcast policy.
+    Engine-note: ln() may differ from DuckDB's libm in the last ulp;
+    the 4-decimal round is ~12 orders of magnitude coarser, so hashes
+    are stable (same discipline as every double-emitting query)."""
     d = _spread(_t(spark, sf_dir, "documents"))
     tok = (
         d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
@@ -587,15 +592,9 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("t"))
     )
     tok = _persist(tok)  # freq build + score join both read it
-    freq = (
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "total",
-            F.sum("cnt").over(Window.partitionBy(F.lit(1))).cast("long"),
-        )
-    )
-    lp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    total = tok.count()  # bounded scalar off the persisted frame
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
     return (
         tok.join(freq, "t")
         .groupBy("doc_id")

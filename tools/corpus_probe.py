@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Corpus-prep scale probe: the round-5 operators at a 10x replication
+of the sf corpus (same adversarial scheme as tools/ann_probe.py —
+every document/vector copied ``--factor`` times with shifted ids), so
+the probe checks both wall-clock scaling AND the operators' exactness
+invariants under load:
+
+- sequence_packing: token conservation (sum of chunk tokens == total
+  corpus tokens) and all-but-tail chunks exactly SEQ_LEN full — the
+  prefix-sum offset allocation must stay consistent across the bigger
+  range exchange.
+- decontaminate: replicas of eval-slice docs are verbatim copies, so
+  every replica whose id leaves the eval slice must be flagged 100%
+  contaminated — planted-recall under 10x.
+- semantic_dedup (tau=0.99): each vector's factor-1 exact copies must
+  collapse onto one survivor per identical group — planted drop
+  fraction == (factor-1)/factor over duplicated groups.
+
+Usage: python tools/corpus_probe.py [--sf DIR] [--factor 10]
+Prints one JSON line; paste numbers into README's probe table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ID_OFFSET = 10**9
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from clinvar_pipeline_spark.caching import release_cached
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+    from clinvar_pipeline_spark.operators.similarity import semantic_dedup
+    from clinvar_pipeline_spark.queries import queries
+    from clinvar_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"factor": args.factor}
+
+    def replicate(df, id_col):
+        cols = [c for c in df.columns if c != id_col]
+        return (
+            df.select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(args.factor - 1))
+                ).alias("_r"),
+                id_col,
+                *cols,
+            )
+            .select(
+                (
+                    F.col(id_col) + F.col("_r").cast("long") * F.lit(ID_OFFSET)
+                ).alias(id_col),
+                *cols,
+            )
+            .repartition(32)
+            .persist()
+        )
+
+    probe_dir = "/tmp/corpus_probe_sf"
+    docs = replicate(
+        spark.read.parquet(f"{args.sf}/documents.parquet"), "doc_id"
+    )
+    n_docs = docs.count()
+    out["n_docs"] = n_docs
+    # the registry queries read parquet from a dir — land the 10x tables
+    docs.write.mode("overwrite").parquet(f"{probe_dir}/documents.parquet")
+
+    reg = queries()
+
+    # --- sequence_packing: conservation + full-chunk invariants ------
+    t0 = time.time()
+    packing = reg["sequence_packing"](spark, probe_dir).collect()
+    out["packing_wall_s"] = round(time.time() - t0, 1)
+    total_tokens = (
+        spark.read.parquet(f"{probe_dir}/documents.parquet")
+        .select(F.size(normalized_tokens(F.col("text"))).alias("n"))
+        .filter(F.col("n") > 0)
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    packed = sum(r["n_tokens"] for r in packing)
+    tail = max(r["seq_id"] for r in packing)
+    full = all(
+        r["n_tokens"] == 128 for r in packing if r["seq_id"] != tail
+    )
+    out["packing_chunks"] = len(packing)
+    out["packing_conserved"] = bool(packed == total_tokens)
+    out["packing_all_full_but_tail"] = bool(full)
+
+    # --- decontaminate: planted recall on replicated eval docs -------
+    t0 = time.time()
+    dec = reg["decontaminate"](spark, probe_dir)
+    dec_rows = dec.count()
+    out["decontam_wall_s"] = round(time.time() - t0, 1)
+    out["decontam_rows"] = dec_rows
+    # replicas of eval docs (base id % 97 == 0, replica id NOT in the
+    # eval slice) are verbatim copies -> must be 100% contaminated
+    planted = (
+        docs.filter(
+            (F.pmod(F.col("doc_id") % ID_OFFSET, 97) == 0)
+            & (F.pmod(F.col("doc_id"), 97) != 0)
+        )
+        .select("doc_id")
+    )
+    n_planted = planted.count()
+    hit = (
+        dec.filter(F.col("contamination_ratio") >= 1.0)
+        .join(planted, "doc_id", "left_semi")
+        .count()
+    )
+    out["decontam_planted"] = n_planted
+    out["decontam_planted_flagged"] = hit
+    release_cached()
+
+    # --- semantic_dedup: identical replicas collapse -----------------
+    emb = replicate(
+        spark.read.parquet(f"{args.sf}/embeddings.parquet"), "vec_id"
+    )
+    n_vec = emb.count()
+    out["n_vectors"] = n_vec
+    t0 = time.time()
+    dropped = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", tau=0.99,
+        num_cells=64,
+    ).persist()
+    n_dropped = dropped.count()
+    out["semdedup_wall_s"] = round(time.time() - t0, 1)
+    out["semdedup_dropped"] = n_dropped
+    # every replica (id >= ID_OFFSET) has an identical lower-id twin
+    # -> must be dropped; survivors among replicas would be misses
+    n_replicas = n_vec - n_vec // args.factor
+    missed = (
+        emb.filter(F.col("vec_id") >= ID_OFFSET)
+        .join(dropped, "vec_id", "left_anti")
+        .count()
+    )
+    out["semdedup_replicas"] = n_replicas
+    out["semdedup_replicas_missed"] = missed
+    release_cached()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
