@@ -1,0 +1,123 @@
+"""Corpus-scale BPE merge training (Sennrich et al. 2016,
+arXiv:1508.07909) — the tokenizer-induction step of an LLM data
+pipeline, and the engine's iterative-algorithm showcase alongside the
+SO-obsolete fixpoint (operators/fixpoint.py, F13).
+
+Shape per round (``num_merges`` rounds total, a bounded driver loop —
+the standard structure for iterative algorithms on Spark):
+1. adjacent-pair counts: one explode + groupBy over the word-frequency
+   table, every pair weighted by its word's corpus frequency;
+2. argmax pair: a bounded 1-row collect (TakeOrdered over the pair
+   counts; ties broken lexicographically so training is deterministic);
+3. merge rewrite: map-only Arrow kernel replacing left-to-right,
+   non-overlapping occurrences of the winning pair.
+
+Scale: state is the WORD table (vocabulary-sized — millions of rows at
+100 TB corpus scale, not corpus-sized: frequencies are aggregated once
+up front, the classic BPE trick), re-persisted each round with the
+previous round released. Each round is one shuffle (pair groupBy) +
+one narrow map; the only driver data is one (pair, count) row per
+round.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+
+
+def _chars(col):
+    return F.expr(
+        f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
+    )
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str
+) -> DataFrame:
+    """(word, freq) over the tokenized corpus — the one corpus-sized
+    pass; everything after runs on the vocabulary."""
+    return (
+        df.select(F.explode(normalized_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe_merges(
+    words: DataFrame,
+    num_merges: int = 8,
+    scratch: Optional[list] = None,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from a (word, freq) table.
+    Returns [(left, right, pair_frequency), ...] in learned order.
+    No end-of-word marker (documented simplification — adding '</w>'
+    is one extra literal in the symbol init).
+
+    ``scratch`` collects the per-round persisted frames so callers/
+    tests can unpersist them (the caching.py discipline)."""
+    from pyspark.sql.functions import pandas_udf
+
+    syms = words.select(
+        "word", "freq", _chars("word").alias("syms")
+    ).persist()
+    if scratch is not None:
+        scratch.append(syms)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((left, right, int(cnt)))
+
+        @pandas_udf("array<string>")
+        def merge_pair(s: pd.Series) -> pd.Series:
+            out = []
+            for arr in s:
+                res, i, n = [], 0, len(arr)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and arr[i] == left
+                        and arr[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(arr[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        prev = syms
+        syms = syms.select(
+            "word", "freq", merge_pair("syms").alias("syms")
+        ).persist()
+        if scratch is not None:
+            scratch.append(syms)
+        # materialize the new round before dropping the old one, or
+        # the lineage recomputes every prior merge kernel per round
+        syms.count()
+        prev.unpersist()
+    syms.unpersist()
+    return merges

@@ -680,6 +680,32 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# BPE merge training (tokenizer induction)
+# ---------------------------------------------------------------------
+
+@register("bpe_merges", None)  # iterative argmax loop: no SQL twin
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus (operators/bpe.py):
+    per round one vocabulary-sized pair-count shuffle, one bounded
+    1-row argmax collect, one Arrow merge kernel. Rows-only at the
+    driver (an iterative data-dependent argmax has no single-SQL
+    twin — SURVEY §5 t2 policy); exact training behavior is pinned by
+    tests/test_bpe.py against hand-computed merges and a pure-Python
+    reference implementation."""
+    from clinvar_pipeline_spark.operators.bpe import (
+        train_bpe_merges,
+        word_frequencies,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    merges = train_bpe_merges(word_frequencies(d, "text"), num_merges=8)
+    return spark.createDataFrame(
+        [(i, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)],
+        "rank int, left string, right string, pair_freq long",
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------
 # Semantic deduplication (SemDeDup)
 # ---------------------------------------------------------------------
 

@@ -91,3 +91,28 @@ def test_sample_frames_wav_time_windows(spark):
     ]
     assert starts == [-2000, -1000, 0, 1000]
     assert all(len(r["frame_bytes"]) == 4 for r in out)
+
+
+# ---------------------------------------------------------------------
+# property tests: PCM WAV is lossless end to end
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_16bit_roundtrip_lossless(samples, rate):
+    raw = wav_encode(samples, sample_rate=rate)
+    info = wav_info(raw)
+    assert info["sample_rate"] == rate
+    assert info["n_samples"] == len(samples)
+    got = struct.unpack(f"<{len(samples)}h", wav_window(raw, 0, len(samples)))
+    assert list(got) == samples

@@ -194,3 +194,31 @@ def test_sample_frames_malformed_y4m_falls_to_byte_slice(spark):
     ).collect()
     assert len(out) == 2
     assert all(len(r["frame_bytes"]) <= 8 for r in out)
+
+
+# ---------------------------------------------------------------------
+# property tests: Y4M round-trip error bound over random frames
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=3),
+    st.randoms(use_true_random=False),
+)
+def test_y4m_444_roundtrip_bounded_error(w, h, n, rnd):
+    frames = [
+        bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        for _ in range(n)
+    ]
+    raw = y4m_encode(w, h, frames)
+    w2, h2, out = y4m_frames(raw)
+    assert (w2, h2, len(out)) == (w, h, n)
+    # BT.601 limited-range YUV444 quantizes each channel; the
+    # round-trip error bound is a few code values per sample
+    for fin, fout in zip(frames, out):
+        assert all(abs(a - b) <= 6 for a, b in zip(fin, fout))
