@@ -40,3 +40,41 @@ def test_write_vcf_single_sorted_file(spark, tmp_path):
         "1\t200\trs1\tC\tT",
         "2\t50\trs2\tA\tG",
     ]
+
+
+# ---------------------------------------------------------------------
+# JSONL document source/sink
+# ---------------------------------------------------------------------
+
+def test_jsonl_read_counts_corrupt_lines(spark, tmp_path):
+    from clinvar_pipeline_spark.sources.jsonl import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s"}\n'
+        '{"doc_id": 2, "text": "zweites dokument", "lang": "de", "source": "s"}\n'
+        "{not json at all\n"
+        '{"doc_id": 3, "text": "third", "lang": "en", "source": "t"}\n',
+        "utf-8",
+    )
+    good, counters = read_documents_jsonl(spark, str(p))
+    assert {r["doc_id"] for r in good.collect()} == {1, 2, 3}
+    c = {r["counter"]: r["value"] for r in counters.collect()}
+    assert c == {"DOCS_GOOD": 3, "DOCS_CORRUPT": 1}
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from clinvar_pipeline_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", "en", "s"), (2, "c d", "fr", "t")],
+        "doc_id long, text string, lang string, source string",
+    )
+    write_documents_jsonl(df, str(tmp_path / "out"))
+    back, counters = read_documents_jsonl(spark, str(tmp_path / "out"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    c = {r["counter"]: r["value"] for r in counters.collect()}
+    assert c == {"DOCS_GOOD": 2}
