@@ -1,14 +1,17 @@
 """LLM-training-data pipeline suite, round 5: the corpus-preparation
 operators a 100 TB pretraining pipeline runs downstream of dedup —
 domain rebalancing (stratified sampling), PII scrubbing, benchmark
-decontamination, sequence packing (concat-and-chunk), and SemDeDup
-semantic deduplication.
+decontamination, sequence packing (concat-and-chunk), repetition
+quality gates (Gopher-style), LM quality scoring (CCNet-style),
+SemDeDup semantic deduplication, BPE tokenizer induction, and the
+video/audio manifest rungs of the multimodal ladder.
 
 Same registry idiom as queries.py: every operator is a named query
-over the driver's generic tables with a DuckDB oracle twin (SQL twin
-omitted only for semantic_dedup, whose k-means quantizer has no DuckDB
-builtin — it gets the rows-only check plus an exact contract test,
-the SURVEY §5 t2 policy).
+over the driver's generic tables with a DuckDB oracle twin. SQL twins
+are omitted only for semantic_dedup (k-means quantizer has no DuckDB
+builtin) and bpe_merges (iterative data-dependent argmax) — those get
+the rows-only check plus exact contract tests, the SURVEY §5 t2
+policy.
 """
 
 from __future__ import annotations
