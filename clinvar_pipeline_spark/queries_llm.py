@@ -411,6 +411,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pass) so the reject path is exercised end-to-end (~2% fail).
 TOP_UNIGRAM_MAX = 0.20
 TOP_BIGRAM_MAX = 0.125
+# each gate needs enough mass to be meaningful: a 7-bigram doc has
+# top_bigram_frac >= 1/7 > 0.125 by pigeonhole even when fully
+# distinct, so short docs would auto-fail. Gopher applies the same
+# family of min-length prerequisites before its repetition rules.
+MIN_TOKENS_FOR_UNIGRAM_GATE = 10
+MIN_BIGRAMS_FOR_BIGRAM_GATE = 16
 
 
 @register(
@@ -448,10 +454,12 @@ TOP_BIGRAM_MAX = 0.125
            round(CASE WHEN n_bigrams = 0 THEN 0.0
                  ELSE CAST(dup_bi AS DOUBLE) / n_bigrams END, 4)
              AS dup_bigram_frac,
-           CASE WHEN CAST(top_uni AS DOUBLE) / n_tokens
-                     <= {TOP_UNIGRAM_MAX}
-                 AND (n_bigrams = 0 OR CAST(top_bi AS DOUBLE) / n_bigrams
-                      <= {TOP_BIGRAM_MAX})
+           CASE WHEN (n_tokens < {MIN_TOKENS_FOR_UNIGRAM_GATE}
+                      OR CAST(top_uni AS DOUBLE) / n_tokens
+                         <= {TOP_UNIGRAM_MAX})
+                 AND (n_bigrams < {MIN_BIGRAMS_FOR_BIGRAM_GATE}
+                      OR CAST(top_bi AS DOUBLE) / n_bigrams
+                         <= {TOP_BIGRAM_MAX})
                 THEN 1 ELSE 0 END AS gate_pass
     FROM m
     """,
@@ -533,8 +541,14 @@ def repetition_metrics(
         F.round(bi_f, 4).alias("top_bigram_frac"),
         F.round(dup_f, 4).alias("dup_bigram_frac"),
         F.when(
-            (uni_f <= TOP_UNIGRAM_MAX)
-            & ((F.col("n_bigrams") == 0) | (bi_f <= TOP_BIGRAM_MAX)),
+            (
+                (F.col("n_tokens") < MIN_TOKENS_FOR_UNIGRAM_GATE)
+                | (uni_f <= TOP_UNIGRAM_MAX)
+            )
+            & (
+                (F.col("n_bigrams") < MIN_BIGRAMS_FOR_BIGRAM_GATE)
+                | (bi_f <= TOP_BIGRAM_MAX)
+            ),
             1,
         )
         .otherwise(0)

@@ -408,3 +408,68 @@ def test_cli_corpus_prep(spark, tmp_path):
     # scrubbed text identical
     scrub = spark.read.parquet(str(tmp_path / "prep" / "pii_scrub"))
     assert scrub.agg(F.sum("n_email"), F.sum("n_ip")).first() == (0, 0)
+
+
+def test_cli_corpus_prep_catches_planted_issues(spark, tmp_path):
+    """Story test: one corpus with a planted near-dup pair, an eval
+    copy (contamination), a PII-bearing doc, a repetitive doc, and an
+    identical embedding pair — every corpusPrep report must catch its
+    plant."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        # doc 0: eval member (0 % 97 == 0)
+        (0, base, "en", "s", 60),
+        # doc 50: verbatim copy of the eval doc -> contaminated
+        (50, base, "en", "s", 60),
+        # docs 20/21: near-identical -> minhash pair
+        (20, base + " kilo lima mike november", "en", "s", 80),
+        (21, base + " kilo lima mike oscar", "en", "s", 78),
+        # doc 30: PII in the raw text
+        (30, "reach me at jane.doe@corp.example or 192.168.0.7 thanks",
+         "fr", "s", 55),
+        # doc 40: repetitive -> gate fails
+        (40, "spam spam spam spam spam spam spam spam one two", "de",
+         "s", 47),
+        # filler so strata are non-trivial
+        (60, "papa quebec romeo sierra tango uniform victor whiskey",
+         "en", "s", 52),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),  # identical twin of 1
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    main(
+        [
+            "--corpusPrep",
+            "--sf", str(tmp_path),
+            "--out", str(tmp_path / "prep"),
+        ]
+    )
+
+    def rd(name):
+        return spark.read.parquet(str(tmp_path / "prep" / name))
+
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in rd("minhash_lsh_pairs").collect()
+    }
+    assert (20, 21) in pairs
+    contaminated = {r["doc_id"] for r in rd("decontaminate").collect()}
+    assert 50 in contaminated
+    scrub = {r["doc_id"]: r for r in rd("pii_scrub").collect()}
+    assert scrub[30]["n_email"] == 1 and scrub[30]["n_ip"] == 1
+    assert "<EMAIL>" in scrub[30]["text_scrubbed"]
+    assert scrub[60]["n_email"] == 0
+    gates = {r["doc_id"]: r["gate_pass"] for r in rd("repetition_gates").collect()}
+    assert gates[40] == 0 and gates[60] == 1
+    dropped = {r["vec_id"]: r["kept_by"] for r in rd("semantic_dedup").collect()}
+    assert dropped == {2: 1}  # the identical twin collapses, others survive
