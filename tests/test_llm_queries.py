@@ -270,3 +270,53 @@ def test_semantic_dedup_cell_cap_guard(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = semantic_dedup(df, tau=0.95, num_cells=2, cell_cap=5).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------
+# sequence_packing properties (hypothesis)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    st.sampled_from([8, 16, 32]),
+)
+def test_sequence_packing_properties(spark, tmp_path_factory, counts, seq_len):
+    import clinvar_pipeline_spark.queries_llm as qm
+
+    tmp = tmp_path_factory.mktemp("packprop")
+    d = _docs_with_token_counts(spark, tmp, counts, parts=3)
+    old = qm.SEQ_LEN
+    qm.SEQ_LEN = seq_len
+    try:
+        rows = qm.q_sequence_packing(spark, d).collect()
+    finally:
+        qm.SEQ_LEN = old
+    total = sum(c for c in counts if c > 0)
+    if total == 0:
+        assert rows == []
+        return
+    by_seq = {r["seq_id"]: r for r in rows}
+    # chunk ids are contiguous from 0
+    assert sorted(by_seq) == list(range(len(by_seq)))
+    # conservation: every token lands in exactly one chunk
+    assert sum(r["n_tokens"] for r in rows) == total
+    # all chunks but the tail are exactly full
+    tail = max(by_seq)
+    for sid, r in by_seq.items():
+        if sid != tail:
+            assert r["n_tokens"] == seq_len
+    # carry-in counts: exactly the docs spanning a boundary
+    n_carry = sum(r["n_carry_in"] for r in rows)
+    starts, acc = [], 0
+    spans = 0
+    for c in counts:
+        if c <= 0:
+            continue
+        first, last = acc // seq_len, (acc + c - 1) // seq_len
+        spans += last - first
+        acc += c
+    assert n_carry == spans
