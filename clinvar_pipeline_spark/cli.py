@@ -21,10 +21,13 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         --ont ONT_DIR --out OUT_DIR   (also reads ONT_DIR/synonyms.parquet)
     python -m clinvar_pipeline_spark --audit [--sf TABLE_DIR]
         (ops report: skew-cap drop counts + plan smell audit)
-    python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR] --out OUT
-        (LLM corpus-prep chain: profile, repetition gates, near-dup
-        pairs, decontamination, stratified sample, packing manifest,
-        PII scrub, SemDeDup — one parquet dir per stage + counters)
+    python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
+        [--jsonl DOCS.jsonl] --out OUT
+        (LLM corpus-prep chain: profile, repetition gates, lm_quality,
+        near-dup pairs, decontamination, stratified sample, packing
+        manifest, PII scrub, SemDeDup — one parquet dir per stage +
+        counters; --jsonl ingests the corpus from JSONL with corrupt
+        lines counted)
 
 AUX_DIR holds orthologs / ont_terms / ont_synonyms / concept_omim /
 existing_annotations as ``<name>.parquet``; ONT_DIR holds
@@ -229,7 +232,10 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
     sample, sequence-packing manifest, raw-text PII scrub, and (when
     embeddings exist) the SemDeDup drop list. Each stage lands as
     parquet under --out/<stage>; the run ends with a counters frame
-    (the reference's counter-email discipline, GlobalCounters.java)."""
+    (the reference's counter-email discipline, GlobalCounters.java).
+    With --jsonl, the document corpus ingests from JSONL first
+    (sources/jsonl.py — corrupt lines counted into
+    ingest_counters)."""
     import os
 
     from clinvar_pipeline_spark import queries as Q
@@ -239,6 +245,24 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
     sf = args.sf or "/root/testdata/sf0.001"
     reg = Q.queries()
     counters: list[tuple[str, int]] = []
+    if args.jsonl:
+        # JSONL corpus in: stage it as the documents table (the
+        # interchange path — corrupt lines counted, not fatal)
+        from clinvar_pipeline_spark.sources.jsonl import (
+            read_documents_jsonl,
+        )
+
+        good, ingest = read_documents_jsonl(spark, args.jsonl)
+        staged = f"{args.out}/_staged"
+        good.write.mode("overwrite").parquet(
+            f"{staged}/documents.parquet"
+        )
+        ingest.write.mode("overwrite").parquet(
+            f"{args.out}/ingest_counters"
+        )
+        for r in ingest.collect():
+            print(f"{r['counter']}: {r['value']}")
+        sf = staged
 
     def land(name: str, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
@@ -307,6 +331,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--dbsnp")
     p.add_argument("--ref-bases", dest="ref_bases")
     p.add_argument("--ont")
+    p.add_argument(
+        "--jsonl",
+        help="--corpusPrep: ingest documents from this JSONL file/dir"
+        " instead of <sf>/documents.parquet",
+    )
     p.add_argument(
         "--sf",
         help="--audit/--corpusPrep: table dir (default testdata)",

@@ -32,6 +32,27 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(DOCUMENT_SCHEMA).parquet(path)
 
 
+def read_document_stream_jsonl(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Streaming JSONL ingest (the corpus interchange format as a
+    live source): schema-enforced, corrupt lines dropped map-side
+    (in streaming, a corrupt-count aggregate would need its own
+    stateful query — batch ingest via sources/jsonl.py is where the
+    counters live)."""
+    from clinvar_pipeline_spark.sources.jsonl import DOCUMENT_FIELDS
+
+    raw = (
+        spark.readStream.schema(f"{DOCUMENT_FIELDS}, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+
+
 def scrub_stream(docs: DataFrame) -> DataFrame:
     """Per-document PII scrub on a (possibly streaming) frame: counts
     per class + scrubbed text. Map-only → append-mode safe."""

@@ -473,3 +473,40 @@ def test_cli_corpus_prep_catches_planted_issues(spark, tmp_path):
     assert gates[40] == 0 and gates[60] == 1
     dropped = {r["vec_id"]: r["kept_by"] for r in rd("semantic_dedup").collect()}
     assert dropped == {2: 1}  # the identical twin collapses, others survive
+
+
+def test_cli_corpus_prep_jsonl_ingest(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta gamma delta", "lang": "en",'
+        ' "source": "s"}\n'
+        '{"doc_id": 2, "text": "epsilon zeta eta theta", "lang": "fr",'
+        ' "source": "s"}\n'
+        "not json\n",
+        "utf-8",
+    )
+    main(
+        [
+            "--corpusPrep",
+            "--jsonl", str(p),
+            "--sf", str(tmp_path),  # no documents.parquet here: jsonl wins
+            "--out", str(tmp_path / "prep"),
+        ]
+    )
+    ingest = {
+        r["counter"]: r["value"]
+        for r in spark.read.parquet(
+            str(tmp_path / "prep" / "ingest_counters")
+        ).collect()
+    }
+    assert ingest == {"DOCS_GOOD": 2, "DOCS_CORRUPT": 1}
+    profile = spark.read.parquet(str(tmp_path / "prep" / "text_profile"))
+    assert profile.count() == 2
+    # no embeddings table -> no semantic_dedup stage
+    counters = {
+        r["stage"]
+        for r in spark.read.parquet(
+            str(tmp_path / "prep" / "run_counters")
+        ).collect()
+    }
+    assert "semantic_dedup" not in counters

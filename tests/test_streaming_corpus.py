@@ -77,3 +77,34 @@ def test_streaming_gates_equal_batch(spark, doc_stream_dir, tmp_path):
     by_id = {r["doc_id"]: r for r in got.collect()}
     assert by_id[2]["gate_pass"] == 0  # 'spam' dominates
     assert by_id[4]["gate_pass"] == 1
+
+
+def test_streaming_jsonl_ingest_scrub(spark, tmp_path):
+    from clinvar_pipeline_spark.streaming.corpus import (
+        read_document_stream_jsonl,
+    )
+
+    d = tmp_path / "jl"
+    d.mkdir()
+    (d / "b1.jsonl").write_text(
+        '{"doc_id": 1, "text": "mail x@y.zz here", "lang": "en",'
+        ' "source": "s"}\n'
+        "BROKEN LINE\n",
+        "utf-8",
+    )
+    (d / "b2.jsonl").write_text(
+        '{"doc_id": 2, "text": "nothing private", "lang": "en",'
+        ' "source": "s"}\n',
+        "utf-8",
+    )
+    out = _run(
+        spark,
+        scrub_stream(read_document_stream_jsonl(spark, str(d))),
+        tmp_path,
+        "jsonl_scrub_out",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # corrupt line dropped, not fatal
+    assert rows[1]["n_email"] == 1
+    assert rows[1]["text_scrubbed"] == "mail <EMAIL> here"
+    assert rows[2]["n_email"] == 0
