@@ -217,6 +217,7 @@ CORPUS_PREP_STAGES = [
     "repetition_gates",
     "lm_quality",
     "minhash_lsh_pairs",
+    "duplicate_passages",
     "decontaminate",
     "stratified_sample",
     "sequence_packing",

@@ -557,6 +557,84 @@ def repetition_metrics(
 
 
 # ---------------------------------------------------------------------
+# Passage-level duplicate detection
+# ---------------------------------------------------------------------
+
+PASSAGE_W = 8  # tokens per passage; production exact-substring dedup
+# uses ~50-token windows (Lee et al. 2022, arXiv:2107.06499) — 8
+# matches this corpus's ~30-token documents
+
+
+@register(
+    "duplicate_passages",
+    f"""
+    WITH p AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(len(toks) / {PASSAGE_W} AS BIGINT)),
+                   j -> array_to_string(
+                       list_slice(toks, j * {PASSAGE_W} + 1,
+                                  j * {PASSAGE_W} + {PASSAGE_W}), ' ')
+               )) AS passage
+        FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents))
+    SELECT md5(passage) AS passage_key,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM p GROUP BY passage
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplicate detection (the exact-substring-dedup
+    family of Lee et al. 2022 'Deduplicating Training Data Makes
+    Language Models Better', done at passage granularity): documents
+    are cut into non-overlapping PASSAGE_W-token windows; any passage
+    appearing in ≥2 distinct documents is reported with its occurrence
+    and document counts and earliest carrier. Document-level dedup
+    (exact_dedup / minhash) misses shared boilerplate inside otherwise
+    distinct documents — this is the operator that catches it.
+
+    Scale: explode is ~n/W rows per doc; one groupBy on the passage
+    hash key (map-side partial aggregation applies), no joins. A
+    remove-pass composes as a semi-join of exploded passages against
+    this table."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = normalized_tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"))
+    # degenerate guard (the shingles_of_tokens lesson): for docs
+    # shorter than one window, sequence(0, -1) DESCENDS and the slice
+    # then crashes the stage — emit an empty passage list instead,
+    # matching the oracle's range(0, 0)
+    windows = F.expr(
+        f"case when size(toks) >= {PASSAGE_W} then"
+        f" transform(sequence(0, cast(size(toks) / {PASSAGE_W} as int) - 1),"
+        f" j -> concat_ws(' ', slice(toks, j * {PASSAGE_W} + 1,"
+        f" {PASSAGE_W})))"
+        f" else array() end"
+    )
+    passages = base.select(
+        "doc_id", F.explode(windows).alias("passage")
+    )
+    return (
+        passages.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5("passage").alias("passage_key"),
+            "n_occurrences",
+            "n_docs",
+            "first_doc",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # LM quality score (CCNet-style unigram logprob)
 # ---------------------------------------------------------------------
 

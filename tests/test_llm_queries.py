@@ -320,3 +320,29 @@ def test_sequence_packing_properties(spark, tmp_path_factory, counts, seq_len):
         spans += last - first
         acc += c
     assert n_carry == spans
+
+
+# ---------------------------------------------------------------------
+# duplicate_passages
+# ---------------------------------------------------------------------
+
+def test_duplicate_passages_catch_shared_boilerplate(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(ql, "PASSAGE_W", 4)
+    boiler = "all rights reserved contact"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        # doc 3 repeats the boilerplate twice internally
+        (3, boiler + " " + boiler),
+        # doc 4 short (under one window) must not crash the stage
+        (4, "tiny doc"),
+        (5, "completely unrelated words only here today"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = ql.q_duplicate_passages(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # only the boilerplate window recurs
+    r = out[0]
+    # docs 1, 2, 3 carry it; doc 3 twice -> 4 occurrences
+    assert (r["n_occurrences"], r["n_docs"], r["first_doc"]) == (4, 3, 1)
