@@ -218,6 +218,7 @@ CORPUS_PREP_STAGES = [
     "lm_quality",
     "minhash_lsh_pairs",
     "duplicate_passages",
+    "cdc_chunks",
     "decontaminate",
     "stratified_sample",
     "sequence_packing",

@@ -421,3 +421,56 @@ def random_hyperplane_buckets(
     for b in bits[1:]:
         total = total + b
     return total
+
+
+CDC_BASE = 31
+CDC_PRIME = 1_000_000_007
+
+
+def cdc_spans_batch(window: int = 16, divisor: int = 64):
+    """Arrow-batched content-defined chunking: text -> array of
+    (start, length) chunk spans. A boundary is cut after position i
+    (1-based, i >= window) when the Karp-Rabin hash of the trailing
+    ``window`` characters is divisible by ``divisor`` — so expected
+    chunk length ~= divisor characters, and (the CDC property) chunk
+    boundaries depend only on LOCAL content: an insertion early in a
+    document shifts bytes but re-synchronizes the remaining
+    boundaries, which fixed-size chunking never does. Same polynomial
+    family as the doc_fingerprint rolling hash (fp = acc*31 + code
+    mod 1e9+7).
+
+    Linear per document (one rolling update per character) — the
+    scale path; the DuckDB oracle twin recomputes each window hash
+    from prefix hashes by the closed form
+    wh(i) = (H(i) - H(i-w)*31^w) mod p, O(n^2) but engine-exact
+    (integer mod arithmetic both sides)."""
+    from pyspark.sql.functions import pandas_udf
+
+    pow_w = pow(CDC_BASE, window, CDC_PRIME)
+
+    @pandas_udf("array<struct<start:int,length:int>>")
+    def spans(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = t or ""
+            n = len(t)
+            cuts = []
+            h = 0
+            for i in range(n):
+                h = (h * CDC_BASE + ord(t[i])) % CDC_PRIME
+                if i >= window:
+                    h = (h - ord(t[i - window]) * pow_w) % CDC_PRIME
+                if i + 1 >= window and h % divisor == 0:
+                    cuts.append(i + 1)
+            starts = [0] + cuts
+            ends = cuts + [n]
+            out.append(
+                [
+                    {"start": s, "length": e - s}
+                    for s, e in zip(starts, ends)
+                    if e > s
+                ]
+            )
+        return pd.Series(out)
+
+    return spans

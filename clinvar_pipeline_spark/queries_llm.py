@@ -635,6 +635,95 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries)
+# ---------------------------------------------------------------------
+
+CDC_W = 16  # rolling window (chars)
+CDC_DIV = 64  # boundary divisor -> expected chunk ~64 chars
+_CDC_P = 1_000_000_007
+_CDC_POW_W = pow(31, CDC_W, _CDC_P)
+
+
+@register(
+    "cdc_chunks",
+    f"""
+    WITH pref AS (
+        SELECT doc_id, text, length(text) AS n,
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                       i -> list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(range(1, i + 1),
+                                   j -> CAST(ascii(substr(text, CAST(j AS INT), 1))
+                                             AS BIGINT))),
+                           (acc, c) -> (acc * 31 + c) % {_CDC_P})))
+                 AS H
+        FROM documents),
+    cuts AS (
+        SELECT doc_id, text, n,
+               list_filter(range({CDC_W}, n + 1),
+                   i -> ((H[CAST(i AS INT) + 1]
+                          - H[CAST(i AS INT) - {CDC_W} + 1] * {_CDC_POW_W})
+                         % {_CDC_P} + {_CDC_P}) % {_CDC_P} % {CDC_DIV} = 0)
+                 AS cl
+        FROM pref),
+    spans AS (
+        SELECT doc_id, text,
+               list_prepend(CAST(0 AS BIGINT), cl) AS starts,
+               list_append(cl, CAST(n AS BIGINT)) AS ends
+        FROM cuts),
+    ex AS (
+        SELECT doc_id, text, starts, ends,
+               unnest(range(1, len(starts) + 1)) AS j
+        FROM spans)
+    SELECT doc_id,
+           CAST(j - 1 AS INT) AS chunk_idx,
+           CAST(starts[CAST(j AS INT)] AS INT) AS start,
+           CAST(ends[CAST(j AS INT)] - starts[CAST(j AS INT)] AS INT)
+             AS length,
+           md5(substr(text, CAST(starts[CAST(j AS INT)] AS INT) + 1,
+                      CAST(ends[CAST(j AS INT)] - starts[CAST(j AS INT)]
+                           AS INT))) AS chunk_fp
+    FROM ex
+    WHERE ends[CAST(j AS INT)] > starts[CAST(j AS INT)]
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: cut each document where the rolling
+    Karp-Rabin hash of the trailing CDC_W characters divides CDC_DIV
+    (functions/hashes.cdc_spans_batch — expected chunk ~CDC_DIV
+    chars). Boundaries depend only on local content, so an insertion
+    early in a document re-synchronizes all later chunk fingerprints
+    — the property behind CDC dedup/storage systems (LBFS/restic
+    lineage) that fixed-width chunking lacks; chunk_fp is the dedup
+    key downstream.
+
+    Scale: the kernel is linear per document and emits only (start,
+    length) spans; substring + md5 run JVM-side after posexplode. The
+    oracle recomputes every window hash from prefix hashes by closed
+    form (O(n^2), engine-exact integer mod arithmetic)."""
+    from clinvar_pipeline_spark.functions.hashes import cdc_spans_batch
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    spans = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(cdc_spans_batch(CDC_W, CDC_DIV)(F.col("text"))).alias(
+            "chunk_idx", "span"
+        ),
+    )
+    return spans.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("span.start").alias("start"),
+        F.col("span.length").alias("length"),
+        F.md5(
+            F.expr("substr(text, span.start + 1, span.length)")
+        ).alias("chunk_fp"),
+    )
+
+
+# ---------------------------------------------------------------------
 # LM quality score (CCNet-style unigram logprob)
 # ---------------------------------------------------------------------
 

@@ -346,3 +346,51 @@ def test_duplicate_passages_catch_shared_boilerplate(spark, tmp_path, monkeypatc
     r = out[0]
     # docs 1, 2, 3 carry it; doc 3 twice -> 4 occurrences
     assert (r["n_occurrences"], r["n_docs"], r["first_doc"]) == (4, 3, 1)
+
+
+# ---------------------------------------------------------------------
+# cdc_chunks
+# ---------------------------------------------------------------------
+
+def test_cdc_chunks_resynchronize_after_insertion(spark, tmp_path):
+    base = (
+        "content defined chunking splits documents at positions chosen "
+        "by a rolling hash of the trailing window so that boundaries "
+        "depend only on local bytes and survive upstream edits to the "
+        "document without shifting every later chunk fingerprint"
+    )
+    edited = "INSERTED PREFIX CHANGES EARLY BYTES " + base
+    spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = ql.q_cdc_chunks(spark, str(tmp_path)).collect()
+    fp1 = [r["chunk_fp"] for r in sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
+    fp2 = [r["chunk_fp"] for r in sorted(
+        (r for r in out if r["doc_id"] == 2), key=lambda r: r["chunk_idx"])]
+    assert len(fp1) >= 3  # the fixture actually chunks
+    # chunks re-synchronize: every chunk of the original except
+    # (at most) the first reappears verbatim in the edited doc
+    assert set(fp1[1:]).issubset(set(fp2))
+    # coverage: spans tile the text exactly
+    spans1 = sorted(
+        ((r["start"], r["length"]) for r in out if r["doc_id"] == 1)
+    )
+    pos = 0
+    for s, ln in spans1:
+        assert s == pos and ln > 0
+        pos += ln
+    assert pos == len(base)
+
+
+def test_cdc_chunks_empty_and_short_docs(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, ""), (2, "tiny"), (3, None)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = ql.q_cdc_chunks(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 3 not in by_doc  # empty/null -> no chunks
+    assert len(by_doc[2]) == 1  # shorter than one window -> one chunk
+    assert (by_doc[2][0]["start"], by_doc[2][0]["length"]) == (0, 4)
