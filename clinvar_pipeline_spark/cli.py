@@ -245,6 +245,10 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
     from clinvar_pipeline_spark.queries_llm import pii_scrub_exprs
 
     sf = args.sf or "/root/testdata/sf0.001"
+    # --jsonl re-points the DOCUMENT source at the staged conversion;
+    # the embeddings table (if any) still lives in the original --sf
+    # dir, so the SemDeDup stage must keep looking there
+    emb_sf = sf
     reg = Q.queries()
     counters: list[tuple[str, int]] = []
     if args.jsonl:
@@ -289,8 +293,8 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
             e["scrubbed"].alias("text_scrubbed"),
         ),
     )
-    if os.path.exists(f"{sf}/embeddings.parquet"):
-        land("semantic_dedup", reg["semantic_dedup"](spark, sf))
+    if os.path.exists(f"{emb_sf}/embeddings.parquet"):
+        land("semantic_dedup", reg["semantic_dedup"](spark, emb_sf))
     summary = spark.createDataFrame(counters, "stage string, n_rows long")
     summary.write.mode("overwrite").parquet(f"{args.out}/run_counters")
     release_cached()

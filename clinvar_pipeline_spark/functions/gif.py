@@ -227,8 +227,12 @@ def gif_frames(raw: bytes, max_frames: int = 0) -> tuple[int, int, list[bytes]]:
 
         # disposal AFTER the frame displays, affects the next frame
         if disposal == 2:  # restore to background
+            # background color comes from the GLOBAL table per spec —
+            # indexing the current (possibly local, shorter) table with
+            # the global background index could slice short and corrupt
+            # the canvas length for every later frame
             bg = (
-                ct[bg_idx * 3 : bg_idx * 3 + 3]
+                gct[bg_idx * 3 : bg_idx * 3 + 3]
                 if gct is not None and bg_idx < len(gct) // 3
                 and transparent_idx != bg_idx
                 else b"\x00\x00\x00"

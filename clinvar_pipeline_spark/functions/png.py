@@ -121,7 +121,11 @@ def png_decode(raw: bytes) -> tuple[int, int, int, bytes]:
     expected = (stride + 1) * h
     d = zlib.decompressobj()
     decomp = d.decompress(bytes(idat), expected + 1)
-    if len(decomp) != expected or d.unconsumed_tail:
+    # eof check: a TRUNCATED stream can still deliver exactly the
+    # expected byte count; only a finished stream has read its final
+    # block and verified the adler32 trailer (the completeness the
+    # old unbounded zlib.decompress gave for free)
+    if len(decomp) != expected or d.unconsumed_tail or not d.eof:
         raise ValueError("PNG pixel data length mismatch")
     out = bytearray(stride * h)
     prev = bytearray(stride)

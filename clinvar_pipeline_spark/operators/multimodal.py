@@ -106,6 +106,7 @@ def _decode_image(raw: bytes) -> tuple[int, int, str, str]:
     falls through to the next on failure, so a PIL build missing a
     plugin still gets the stdlib parse, and only unrecognizable/
     malformed bytes reach the fake tier (never a task crash)."""
+    from clinvar_pipeline_spark.functions import gif as _gif
     from clinvar_pipeline_spark.functions import png as _codec
 
     if _HAS_PIL:  # pragma: no cover - PIL absent in this container
@@ -125,7 +126,7 @@ def _decode_image(raw: bytes) -> tuple[int, int, str, str]:
         if raw[:2] == b"\xff\xd8":
             w, h = _codec.jpeg_info(raw)
             return w, h, "JPEG", TIER_PURE
-        if raw[:6] in (b"GIF87a", b"GIF89a"):
+        if raw[:6] in _gif.GIF_MAGICS:
             w, h = _codec.gif_info(raw)
             return w, h, "GIF", TIER_PURE
     except ValueError:
@@ -326,7 +327,24 @@ def sample_frames(
     from clinvar_pipeline_spark.functions import wav as _wav
     from clinvar_pipeline_spark.functions import y4m as _y4m
 
+    def band_frames(w: int, h: int, ch: int, px: bytes) -> list[bytes]:
+        stride = w * ch
+        n = min(n_frames, h)
+        return [
+            _codec.png_encode(
+                w,
+                (fi + 1) * h // n - fi * h // n,
+                ch,
+                px[(fi * h // n) * stride : ((fi + 1) * h // n) * stride],
+            )
+            for fi in range(n)
+        ]
+
     def real_frames(raw: bytes) -> list[bytes] | None:
+        # every real tier is wrapped as a whole: ANY ValueError —
+        # container parse, pixel decode, or the PNG re-encode of a
+        # frame whose buffer came out wrong — falls to the byte-slice
+        # tier, never a task crash (the ladder's uniform boundary)
         # PCM WAV audio: REAL temporal windows — integer PCM needs no
         # codec, so each "frame" is frame_size sample-frames sliced at
         # evenly spaced TIME offsets (functions/wav.py)
@@ -336,11 +354,17 @@ def sample_frames(
                 total = info["n_samples"]
                 if total == 0:
                     return []
+                # slice from the one parsed chunk layout — wav_window
+                # would re-walk the RIFF tree once per window
+                fw = info["channels"] * info["bits"] // 8
+                off = info["data_off"]
                 n = min(n_frames, total)
-                return [
-                    _wav.wav_window(raw, fi * total // n, frame_size)
-                    for fi in range(n)
-                ]
+                out = []
+                for fi in range(n):
+                    lo = min(fi * total // n, total) * fw
+                    hi = min(fi * total // n + frame_size, total) * fw
+                    out.append(raw[off + lo : off + hi])
+                return out
             except ValueError:
                 return None  # malformed/non-PCM -> byte-slice tier
         # Y4M video: REAL temporal frames — stride to evenly spaced
@@ -354,35 +378,33 @@ def sample_frames(
                 n = min(n_frames, total)
                 picks = [fi * total // n for fi in range(n)]
                 w, h, frames = _y4m.y4m_frames(raw, picks)
+                return [_codec.png_encode(w, h, 3, fr) for fr in frames]
             except ValueError:
                 return None  # malformed stream -> byte-slice tier
-            return [_codec.png_encode(w, h, 3, fr) for fr in frames]
-        # animated GIF: temporal frames (evenly sampled canvas states)
+        # animated GIF: temporal frames (evenly sampled canvas states);
+        # a single-frame GIF band-samples its one already-decoded
+        # state directly (no second full LZW decode via _decode_pixels)
         if raw[:6] in _gif.GIF_MAGICS:
             try:
                 w, h, states = _gif.gif_frames(raw)
+                if len(states) > 1:
+                    n = min(n_frames, len(states))
+                    picks = [fi * len(states) // n for fi in range(n)]
+                    return [
+                        _codec.png_encode(w, h, 3, states[p]) for p in picks
+                    ]
+                if states:
+                    return band_frames(w, h, 3, states[0])
+                return []
             except ValueError:
                 return None  # malformed GIF -> byte-slice tier
-            if len(states) > 1:
-                n = min(n_frames, len(states))
-                picks = [fi * len(states) // n for fi in range(n)]
-                return [
-                    _codec.png_encode(w, h, 3, states[p]) for p in picks
-                ]
-            # single-frame GIF: fall through to band sampling below
         decoded = _decode_pixels(raw)
         if decoded is None:
             return None
-        w, h, ch, px = decoded
-        stride = w * ch
-        n = min(n_frames, h)
-        out = []
-        for fi in range(n):
-            y0, y1 = fi * h // n, (fi + 1) * h // n
-            out.append(
-                _codec.png_encode(w, y1 - y0, ch, px[y0 * stride : y1 * stride])
-            )
-        return out
+        try:
+            return band_frames(*decoded)
+        except ValueError:
+            return None  # inconsistent buffer -> byte-slice tier
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -380,10 +380,19 @@ def semantic_dedup(
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
 
-    assigned = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        nearest_cell(F.col(vec_col).cast("array<double>")).alias("_cell"),
+    from clinvar_pipeline_spark.caching import register_persist
+
+    # persisted: the assignment kernel output feeds the oversize
+    # guard AND both sides of the pair join — without a persist the
+    # Arrow kernel reruns once per plan branch
+    assigned = register_persist(
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            nearest_cell(F.col(vec_col).cast("array<double>")).alias(
+                "_cell"
+            ),
+        )
     )
     oversize = (
         assigned.groupBy("_cell")

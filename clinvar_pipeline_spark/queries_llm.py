@@ -36,12 +36,15 @@ from clinvar_pipeline_spark.queries import (
 # Stratified (deterministic) sampling — domain rebalancing
 # ---------------------------------------------------------------------
 
-# Engine-portable per-row hash for sampling decisions: a Knuth
-# multiplicative hash on the id, mod 1000 ("per-mille bucket"). Chosen
-# over xxhash64/md5 because BOTH engines compute it with exact int64
-# arithmetic (doc_id * K stays < 2^63 for any realistic id space), so
-# the oracle is bit-identical; production would use
-# pmod(xxhash64(id), 1000) — same plan shape, same selectivity.
+# Engine-portable per-row hash for sampling decisions: a Knuth-style
+# multiplicative bucket on the id, mod 1000 ("per-mille bucket"),
+# computed in the overflow-free reduced form ((id % 1000) * (K % 1000))
+# % 1000 — value-identical to (id * K) % 1000 by modular arithmetic,
+# exact in both engines for ANY int64 id. Note the honest limitation
+# this form makes visible: any mod-1000 bucket of id*K is a function
+# of id % 1000, so ids congruent mod 1000 share a fate — fine for
+# sequential ids; production uses pmod(xxhash64(id), 1000), same plan
+# shape and selectivity, which the oracle cannot reproduce.
 _SAMPLE_K = 2654435761
 
 
@@ -56,9 +59,9 @@ _SAMPLE_K = 2654435761
                     AS BIGINT) AS rate
         FROM counts)
     SELECT d.doc_id, d.lang,
-           (d.doc_id * {_SAMPLE_K}) % 1000 AS bucket
+           ((d.doc_id % 1000) * {_SAMPLE_K % 1000}) % 1000 AS bucket
     FROM documents d JOIN rates r USING (lang)
-    WHERE (d.doc_id * {_SAMPLE_K}) % 1000 < r.rate
+    WHERE ((d.doc_id % 1000) * {_SAMPLE_K % 1000}) % 1000 < r.rate
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +88,15 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(F.lit(1000.0) * mn / F.col("cnt")).cast("long").alias("rate"),
     )
-    bucket = F.pmod(F.col("doc_id") * F.lit(_SAMPLE_K), F.lit(1000))
+    # reduced form of (doc_id * K) % 1000 — value-identical by modular
+    # arithmetic, but free of int64 overflow for ANY doc_id (the naive
+    # product overflows at doc_id ~3.5e9, which a 100 TB corpus or the
+    # probe tooling's ID_OFFSET replication exceeds; ANSI mode would
+    # fail the job there)
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(_SAMPLE_K % 1000),
+        F.lit(1000),
+    )
     return (
         d.join(F.broadcast(rates), "lang")
         .filter(bucket < F.col("rate"))
@@ -571,7 +582,7 @@ PASSAGE_W = 8  # tokens per passage; production exact-substring dedup
     WITH p AS (
         SELECT doc_id,
                unnest(list_transform(
-                   range(0, CAST(len(toks) / {PASSAGE_W} AS BIGINT)),
+                   range(0, len(toks) // {PASSAGE_W}),
                    j -> array_to_string(
                        list_slice(toks, j * {PASSAGE_W} + 1,
                                   j * {PASSAGE_W} + {PASSAGE_W}), ' ')

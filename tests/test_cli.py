@@ -476,6 +476,12 @@ def test_cli_corpus_prep_catches_planted_issues(spark, tmp_path):
 
 
 def test_cli_corpus_prep_jsonl_ingest(spark, tmp_path):
+    # embeddings live in the ORIGINAL --sf dir; --jsonl must not hide
+    # them from the SemDeDup stage
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
     p = tmp_path / "docs.jsonl"
     p.write_text(
         '{"doc_id": 1, "text": "alpha beta gamma delta", "lang": "en",'
@@ -502,11 +508,15 @@ def test_cli_corpus_prep_jsonl_ingest(spark, tmp_path):
     assert ingest == {"DOCS_GOOD": 2, "DOCS_CORRUPT": 1}
     profile = spark.read.parquet(str(tmp_path / "prep" / "text_profile"))
     assert profile.count() == 2
-    # no embeddings table -> no semantic_dedup stage
+    # embeddings in the original --sf dir still reach SemDeDup
     counters = {
         r["stage"]
         for r in spark.read.parquet(
             str(tmp_path / "prep" / "run_counters")
         ).collect()
     }
-    assert "semantic_dedup" not in counters
+    assert "semantic_dedup" in counters
+    dropped = spark.read.parquet(
+        str(tmp_path / "prep" / "semantic_dedup")
+    ).collect()
+    assert {(r["vec_id"], r["kept_by"]) for r in dropped} == {(2, 1)}

@@ -346,3 +346,56 @@ def test_sample_frames_jpeg_bands(spark):
     for r in frames:
         fw, fh, ch, _px = png_decode(bytes(r["frame_bytes"]))
         assert (fw, fh, ch) == (16, 2, 3)  # horizontal pixel bands
+
+
+def test_gif_disposal2_local_table_uses_global_background():
+    """Regression: with disposal=2 and a frame whose LOCAL color table
+    is shorter than the global background index, the background fill
+    must come from the GLOBAL table (per spec) — indexing the local
+    table sliced short and corrupted the canvas length for every later
+    frame."""
+    import struct as _s
+
+    from clinvar_pipeline_spark.functions.gif import (
+        _lzw_encode_literals,
+        gif_frames,
+    )
+
+    w = h = 2
+    # global table: 4 entries, background index 3 = blue
+    gct = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 200])
+    bg_idx = 3
+    header = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", w, h, 0x80 | 0x01, bg_idx, 0)  # gct, 4 colors
+        + gct
+    )
+    # frame 1: 2-entry LOCAL table (white/black), disposal=2,
+    # all pixels index 1 (black)
+    gce1 = bytes([0x21, 0xF9, 4, 0x08, 0, 0, 0, 0])  # disposal=2
+    lct = bytes([255, 255, 255, 0, 0, 0])
+    lzw1 = _lzw_encode_literals(bytes([1, 1, 1, 1]), 2)
+    img1 = (
+        bytes([0x2C]) + _s.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x80])  # local color table, 2 entries
+        + lct
+        + bytes([2])  # lzw min code size
+        + bytes([len(lzw1)]) + lzw1  # one data sub-block
+        + bytes([0])
+    )
+    # frame 2: uses the global table, draws index 0 (red) everywhere
+    lzw2 = _lzw_encode_literals(bytes([0, 0, 0, 0]), 2)
+    img2 = (
+        bytes([0x2C]) + _s.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x00])
+        + bytes([2])
+        + bytes([len(lzw2)]) + lzw2
+        + bytes([0])
+    )
+    raw = header + gce1 + img1 + img2 + bytes([0x3B])
+    w2, h2, states = gif_frames(raw)
+    assert (w2, h2, len(states)) == (2, 2, 2)
+    # every canvas state keeps its full length (no corruption)
+    assert all(len(s) == w * h * 3 for s in states)
+    assert states[0][:3] == bytes([0, 0, 0])  # frame 1: local black
+    assert states[1][:3] == bytes([255, 0, 0])  # frame 2: global red
