@@ -220,6 +220,7 @@ CORPUS_PREP_STAGES = [
     "duplicate_passages",
     "cdc_chunks",
     "decontaminate",
+    "mixing_weights",
     "stratified_sample",
     "sequence_packing",
 ]

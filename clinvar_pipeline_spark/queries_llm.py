@@ -104,6 +104,73 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.5  # temperature exponent; 1.0 = proportional, 0 = uniform
+MIX_BUDGET = 100_000  # target token budget for the mixture
+
+
+@register(
+    "mixing_weights",
+    f"""
+    WITH t AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        FROM (SELECT lang, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)
+        GROUP BY lang),
+    w AS (
+        SELECT lang, n_docs, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS wr,
+               sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS tot
+        FROM t)
+    SELECT lang, n_docs, n_tokens,
+           round(wr / tot, 4) AS mix_share,
+           CAST(floor(wr / tot * {MIX_BUDGET}) AS BIGINT) AS target_tokens,
+           round(least(1.0, floor(wr / tot * {MIX_BUDGET}) / n_tokens), 4)
+             AS sample_rate
+    FROM w
+    """,
+)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing weights (the data-mixture step
+    of pretraining recipes): per-language token mass raised to
+    MIX_ALPHA and renormalized gives each domain's share of the
+    MIX_BUDGET-token mixture — α<1 up-samples low-resource domains
+    relative to proportional sampling (the multilingual-balancing
+    motivation) — plus the per-domain sampling rate that realizes the
+    target. α=0.5 lets both engines compute the power as sqrt (exactly
+    rounded per IEEE, so the twin is ulp-identical; general pow()
+    would be libm-dependent). Composes with stratified_sample: this
+    query PLANS the mixture, that one EXECUTES a deterministic
+    per-row sample.
+
+    Scale: one tokenize scan + one groupBy to domain cardinality;
+    the normalization window runs over the handful of domain rows."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    t = (
+        d.select(
+            "lang", F.size(normalized_tokens(F.col("text"))).alias("n")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    wr = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = F.sum(wr).over(Window.partitionBy(F.lit(1)))
+    target = F.floor(wr / tot * MIX_BUDGET).cast("long")
+    return t.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(wr / tot, 4).alias("mix_share"),
+        target.alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("n_tokens")), 4
+        ).alias("sample_rate"),
+    )
+
+
 # ---------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------

@@ -394,3 +394,30 @@ def test_cdc_chunks_empty_and_short_docs(spark, tmp_path):
     assert 1 not in by_doc and 3 not in by_doc  # empty/null -> no chunks
     assert len(by_doc[2]) == 1  # shorter than one window -> one chunk
     assert (by_doc[2][0]["start"], by_doc[2][0]["length"]) == (0, 4)
+
+
+# ---------------------------------------------------------------------
+# mixing_weights
+# ---------------------------------------------------------------------
+
+def test_mixing_weights_alpha_temperature(spark, tmp_path):
+    # en: 90 tokens total, fr: 10 -> sqrt weights 3*sqrt(10) : sqrt(10)
+    # -> exact shares 0.75 / 0.25 (alpha=0.5 up-samples the small
+    # domain vs proportional 0.9 / 0.1)
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(45)), "en"),
+        (2, " ".join(f"b{i}" for i in range(45)), "en"),
+        (3, " ".join(f"c{i}" for i in range(10)), "fr"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["lang"]: r for r in ql.q_mixing_weights(spark, str(tmp_path)).collect()}
+    assert out["en"]["mix_share"] == 0.75
+    assert out["fr"]["mix_share"] == 0.25
+    assert out["en"]["target_tokens"] == 75000
+    assert out["fr"]["target_tokens"] == 25000
+    # targets exceed the tiny corpus -> rates cap at 1.0
+    assert out["en"]["sample_rate"] == 1.0
+    assert out["fr"]["sample_rate"] == 1.0
+    assert out["en"]["n_tokens"] == 90 and out["fr"]["n_tokens"] == 10
