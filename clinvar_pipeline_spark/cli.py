@@ -24,10 +24,10 @@ parquet files for the auxiliary tables the reference reads over JDBC:
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
         (LLM corpus-prep chain: profile, repetition gates, lm_quality,
-        near-dup pairs, decontamination, stratified sample, packing
-        manifest, PII scrub, SemDeDup — one parquet dir per stage +
-        counters; --jsonl ingests the corpus from JSONL with corrupt
-        lines counted)
+        near-dup pairs, passage dedup, CDC chunks, decontamination,
+        mixing plan, stratified sample, packing manifest, PII scrub,
+        SemDeDup — one parquet dir per stage + counters; --jsonl
+        ingests the corpus from JSONL with corrupt lines counted)
 
 AUX_DIR holds orthologs / ont_terms / ont_synonyms / concept_omim /
 existing_annotations as ``<name>.parquet``; ONT_DIR holds
