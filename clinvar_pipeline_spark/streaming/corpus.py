@@ -17,6 +17,7 @@ tests/test_streaming_corpus.py over a two-micro-batch file stream.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,3 +75,87 @@ def gates_stream(docs: DataFrame) -> DataFrame:
     from clinvar_pipeline_spark.queries_llm import repetition_metrics
 
     return repetition_metrics(docs, "doc_id", "text")
+
+
+def eval_shingle_hashes(eval_docs: DataFrame, k: int = 3) -> set:
+    """Build the benchmark's k-gram hash set driver-side (bounded:
+    benchmark sets are eval-sized by definition — the same broadcast
+    budget the batch decontaminate gives its semi-join side). The set
+    rides to executors via closure capture in
+    :func:`decontaminate_stream`."""
+    from clinvar_pipeline_spark.functions.hashes import (
+        normalized_tokens,
+        shingles_of_tokens,
+    )
+
+    rows = (
+        eval_docs.select(
+            F.explode(
+                shingles_of_tokens(normalized_tokens(F.col("text")), k=k)
+            ).alias("s")
+        )
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+        .collect()
+    )
+    return {r["h"] for r in rows}
+
+
+def decontaminate_stream(
+    docs: DataFrame, eval_hashes: set, k: int = 3, flag: float = 0.5
+) -> DataFrame:
+    """Per-document benchmark-contamination check on a (possibly
+    streaming) frame: each arriving document's distinct k-gram hashes
+    are tested against the captured eval set INSIDE one Arrow kernel —
+    a document's shingles all live in its own row, so no streaming
+    aggregation or watermark is needed and the operator stays map-only
+    / append-safe. Semantics match the batch `decontaminate` query
+    (same tokenizer, shingler, xxhash64 family via a JVM pre-pass,
+    ratio, and flag threshold); pinned equal by test.
+
+    Scale: the eval set is benchmark-sized; the kernel receives
+    (doc_id, shingle-hash array) columns only."""
+    from pyspark.sql.functions import pandas_udf
+
+    from clinvar_pipeline_spark.functions.hashes import (
+        normalized_tokens,
+        shingles_of_tokens,
+    )
+
+    @pandas_udf("int")
+    def n_hits(hs: pd.Series) -> pd.Series:
+        # arrays arrive as numpy ndarrays — `arr or []` is ambiguous
+        out = []
+        for arr in hs:
+            if arr is None:
+                out.append(0)
+            else:
+                out.append(sum(1 for h in arr if int(h) in eval_hashes))
+        return pd.Series(out, dtype="int32")
+
+    sh = F.expr("transform(_sh, s -> xxhash64(s))")
+    base = docs.select(
+        "doc_id",
+        shingles_of_tokens(normalized_tokens(F.col("text")), k=k).alias(
+            "_sh"
+        ),
+    ).select("doc_id", sh.alias("_h"))
+    ratio = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return (
+        base.filter(F.size("_h") > 0)
+        .select(
+            "doc_id",
+            F.size("_h").alias("n_shingles"),
+            n_hits(F.col("_h")).alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(ratio, 4).alias("contamination_ratio"),
+            F.when(ratio >= flag, 1).otherwise(0).alias(
+                "flag_contaminated"
+            ),
+        )
+    )

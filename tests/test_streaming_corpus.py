@@ -108,3 +108,57 @@ def test_streaming_jsonl_ingest_scrub(spark, tmp_path):
     assert rows[1]["n_email"] == 1
     assert rows[1]["text_scrubbed"] == "mail <EMAIL> here"
     assert rows[2]["n_email"] == 0
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """The streaming twin must reproduce the batch decontaminate
+    query's rows exactly for the same corpus and eval slice."""
+    import clinvar_pipeline_spark.queries_llm as ql
+    from clinvar_pipeline_spark.streaming.corpus import (
+        decontaminate_stream,
+        eval_shingle_hashes,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s", 36),
+        (5, "alpha beta gamma delta epsilon zeta", "en", "s", 36),
+        (6, "alpha beta gamma completely different tail words", "en",
+         "s", 48),
+        (7, "quick brown fox jumps over lazy dog", "en", "s", 35),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(str(d))
+    batch_docs = spark.read.parquet(str(d))
+    # eval slice = doc_id % 97 == 0 (the batch query's slice)
+    ev = eval_shingle_hashes(batch_docs.filter("doc_id % 97 = 0"))
+    from clinvar_pipeline_spark.streaming.corpus import (
+        DOCUMENT_SCHEMA,
+    )
+
+    stream = spark.readStream.schema(DOCUMENT_SCHEMA).parquet(str(d))
+    got = _run(
+        spark,
+        decontaminate_stream(
+            stream.filter("doc_id % 97 <> 0"), ev
+        ),
+        tmp_path,
+        "decontam_stream_out",
+    )
+    # batch twin over the same parquet dir layout
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    want_rows = sorted(
+        map(tuple, ql.q_decontaminate(spark, str(tmp_path)).collect())
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) == 2  # docs 5 (full copy) and 6 (one window)
