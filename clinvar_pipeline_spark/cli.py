@@ -217,6 +217,7 @@ CORPUS_PREP_STAGES = [
     "repetition_gates",
     "lm_quality",
     "minhash_lsh_pairs",
+    "dedup_apply",
     "duplicate_passages",
     "cdc_chunks",
     "decontaminate",

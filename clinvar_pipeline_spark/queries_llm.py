@@ -713,6 +713,71 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Dedup application (detect -> remove)
+# ---------------------------------------------------------------------
+
+@register(
+    "dedup_apply",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   ) AS sh_list
+            FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    drops AS (
+        SELECT DISTINCT id_b AS doc_id FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN drops USING (doc_id)
+    WHERE drops.doc_id IS NULL
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE half of near-dedup (detect -> apply): materialize
+    the kept corpus by anti-joining the MinHash-LSH verified pair
+    table's higher-id sides out of the documents — greedy-by-id, the
+    same parallel survivor policy as SemDeDup (a doc drops iff ANY
+    lower-id doc is within threshold; no iterative components pass).
+    Composes the registry's own minhash_lsh_pairs output, so at 100 TB
+    this is one extra broadcast/hash anti-join after the dedup job —
+    the step every pipeline actually ships.
+
+    Oracle: the same drop set from the exact inverted-index join at
+    the verify threshold (LSH generation is exact at this corpus per
+    minhash_lsh_pairs' parameterization)."""
+    from clinvar_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_candidate_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=207,
+        bands=69,
+        threshold=0.5,
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return d.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------
 # Content-defined chunking (rolling-hash boundaries)
 # ---------------------------------------------------------------------
 

@@ -421,3 +421,22 @@ def test_mixing_weights_alpha_temperature(spark, tmp_path):
     assert out["en"]["sample_rate"] == 1.0
     assert out["fr"]["sample_rate"] == 1.0
     assert out["en"]["n_tokens"] == 90 and out["fr"]["n_tokens"] == 10
+
+
+# ---------------------------------------------------------------------
+# dedup_apply
+# ---------------------------------------------------------------------
+
+def test_dedup_apply_keeps_lowest_id_survivor(spark, tmp_path):
+    near = "common shared shingle text across near duplicate documents"
+    rows = [
+        (1, near + " one", "en", "s", 60),
+        (2, near + " two", "en", "s", 60),  # near-dup of 1 -> dropped
+        (3, "totally different content words here now", "en", "s", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    kept = {r["doc_id"] for r in ql.q_dedup_apply(spark, str(tmp_path)).collect()}
+    assert kept == {1, 3}  # greedy-by-id: 2 drops against 1
