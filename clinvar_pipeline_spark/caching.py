@@ -14,9 +14,51 @@ release everything after the dependent plans materialize via
 
 from __future__ import annotations
 
+from typing import Any, Callable, Hashable
+
 from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
+
+# --------------------------------------------------------------------
+# Session-scoped scalar memo (NOT released by release_cached).
+#
+# For derived *corpus state* — trained IVF/SemDeDup quantizer
+# centroids, corpus row counts — that is a function of the input data
+# and parameters, not of the individual query invocation. Re-deriving
+# it per invocation re-runs a sort+collect training job every time a
+# plan is built (the r5 ann_topk_ivf warm regression: warm passes paid
+# the TakeOrdered+collect quantizer job again and again, landing
+# slower than their own cold pass). At cluster scale the same
+# principle holds: a quantizer is trained once per corpus and served
+# to every query, not re-fit per query.
+#
+# release_cached() deliberately leaves the memo alone: persisted
+# DataFrames hold executor storage-pool memory and must be dropped
+# between invocations; memoized numpy centroids / counts are tiny
+# driver objects whose whole point is surviving invocations.
+# --------------------------------------------------------------------
+
+_MEMO: dict[Hashable, Any] = {}
+
+
+def memo(key: Hashable, compute: Callable[[], Any]) -> Any:
+    """Return the memoized value for ``key``, computing (and caching)
+    it on first use. Keys must encode every parameter the computation
+    depends on — including a corpus identity string, since the same
+    operator runs against different sf dirs in one session."""
+    if key not in _MEMO:
+        _MEMO[key] = compute()
+    return _MEMO[key]
+
+
+def clear_memo() -> int:
+    """Drop every memoized scalar; returns the count dropped. For
+    tests that re-train quantizers with fresh data under a reused
+    key."""
+    n = len(_MEMO)
+    _MEMO.clear()
+    return n
 
 
 def register_persist(df: DataFrame) -> DataFrame:

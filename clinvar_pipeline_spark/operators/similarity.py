@@ -282,6 +282,28 @@ def lsh_neardup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def _corpus_count(corpus: DataFrame, memo_key: str | None) -> int:
+    """Row count of the corpus — one driver scalar (same budget as the
+    oversize-cell guard counts), memoized per corpus so repeated
+    invocations don't re-scan. Feeds the derived ``num_cells``
+    default."""
+    from clinvar_pipeline_spark.caching import memo
+
+    if memo_key is None:
+        return corpus.count()
+    return memo(("corpus_count", memo_key), corpus.count)
+
+
+def _derived_num_cells(n: int) -> int:
+    """FAISS-practice default: ~sqrt(N) coarse cells, so expected cell
+    width is ~sqrt(N) and both the assignment cost (O(N * cells)) and
+    the per-cell quadratic work stay balanced as the corpus grows — a
+    100x corpus gets 10x more cells, not 100x wider ones (which would
+    otherwise run head-first into cell_cap). Floor of 4 keeps tiny
+    test corpora from degenerating to one mega-cell."""
+    return max(4, int(round(n ** 0.5)))
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -290,6 +312,7 @@ def _train_centroids(
     lloyd_iters: int,
     seed: int,
     id_col: str | None = None,
+    memo_key: str | None = None,
 ) -> np.ndarray:
     """Coarse quantizer for IVF-family operators: k-means (spherical,
     cosine via unit-norm dot) over a bounded driver-side sample.
@@ -307,7 +330,31 @@ def _train_centroids(
     quantizer — and everything downstream of it — deterministic for a
     given corpus. A bare ``limit`` on a shuffled input returns
     whichever rows arrive first, which silently made repeated
-    semantic_dedup/IVF runs cluster differently."""
+    semantic_dedup/IVF runs cluster differently.
+
+    When ``memo_key`` is given the trained centroid matrix is memoized
+    in the session-scoped registry (caching.memo) keyed by
+    (memo_key, vec_col, num_cells, train_sample, lloyd_iters, seed,
+    id_col) — a quantizer is CORPUS state, not query state, so
+    repeated invocations against the same corpus must not re-run the
+    TakeOrdered+collect training job (the r5 bench regression: every
+    warm ann_topk_ivf pass re-trained, landing slower than its own
+    cold pass). At cluster scale this is also the right shape: train
+    once, serve to every query."""
+    from clinvar_pipeline_spark.caching import memo
+
+    if memo_key is not None:
+        key = (
+            "ivf_centroids", memo_key, vec_col, num_cells,
+            train_sample, lloyd_iters, seed, id_col,
+        )
+        return memo(
+            key,
+            lambda: _train_centroids(
+                corpus, vec_col, num_cells, train_sample, lloyd_iters,
+                seed, id_col=id_col, memo_key=None,
+            ),
+        )
     sel = corpus.select(
         *( [F.col(id_col)] if id_col else [] ),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -336,11 +383,12 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = 0.95,
-    num_cells: int = 32,
+    num_cells: int | None = None,
     train_sample: int = 10000,
     lloyd_iters: int = 5,
     seed: int = 42,
     cell_cap: int = 100_000,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then inside
@@ -363,12 +411,19 @@ def semantic_dedup(
     beyond ``cell_cap`` members are excluded from the pair join (the
     BLOCK_CAP discipline of queries.embedding_neardup_pairs — oversize
     cells mean num_cells is undersized for the corpus; the lazy guard
-    keeps one mega-cell from owning a 100x scale-up). num_cells scales
-    with corpus size (FAISS practice ~sqrt(N) cells), keeping expected
-    cell width ~sqrt(N)."""
+    keeps one mega-cell from owning a 100x scale-up). num_cells
+    defaults to ~sqrt(N) derived from a memoized corpus count (FAISS
+    practice), keeping expected cell width ~sqrt(N) as the corpus
+    grows; pass an explicit num_cells to pin it.
+
+    ``memo_key`` (a corpus identity string, e.g. the parquet dir)
+    memoizes the corpus count and trained centroids across
+    invocations — see _train_centroids."""
+    if num_cells is None:
+        num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
     C = _train_centroids(
         corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
-        id_col=id_col,
+        id_col=id_col, memo_key=memo_key,
     )
     from pyspark.sql.functions import pandas_udf
 
@@ -438,11 +493,12 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_cells: int = 32,
-    n_probe_cells: int = 8,
+    num_cells: int | None = None,
+    n_probe_cells: int | None = None,
     train_sample: int = 10000,
     lloyd_iters: int = 5,
     seed: int = 42,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization:
     k-means cells over a bounded training sample, corpus rows assigned
@@ -459,12 +515,22 @@ def ann_topk_ivf(
     fraction ~= n_probe_cells / num_cells of the corpus, concentrated
     on the query's neighborhood (spatially coherent, unlike LSH's
     hash-uniform buckets). Cell skew (dense regions) is the known cost
-    — AQE skew-join splits hot cells."""
+    — AQE skew-join splits hot cells.
+
+    num_cells defaults to ~sqrt(N) from a memoized corpus count and
+    n_probe_cells to num_cells/4 (preserving the probed-fraction —
+    and so the recall/cost point — as the corpus scales); pass
+    explicit values to pin either. ``memo_key`` memoizes count +
+    centroids across invocations (see _train_centroids)."""
     from pyspark.sql.functions import pandas_udf
 
+    if num_cells is None:
+        num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
+    if n_probe_cells is None:
+        n_probe_cells = max(4, num_cells // 4)
     C = _train_centroids(
         corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
-        id_col=id_col,
+        id_col=id_col, memo_key=memo_key,
     )
 
     @pandas_udf("array<int>")

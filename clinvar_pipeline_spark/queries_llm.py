@@ -1053,5 +1053,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster→pair→pick path on real data."""
     e = _spread(_t(spark, sf_dir, "embeddings"), 8)
     return semantic_dedup(
-        e, id_col="vec_id", vec_col="embedding", tau=0.4
+        e, id_col="vec_id", vec_col="embedding", tau=0.4,
+        memo_key=f"{sf_dir}:embeddings",
     ).orderBy("vec_id")
