@@ -49,15 +49,74 @@ def word_frequencies(
     )
 
 
+def _select_batch(top: list, k: int, present: set[str]) -> list:
+    """Pick the maximal prefix of the sorted candidate list that the
+    sequential algorithm would provably choose in order — the
+    exactness argument for batched rounds:
+
+    Merging pair p=(l,r) can only change counts of pairs touching
+    {l, r, l+r}; every other pair's count is invariant. So a sorted
+    non-conflicting PREFIX (stop at the first candidate sharing a
+    symbol — or a merged string — with the batch) consists of pairs
+    whose counts the earlier batch merges cannot move, and each is the
+    true sequential argmax of its round provided it still strictly
+    dominates everything outside the batch:
+
+    - pairs outside the prefix have original count <= stop_cnt (the
+      count at the stop position) and merging only decreases them;
+    - NEW pairs (x, l+r) created by an earlier batch merge are bounded
+      by the original count of (x, l) — which conflicts with that
+      merge, hence sits outside the prefix, hence <= stop_cnt;
+    - a tie with stop_cnt could still lose the lexicographic
+      tie-break to a moved pair, so trailing members whose count
+      equals stop_cnt are trimmed (strict dominance);
+    - if a candidate's merged string ALREADY exists as a vocab symbol
+      (``present``), its merge coalesces with pairs of that symbol and
+      the count bounds above no longer hold for successors — the batch
+      ends right after that member (its own selection is still exact:
+      its count was computed on the pre-merge table).
+    """
+    batch = [top[0]]
+    banned = {top[0]["l"], top[0]["r"], top[0]["l"] + top[0]["r"]}
+    i = 1
+    if top[0]["l"] + top[0]["r"] not in present:
+        while i < len(top) and len(batch) < k:
+            c = top[i]
+            m = c["l"] + c["r"]
+            if {c["l"], c["r"], m} & banned:
+                break
+            batch.append(c)
+            banned |= {c["l"], c["r"], m}
+            i += 1
+            if m in present:
+                break
+    stop_cnt = top[i]["cnt"] if i < len(top) else 0
+    while len(batch) > 1 and batch[-1]["cnt"] <= stop_cnt:
+        batch.pop()
+    return batch
+
+
 def train_bpe_merges(
     words: DataFrame,
     num_merges: int = 8,
     scratch: Optional[list] = None,
+    batch_size: int = 8,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from a (word, freq) table.
     Returns [(left, right, pair_frequency), ...] in learned order.
     No end-of-word marker (documented simplification — adding '</w>'
     is one extra literal in the symbol init).
+
+    Rounds are BATCHED: each round takes the top ``batch_size + 1``
+    pairs (one bounded TakeOrdered collect), selects the provably
+    sequential-equivalent prefix (see :func:`_select_batch` — mutually
+    non-conflicting, strictly dominant over everything outside), and
+    applies the whole batch in ONE rewrite kernel in learned order.
+    Output is bit-identical to one-merge-per-round training (pinned by
+    tests/test_bpe.py against the pure-Python reference) at up to
+    ``batch_size``-fold fewer shuffle+collect rounds — the r5 gate's
+    slowest query dropped ~3x. Interacting top pairs degrade
+    gracefully to batch size 1 (== the sequential algorithm).
 
     ``scratch`` collects the per-round persisted frames so callers/
     tests can unpersist them (the caching.py discipline)."""
@@ -69,7 +128,9 @@ def train_bpe_merges(
     if scratch is not None:
         scratch.append(syms)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    known_multi: set[str] = set()
+    while len(merges) < num_merges:
+        k = min(batch_size, num_merges - len(merges))
         pairs = (
             syms.filter(F.size("syms") >= 2)
             .select(
@@ -84,34 +145,48 @@ def train_bpe_merges(
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
-        if not best:
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(k + 1).collect()
+        if not top:
             break
-        left, right, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
-        merges.append((left, right, int(cnt)))
+        # vocab-collision check is a driver set lookup, no extra job:
+        # every multi-char symbol in the table is the merged string of
+        # an earlier merge (symbols start as single chars), and
+        # candidate merged strings are always multi-char — so
+        # ``known_multi`` is a superset of the colliding vocab
+        # (conservative: a consumed symbol stays in the set and can
+        # only shrink a batch, never corrupt one)
+        batch = _select_batch(top, k, known_multi)
+        batch_pairs = [(r["l"], r["r"]) for r in batch]
+        merges.extend((r["l"], r["r"], int(r["cnt"])) for r in batch)
+        known_multi |= {l + r for l, r in batch_pairs}
 
         @pandas_udf("array<string>")
-        def merge_pair(s: pd.Series) -> pd.Series:
+        def merge_batch(s: pd.Series) -> pd.Series:
             out = []
             for arr in s:
-                res, i, n = [], 0, len(arr)
-                while i < n:
-                    if (
-                        i + 1 < n
-                        and arr[i] == left
-                        and arr[i + 1] == right
-                    ):
-                        res.append(left + right)
-                        i += 2
-                    else:
-                        res.append(arr[i])
-                        i += 1
-                out.append(res)
+                cur = list(arr)
+                # learned order — identical to applying each merge as
+                # its own sequential round
+                for left, right in batch_pairs:
+                    res, i, n = [], 0, len(cur)
+                    while i < n:
+                        if (
+                            i + 1 < n
+                            and cur[i] == left
+                            and cur[i + 1] == right
+                        ):
+                            res.append(left + right)
+                            i += 2
+                        else:
+                            res.append(cur[i])
+                            i += 1
+                    cur = res
+                out.append(cur)
             return pd.Series(out)
 
         prev = syms
         syms = syms.select(
-            "word", "freq", merge_pair("syms").alias("syms")
+            "word", "freq", merge_batch("syms").alias("syms")
         ).persist()
         if scratch is not None:
             scratch.append(syms)

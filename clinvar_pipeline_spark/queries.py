@@ -46,6 +46,7 @@ def register(name: str, sql: Optional[str]):
 
 
 def queries() -> dict[str, QueryFn]:
+    _reorder_registry()
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
@@ -59,6 +60,7 @@ from clinvar_pipeline_spark.caching import (  # noqa: E402
 
 
 def oracle_sql() -> dict[str, str]:
+    _reorder_registry()
     return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
 
 
@@ -1273,8 +1275,21 @@ _CHECKED = [
 
 
 def _reorder_registry() -> None:
+    """Order _REGISTRY so the driver's first-DRIVER_CHECK_WINDOW slice
+    is exactly _CHECKED. Runs at module import AND lazily from
+    queries()/oracle_sql(): when a submodule (e.g. queries_llm) is the
+    user's import entry point, this module's import of it gets the
+    partially-initialized module back (circular import) and its
+    registrations land only after this module finishes — so the
+    import-time call must tolerate missing names and the access-time
+    calls re-assert with the full registry."""
     assert len(_CHECKED) == DRIVER_CHECK_WINDOW, len(_CHECKED)
     missing = [n for n in _CHECKED if n not in _REGISTRY]
+    if missing and any(
+        not hasattr(_m, "__spec__") or getattr(_m.__spec__, "_initializing", False)
+        for _m in (queries_domain, queries_domain2, queries_llm)
+    ):
+        return  # mid-circular-import; re-run when the registry is full
     assert not missing, f"check window names unknown queries: {missing}"
     no_sql = [n for n in _CHECKED if _REGISTRY[n][1] is None]
     assert not no_sql, f"check window must be oracle-backed: {no_sql}"

@@ -67,6 +67,47 @@ def test_bpe_matches_reference(spark):
     assert got == _ref_bpe(freqs, 6)
 
 
+def test_bpe_batched_matches_reference_interacting(spark):
+    """Batched rounds must be bit-identical to sequential training even
+    when top pairs interact heavily. A 2-letter alphabet maximizes
+    conflicts (chained pairs, merged strings colliding with existing
+    symbols) — the batch selector must degrade to smaller batches, not
+    drift."""
+    import random
+
+    for seed in (0, 1, 7):
+        rng = random.Random(seed)
+        freqs = {}
+        for _ in range(40):
+            w = "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            freqs[w] = freqs.get(w, 0) + rng.randint(1, 9)
+        words = spark.createDataFrame(
+            list(freqs.items()), "word string, freq long"
+        )
+        for bs in (1, 4, 8):
+            got = train_bpe_merges(words, num_merges=12, batch_size=bs)
+            assert got == _ref_bpe(freqs, 12), (seed, bs)
+
+
+def test_bpe_batched_matches_reference_wide_alphabet(spark):
+    """Disjoint-symbol corpora are the best case for batching (whole
+    batches accepted at once) — results must still match sequential."""
+    import random
+
+    rng = random.Random(3)
+    freqs = {}
+    for _ in range(60):
+        w = "".join(
+            rng.choice("abcdefghijklmnop") for _ in range(rng.randint(2, 8))
+        )
+        freqs[w] = freqs.get(w, 0) + rng.randint(1, 20)
+    words = spark.createDataFrame(
+        list(freqs.items()), "word string, freq long"
+    )
+    got = train_bpe_merges(words, num_merges=10, batch_size=8)
+    assert got == _ref_bpe(freqs, 10)
+
+
 def test_bpe_registry_query_shape(spark):
     out = ql.q_bpe_merges(spark, "/root/testdata/sf0.001").collect()
     assert len(out) == 8
