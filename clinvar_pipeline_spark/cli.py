@@ -302,6 +302,82 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
     release_cached()
 
 
+def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
+    """--corpusPrep --stream: the stateless corpus-prep stages (PII
+    scrub, repetition gates, benchmark decontamination) as ONE
+    Structured Streaming ingest over the document source — each stage
+    a map-only/append-safe writeStream to parquet, so documents are
+    scrubbed/gated/checked as they arrive instead of in a nightly
+    batch. availableNow triggers drain whatever is present and stop
+    (the CLI contract: a run terminates), but checkpoints persist, so
+    re-running against a growing directory processes only new files —
+    the incremental-ingest story at scale. The stateful/global stages
+    (dedup, stratified rates, packing) stay in the batch chain by
+    nature (documented in streaming/corpus.py); output parquet for
+    the streamed stages is identical to their batch twins, pinned by
+    tests/test_cli.py.
+
+    The eval shingle set for decontamination is built with one bounded
+    batch read (benchmark-sized by definition — the same broadcast
+    budget the batch query gives its semi-join side) and captured into
+    the streaming kernel's closure."""
+    from pyspark.sql.functions import col
+
+    from clinvar_pipeline_spark.queries_llm import (
+        DECONTAM_FLAG,
+        DECONTAM_K,
+    )
+    from clinvar_pipeline_spark.streaming.corpus import (
+        decontaminate_stream,
+        eval_shingle_hashes,
+        gates_stream,
+        read_document_stream,
+        scrub_stream,
+    )
+
+    sf = args.sf or "/root/testdata/sf0.001"
+    src = f"{sf}/documents.parquet"
+    ev = eval_shingle_hashes(
+        spark.read.parquet(src).filter(col("doc_id") % 97 == 0),
+        k=DECONTAM_K,
+    )
+
+    def stage(name: str, df: DataFrame):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", f"{args.out}/{name}")
+            .option("checkpointLocation", f"{args.out}/_ckpt/{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    docs = read_document_stream(spark, src)
+    queries = [
+        stage("pii_scrub", scrub_stream(docs)),
+        stage("repetition_gates", gates_stream(docs)),
+        stage(
+            "decontaminate",
+            decontaminate_stream(
+                docs.filter(col("doc_id") % 97 != 0),
+                ev,
+                k=DECONTAM_K,
+                flag=DECONTAM_FLAG,
+            ),
+        ),
+    ]
+    for q in queries:
+        q.awaitTermination()
+    counters = []
+    for name in ("pii_scrub", "repetition_gates", "decontaminate"):
+        n = spark.read.parquet(f"{args.out}/{name}").count()
+        counters.append((name, n))
+        print(f"{name}: {n}")
+    spark.createDataFrame(
+        counters, "stage string, n_rows long"
+    ).write.mode("overwrite").parquet(f"{args.out}/run_counters")
+
+
 def cmd_audit(spark: SparkSession, args) -> None:
     """--audit: the ops-facing counterpart of the reference's run-stat
     counter email — skew-cap drop counts plus a physical-plan smell
@@ -348,6 +424,12 @@ def main(argv: list[str] | None = None) -> None:
         "--sf",
         help="--audit/--corpusPrep: table dir (default testdata)",
     )
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="--corpusPrep: run the stateless stages (scrub, gates,"
+        " decontaminate) as Structured Streaming availableNow jobs",
+    )
     p.add_argument("--out")
     args = p.parse_args(argv)
     if not args.audit and not args.out:
@@ -369,7 +451,10 @@ def main(argv: list[str] | None = None) -> None:
     elif args.qcDuplicateTermsAndSynonyms:
         cmd_qc_duplicate_terms(spark, args, with_synonyms=True)
     elif args.corpusPrep:
-        cmd_corpus_prep(spark, args)
+        if args.stream:
+            cmd_corpus_prep_stream(spark, args)
+        else:
+            cmd_corpus_prep(spark, args)
     elif args.audit:
         cmd_audit(spark, args)
 

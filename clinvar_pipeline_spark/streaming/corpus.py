@@ -29,7 +29,19 @@ DOCUMENT_SCHEMA = (
 def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of document parquet drops (each new file =
     one micro-batch of documents; schema must be declared for
-    streaming reads)."""
+    streaming reads).
+
+    The streaming file source requires a DIRECTORY or a glob —
+    pointing it at a single parquet file (the testdata layout) fails
+    with "basePath must be a directory". A file path is rewritten as
+    the equivalent Hadoop glob (`dir/[d]ocuments.parquet`), which
+    matches exactly that file while the inferred basePath stays the
+    parent directory."""
+    import os
+
+    if os.path.isfile(path):
+        d, b = os.path.split(path)
+        path = os.path.join(d, f"[{b[0]}]{b[1:]}")
     return spark.readStream.schema(DOCUMENT_SCHEMA).parquet(path)
 
 

@@ -410,6 +410,45 @@ def test_cli_corpus_prep(spark, tmp_path):
     assert scrub.agg(F.sum("n_email"), F.sum("n_ip")).first() == (0, 0)
 
 
+def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
+    """--corpusPrep --stream (availableNow) must land the stateless
+    stages (pii_scrub, repetition_gates, decontaminate) as parquet
+    identical to the batch chain's stages on the same input."""
+    main(
+        [
+            "--corpusPrep", "--stream",
+            "--sf", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "sprep"),
+        ]
+    )
+    main(
+        [
+            "--corpusPrep",
+            "--sf", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "bprep"),
+        ]
+    )
+
+    def rows(root, name):
+        df = spark.read.parquet(str(tmp_path / root / name))
+        return sorted(
+            tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+        )
+
+    for stage in ("pii_scrub", "repetition_gates", "decontaminate"):
+        assert rows("sprep", stage) == rows("bprep", stage), stage
+    counters = {
+        r["stage"]: r["n_rows"]
+        for r in spark.read.parquet(
+            str(tmp_path / "sprep" / "run_counters")
+        ).collect()
+    }
+    assert set(counters) == {"pii_scrub", "repetition_gates", "decontaminate"}
+    assert counters["pii_scrub"] == spark.read.parquet(
+        str(tmp_path / "sprep" / "pii_scrub")
+    ).count()
+
+
 def test_cli_corpus_prep_catches_planted_issues(spark, tmp_path):
     """Story test: one corpus with a planted near-dup pair, an eval
     copy (contamination), a PII-bearing doc, a repetitive doc, and an

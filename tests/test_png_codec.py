@@ -146,6 +146,38 @@ def test_jpeg_header_parse():
     assert jpeg_info(raw) == (37, 13)
 
 
+def test_jpeg_progressive_sof2_keeps_metadata_tier(spark):
+    """Progressive JPEG (SOF2): pixel decode is out of scope
+    (functions/jpeg.py decodes baseline sequential only), but the
+    metadata path must still report real dimensions — a
+    progressive-heavy corpus keeps a real manifest even though frames
+    fall to the deterministic stand-in tier."""
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 13, 37) + b"\x01\x11\x00"
+    )
+    raw = (
+        b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + sof2 + b"\xff\xd9"
+    )
+    # header parser: real dims straight off the SOF2 segment
+    assert jpeg_info(raw) == (37, 13)
+    # full decoder: documented scope cut, ValueError not a crash
+    from clinvar_pipeline_spark.functions.jpeg import jpeg_decode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(raw)
+    # operator surface: extract_image_meta reports the dims at the
+    # pure tier (metadata needs the header walk, not pixels)
+    from clinvar_pipeline_spark.operators.multimodal import extract_image_meta
+
+    df = spark.createDataFrame([(1, raw)], "id long, content binary")
+    row = extract_image_meta(df).collect()[0]
+    assert (row["width"], row["height"]) == (37, 13)
+    assert row["format"] == "JPEG"
+    assert row["decode_tier"] == "pure"
+
+
 def test_png_decompression_bomb_bounded():
     # a few-KB IDAT inflating to ~10 MB against a 1x1 header must raise
     # (bounded decompressobj stops one byte past the expected size —
