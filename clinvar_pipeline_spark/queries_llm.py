@@ -26,6 +26,7 @@ from clinvar_pipeline_spark.functions.hashes import (
 from clinvar_pipeline_spark.operators.similarity import semantic_dedup
 from clinvar_pipeline_spark.queries import (
     _TOKENIZE_SQL,
+    SHINGLE_DF_CAP as _SHINGLE_DF_CAP,
     _persist,
     _spread,
     _t,
@@ -774,6 +775,90 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return d.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------
+# Dedup clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   ) AS sh_list
+            FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shj AS (
+        SELECT s.* FROM sh s
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= {_SHINGLE_DF_CAP}) cold USING (shingle)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs),
+    reach(node, lbl) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+    SELECT node AS doc_id, cluster_id, cluster_size
+    FROM comp JOIN csize USING (cluster_id)
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS: connected components over the
+    exact n-gram-Jaccard pair table (queries.q_ngram_jaccard_pairs —
+    same edges, same oracle CTEs), labeling every clustered document
+    with the smallest doc_id in its component plus the component
+    size. This is the step production dedup actually needs between
+    pair detection and removal: greedy pair-dropping (dedup_apply)
+    handles A~B, but a chain A~B~C where A and C never pair directly
+    only collapses to ONE survivor under a transitive cluster label.
+
+    Engine side: operators/graph.connected_components — alternating
+    large-star/small-star (Kiveris et al. 2014), O(log^2 n) rounds of
+    groupBy+join+distinct on an edge set of two longs per row, skew
+    handled as ordinary join skew by AQE. Oracle: DuckDB recursive
+    CTE transitive closure (min-label reachability) — exponentially
+    sized in the worst case but exact at test scale, which is the
+    oracle's job; the engine side is the one that scales.
+
+    Documents in no near-dup pair are absent (the 100 TB report is
+    the exception list, as in decontaminate/unmatchable_report)."""
+    from clinvar_pipeline_spark.operators.graph import connected_components
+    from clinvar_pipeline_spark.queries import q_ngram_jaccard_pairs
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
     )
 
 
