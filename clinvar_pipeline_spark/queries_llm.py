@@ -862,6 +862,112 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cluster_dedup_apply",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   ) AS sh_list
+            FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shj AS (
+        SELECT s.* FROM sh s
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= {_SHINGLE_DF_CAP}) cold USING (shingle)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs),
+    reach(node, lbl) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    drops AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN drops USING (doc_id)
+    WHERE drops.doc_id IS NULL
+    """,
+)
+def q_cluster_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical dedup apply: keep exactly the smallest-id
+    member of every transitive near-dup cluster (dedup_clusters) plus
+    every unclustered document. The upgrade over q_dedup_apply's
+    greedy pair policy: a chain A~B~C keeps ONE survivor here, and a
+    doc whose only near-dup relation is to an already-dropped doc
+    cannot be orphan-dropped. One broadcast/hash anti-join downstream
+    of the components job."""
+    from clinvar_pipeline_spark.operators.graph import connected_components
+    from clinvar_pipeline_spark.queries import q_ngram_jaccard_pairs
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    drops = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------
+# Token histogram (corpus Zipf profile — tokenizer/vocab planning)
+# ---------------------------------------------------------------------
+
+TOKEN_HISTOGRAM_TOP = 1000
+
+
+@register(
+    "token_histogram",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_TOKENIZE_SQL.format(col='text')}) AS token
+        FROM documents),
+    counts AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+    SELECT token, freq FROM counts
+    ORDER BY freq DESC, token
+    LIMIT {TOKEN_HISTOGRAM_TOP}
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency head (top {TOKEN_HISTOGRAM_TOP} by
+    frequency, ties broken by token so the cutoff is deterministic) —
+    the Zipf profile a tokenizer-induction / vocab-size decision
+    reads, and the corpus twin of BPE's word_frequencies pass.
+
+    Scale: one explode + one groupBy (map-side partial aggregation
+    collapses repeated tokens before the shuffle — token frequency is
+    the textbook combiner case), then TakeOrdered for the head: each
+    partition ships only its local top-N to the driver merge, never
+    the full vocabulary."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(normalized_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(TOKEN_HISTOGRAM_TOP)
+    )
+
+
 # ---------------------------------------------------------------------
 # Content-defined chunking (rolling-hash boundaries)
 # ---------------------------------------------------------------------

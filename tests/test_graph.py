@@ -117,3 +117,10 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
     release_cached()
     got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out}
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+    # cluster-canonical apply: ONE survivor from the chain (doc 1) +
+    # the unclustered doc; greedy pair policy would keep the same set
+    # here, but only the cluster policy guarantees it on chains
+    kept = {r["doc_id"] for r in ql.q_cluster_dedup_apply(spark, d).collect()}
+    release_cached()
+    assert kept == {1, 4}

@@ -31,6 +31,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# module-level, not inside main(): with postponed annotation
+# evaluation, pandas_udf resolves 'pd.Series' hints via module globals
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
 ID_OFFSET = 10**9
 
 
@@ -128,6 +133,45 @@ def main() -> None:
         }
         res.unpersist()
         release_cached()
+
+    # derived-cell audit: num_cells defaults to ~sqrt(N), so cell
+    # WIDTH must stay ~sqrt(N) as the corpus replicates — the bounded-
+    # width evidence for the sqrt(N) default (a fixed cell count would
+    # have widened cells by the replication factor instead)
+    from pyspark.sql.functions import pandas_udf
+
+    from clinvar_pipeline_spark.operators.similarity import (
+        _derived_num_cells,
+        _train_centroids,
+    )
+
+    cells = _derived_num_cells(n)
+    C = _train_centroids(rep, "embedding", cells, 10000, 5, 42, id_col="vec_id")
+
+    @pandas_udf("int")
+    def cell_of(s: pd.Series) -> pd.Series:
+        V = np.asarray(s.tolist(), dtype=np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    widths = (
+        rep.select(cell_of(F.col("embedding").cast("array<double>")).alias("c"))
+        .groupBy("c")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.avg("count").alias("avg"),
+            F.count(F.lit(1)).alias("used"),
+        )
+        .first()
+    )
+    out["derived_cells"] = {
+        "corpus_rows": n,
+        "num_cells": int(cells),
+        "cells_used": int(widths["used"]),
+        "mean_cell_width": round(float(widths["avg"]), 1),
+        "max_cell_width": int(widths["mx"]),
+    }
 
     print(json.dumps(out))
 
