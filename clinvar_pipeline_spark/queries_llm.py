@@ -969,6 +969,209 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Filter funnel (per-document keep manifest across every screen)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "filter_funnel",
+    f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+        FROM documents),
+    gbase AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> array_to_string(
+                                      list_slice(toks, i, i + 1), ' '))
+               ELSE [] END AS bi
+        FROM tok WHERE doc_id % 97 <> 0 AND len(toks) > 0),
+    gm AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))) AS top_uni,
+               len(bi) AS n_bigrams,
+               CASE WHEN len(bi) = 0 THEN 0
+                    ELSE list_max(list_transform(list_distinct(bi),
+                        b -> len(list_filter(bi, x -> x = b)))) END
+                 AS top_bi
+        FROM gbase),
+    gates AS (
+        SELECT doc_id,
+               CASE WHEN (n_tokens < {MIN_TOKENS_FOR_UNIGRAM_GATE}
+                          OR CAST(top_uni AS DOUBLE) / n_tokens
+                             <= {TOP_UNIGRAM_MAX})
+                     AND (n_bigrams < {MIN_BIGRAMS_FOR_BIGRAM_GATE}
+                          OR CAST(top_bi AS DOUBLE) / n_bigrams
+                             <= {TOP_BIGRAM_MAX})
+                    THEN 1 ELSE 0 END AS gate_pass
+        FROM gm),
+    csh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS s
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - {DECONTAM_K - 1}, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(toks, i, i + {DECONTAM_K - 1}), ' ')
+                   ) AS sh_list
+            FROM tok)),
+    cev AS (SELECT DISTINCT s FROM csh WHERE doc_id % 97 = 0),
+    ctr AS (SELECT * FROM csh WHERE doc_id % 97 <> 0),
+    chits AS (
+        SELECT doc_id, count(*) AS c
+        FROM ctr JOIN cev USING (s) GROUP BY doc_id),
+    csizes AS (SELECT doc_id, count(*) AS n FROM ctr GROUP BY doc_id),
+    contam AS (
+        SELECT cs.doc_id,
+               CASE WHEN CAST(coalesce(ch.c, 0) AS DOUBLE) / cs.n
+                         >= {DECONTAM_FLAG}
+                    THEN 1 ELSE 0 END AS contaminated
+        FROM csizes cs LEFT JOIN chits ch USING (doc_id)),
+    jsh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   ) AS sh_list
+            FROM tok)),
+    jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+    jshj AS (
+        SELECT s.* FROM jsh s
+        JOIN (SELECT shingle FROM jsh GROUP BY shingle
+              HAVING count(*) <= {_SHINGLE_DF_CAP}) cold USING (shingle)),
+    jinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM jshj a JOIN jshj b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    jpairs AS (
+        SELECT doc_a, doc_b
+        FROM jinter
+        JOIN jsizes sa ON sa.doc_id = doc_a
+        JOIN jsizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10),
+    jedges AS (
+        SELECT doc_a AS s, doc_b AS d FROM jpairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM jpairs),
+    reach(node, lbl) AS (
+        SELECT s, s FROM jedges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN jedges e ON e.s = r.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    drops AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           coalesce(g.gate_pass, 0) AS gate_pass,
+           coalesce(c.contaminated, 0) AS contaminated,
+           CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup_drop,
+           CASE WHEN coalesce(g.gate_pass, 0) = 1
+                 AND coalesce(c.contaminated, 0) = 0
+                 AND dr.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM tok t
+    LEFT JOIN gates g USING (doc_id)
+    LEFT JOIN contam c USING (doc_id)
+    LEFT JOIN drops dr USING (doc_id)
+    WHERE t.doc_id % 97 <> 0
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus filter FUNNEL: one per-training-document manifest
+    combining every screen this suite runs — Gopher repetition gates,
+    benchmark decontamination, and transitive near-dup cluster drops —
+    into boolean verdict columns and a final ``keep`` flag. This is
+    the table a pretraining run actually materializes: per-stage
+    attrition is one groupBy over it, and the kept corpus is one
+    filter — instead of re-deriving each screen ad hoc.
+
+    Verdict semantics: gate_pass defaults 0 for token-less documents
+    (nothing to keep), contaminated/near_dup_drop default 0 for
+    documents too short to shingle or never paired; keep = passes the
+    gate AND uncontaminated AND not a cluster drop. Eval-slice
+    documents (doc_id % 97 == 0) are out of scope — they are the
+    benchmark, not the corpus.
+
+    Scale: composes three already-audited plans (map-only gates, the
+    broadcast-semi-join contamination check, the components job) with
+    three left joins on doc_id — no new shuffle shapes; the funnel
+    costs its inputs, not more."""
+    from clinvar_pipeline_spark.operators.graph import connected_components
+    from clinvar_pipeline_spark.queries import q_ngram_jaccard_pairs
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    base = train.select(
+        "doc_id",
+        F.size(normalized_tokens(F.col("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    gates = repetition_metrics(train, "doc_id", "text").select(
+        "doc_id", "gate_pass"
+    )
+    # contamination screen (same build as q_decontaminate, verdict
+    # column only)
+    sh = _persist(
+        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_of_tokens(F.col("toks"), k=DECONTAM_K)
+            ).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("s"))
+    )
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        tr.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    contam = sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n")
+            >= DECONTAM_FLAG,
+            1,
+        )
+        .otherwise(0)
+        .alias("contaminated"),
+    )
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    drops = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("_drop")
+    )
+    gate_pass = F.coalesce(F.col("gate_pass"), F.lit(0))
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(0))
+    near_dup = F.coalesce(F.col("_drop"), F.lit(0))
+    return (
+        base.join(gates, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(drops, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            gate_pass.alias("gate_pass"),
+            contaminated.alias("contaminated"),
+            near_dup.alias("near_dup_drop"),
+            F.when(
+                (gate_pass == 1) & (contaminated == 0) & (near_dup == 0), 1
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # Content-defined chunking (rolling-hash boundaries)
 # ---------------------------------------------------------------------
 
