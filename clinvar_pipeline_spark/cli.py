@@ -218,12 +218,20 @@ CORPUS_PREP_STAGES = [
     "lm_quality",
     "minhash_lsh_pairs",
     "dedup_apply",
+    # r6: transitive near-dup clusters + cluster-canonical survivors
+    # (the chain's dedup verdict of record; dedup_apply stays as the
+    # greedy LSH-pair twin for comparison)
+    "dedup_clusters",
+    "cluster_dedup_apply",
     "duplicate_passages",
     "cdc_chunks",
     "decontaminate",
     "mixing_weights",
     "stratified_sample",
     "sequence_packing",
+    # r6: corpus Zipf head + the per-document keep manifest capstone
+    "token_histogram",
+    "filter_funnel",
 ]
 
 

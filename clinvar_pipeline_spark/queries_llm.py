@@ -847,11 +847,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Documents in no near-dup pair are absent (the 100 TB report is
     the exception list, as in decontaminate/unmatchable_report)."""
-    from clinvar_pipeline_spark.operators.graph import connected_components
-    from clinvar_pipeline_spark.queries import q_ngram_jaccard_pairs
-
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = _cc_over_ngram_pairs(spark, sf_dir)
     sizes = cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -860,6 +856,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def _cc_over_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) over the exact n-gram-Jaccard pair table —
+    shared by dedup_clusters / cluster_dedup_apply / filter_funnel.
+    Memoized per corpus dir (caching.memo, the quantizer discipline):
+    a cluster labeling is CORPUS state, so one session running the
+    --corpusPrep chain or the correctness gate runs the iterative
+    components job once, not once per dependent query. The memoized
+    frame's persist may be released between invocations
+    (release_cached); recompute then reads the final round's
+    localCheckpointed partitions, not the whole loop."""
+    from clinvar_pipeline_spark.caching import memo
+    from clinvar_pipeline_spark.operators.graph import connected_components
+    from clinvar_pipeline_spark.queries import q_ngram_jaccard_pairs
+
+    def build() -> DataFrame:
+        pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        return connected_components(pairs, "doc_a", "doc_b")
+
+    return memo(("ngram_cc", sf_dir), build)
 
 
 @register(
@@ -914,12 +933,8 @@ def q_cluster_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc whose only near-dup relation is to an already-dropped doc
     cannot be orphan-dropped. One broadcast/hash anti-join downstream
     of the components job."""
-    from clinvar_pipeline_spark.operators.graph import connected_components
-    from clinvar_pipeline_spark.queries import q_ngram_jaccard_pairs
-
     d = _spread(_t(spark, sf_dir, "documents"))
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = _cc_over_ngram_pairs(spark, sf_dir)
     drops = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -1099,10 +1114,8 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: composes three already-audited plans (map-only gates, the
     broadcast-semi-join contamination check, the components job) with
     three left joins on doc_id — no new shuffle shapes; the funnel
-    costs its inputs, not more."""
-    from clinvar_pipeline_spark.operators.graph import connected_components
-    from clinvar_pipeline_spark.queries import q_ngram_jaccard_pairs
-
+    costs its inputs, not more (and the components labeling is
+    memoized per corpus — see _cc_over_ngram_pairs)."""
     d = _spread(_t(spark, sf_dir, "documents"))
     train = d.filter(F.col("doc_id") % 97 != 0)
     base = train.select(
@@ -1144,8 +1157,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("contaminated"),
     )
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = _cc_over_ngram_pairs(spark, sf_dir)
     drops = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"), F.lit(1).alias("_drop")
     )
