@@ -328,7 +328,12 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     The eval shingle set for decontamination is built with one bounded
     batch read (benchmark-sized by definition — the same broadcast
     budget the batch query gives its semi-join side) and captured into
-    the streaming kernel's closure."""
+    the streaming kernel's closure.
+
+    With --jsonl, documents stream straight from the JSONL drop
+    directory (streaming/corpus.read_document_stream_jsonl — corrupt
+    lines dropped map-side); the eval set batch-reads the same JSONL
+    through sources/jsonl.py."""
     from pyspark.sql.functions import col
 
     from clinvar_pipeline_spark.queries_llm import (
@@ -340,14 +345,24 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         eval_shingle_hashes,
         gates_stream,
         read_document_stream,
+        read_document_stream_jsonl,
         scrub_stream,
     )
 
     sf = args.sf or "/root/testdata/sf0.001"
-    src = f"{sf}/documents.parquet"
+    if args.jsonl:
+        from clinvar_pipeline_spark.sources.jsonl import (
+            read_documents_jsonl,
+        )
+
+        batch_docs, _ingest = read_documents_jsonl(spark, args.jsonl)
+        docs = read_document_stream_jsonl(spark, args.jsonl)
+    else:
+        src = f"{sf}/documents.parquet"
+        batch_docs = spark.read.parquet(src)
+        docs = read_document_stream(spark, src)
     ev = eval_shingle_hashes(
-        spark.read.parquet(src).filter(col("doc_id") % 97 == 0),
-        k=DECONTAM_K,
+        batch_docs.filter(col("doc_id") % 97 == 0), k=DECONTAM_K
     )
 
     def stage(name: str, df: DataFrame):
@@ -360,7 +375,6 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
             .start()
         )
 
-    docs = read_document_stream(spark, src)
     queries = [
         stage("pii_scrub", scrub_stream(docs)),
         stage("repetition_gates", gates_stream(docs)),

@@ -988,9 +988,9 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-@register(
-    "filter_funnel",
-    f"""
+# shared by filter_funnel and funnel_report (the report nests it as a
+# subquery — DuckDB allows a WITH RECURSIVE inside a CTE definition)
+_FUNNEL_SQL = f"""
     WITH RECURSIVE tok AS (
         SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
         FROM documents),
@@ -1093,8 +1093,10 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN contam c USING (doc_id)
     LEFT JOIN drops dr USING (doc_id)
     WHERE t.doc_id % 97 <> 0
-    """,
-)
+    """
+
+
+@register("filter_funnel", _FUNNEL_SQL)
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus filter FUNNEL: one per-training-document manifest
     combining every screen this suite runs — Gopher repetition gates,
@@ -1180,6 +1182,35 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("keep"),
         )
+    )
+
+
+@register(
+    "funnel_report",
+    f"""
+    WITH m AS ({_FUNNEL_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(gate_pass) AS BIGINT) AS n_gate_pass,
+           CAST(sum(1 - contaminated) AS BIGINT) AS n_uncontaminated,
+           CAST(sum(1 - near_dup_drop) AS BIGINT) AS n_unique,
+           CAST(sum(keep) AS BIGINT) AS n_keep
+    FROM m
+    """,
+)
+def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row attrition summary over the filter funnel — the
+    run-report counter row (the reference's GlobalCounters email
+    discipline applied to corpus prep): how many training documents
+    exist, pass the repetition gate, are uncontaminated, survive
+    near-dup clustering, and remain after ALL screens. Casts to
+    BIGINT on both sides (DuckDB sums ints into HUGEINT)."""
+    f = q_filter_funnel(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("gate_pass").alias("n_gate_pass"),
+        F.sum(1 - F.col("contaminated")).alias("n_uncontaminated"),
+        F.sum(1 - F.col("near_dup_drop")).alias("n_unique"),
+        F.sum("keep").alias("n_keep"),
     )
 
 

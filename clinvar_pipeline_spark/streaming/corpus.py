@@ -26,23 +26,28 @@ DOCUMENT_SCHEMA = (
 )
 
 
-def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of document parquet drops (each new file =
-    one micro-batch of documents; schema must be declared for
-    streaming reads).
-
-    The streaming file source requires a DIRECTORY or a glob —
-    pointing it at a single parquet file (the testdata layout) fails
-    with "basePath must be a directory". A file path is rewritten as
-    the equivalent Hadoop glob (`dir/[d]ocuments.parquet`), which
-    matches exactly that file while the inferred basePath stays the
-    parent directory."""
+def _stream_path(path: str) -> str:
+    """The streaming file source requires a DIRECTORY or a glob —
+    pointing it at a single file (the testdata layout) fails with
+    "basePath must be a directory". A file path is rewritten as the
+    equivalent Hadoop glob (`dir/[d]ocuments.parquet`), which matches
+    exactly that file while the inferred basePath stays the parent
+    directory."""
     import os
 
     if os.path.isfile(path):
         d, b = os.path.split(path)
-        path = os.path.join(d, f"[{b[0]}]{b[1:]}")
-    return spark.readStream.schema(DOCUMENT_SCHEMA).parquet(path)
+        return os.path.join(d, f"[{b[0]}]{b[1:]}")
+    return path
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of document parquet drops (each new file =
+    one micro-batch of documents; schema must be declared for
+    streaming reads)."""
+    return spark.readStream.schema(DOCUMENT_SCHEMA).parquet(
+        _stream_path(path)
+    )
 
 
 def read_document_stream_jsonl(
@@ -59,7 +64,7 @@ def read_document_stream_jsonl(
         spark.readStream.schema(f"{DOCUMENT_FIELDS}, _corrupt_record string")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+        .json(_stream_path(path))
     )
     return raw.filter(F.col("_corrupt_record").isNull()).drop(
         "_corrupt_record"

@@ -449,6 +449,45 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
     ).count()
 
 
+def test_cli_corpus_prep_stream_jsonl(spark, tmp_path):
+    """--corpusPrep --stream --jsonl: the stateless stages stream
+    straight off a JSONL drop (corrupt lines dropped map-side) and
+    match the batch scrub over the same good rows."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "mail a@b.co now", "lang": "en",'
+        ' "source": "s"}\n'
+        '{"doc_id": 2, "text": "one two three four five six seven eight'
+        ' nine ten eleven twelve", "lang": "en", "source": "s"}\n'
+        "corrupt {\n",
+        "utf-8",
+    )
+    main(
+        [
+            "--corpusPrep", "--stream",
+            "--jsonl", str(p),
+            "--sf", str(tmp_path),
+            "--out", str(tmp_path / "sprep"),
+        ]
+    )
+    scrub = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(
+            str(tmp_path / "sprep" / "pii_scrub")
+        ).collect()
+    }
+    assert set(scrub) == {1, 2}  # corrupt line dropped
+    assert scrub[1]["n_email"] == 1
+    assert "<EMAIL>" in scrub[1]["text_scrubbed"]
+    gates = {
+        r["doc_id"]: r["gate_pass"]
+        for r in spark.read.parquet(
+            str(tmp_path / "sprep" / "repetition_gates")
+        ).collect()
+    }
+    assert gates[2] == 1
+
+
 def test_cli_corpus_prep_catches_planted_issues(spark, tmp_path):
     """Story test: one corpus with a planted near-dup pair, an eval
     copy (contamination), a PII-bearing doc, a repetitive doc, and an
