@@ -127,6 +127,30 @@ def main() -> None:
     out["decontam_planted_flagged"] = hit
     release_cached()
 
+    # --- dedup_clusters: replica groups land whole, never split ------
+    # replicas are verbatim copies -> identical shingle sets -> every
+    # group is either absent from the pair graph entirely (df-capped
+    # symmetrically) or fully present; and connected components must
+    # never split an exact-copy group across clusters
+    t0 = time.time()
+    clusters = reg["dedup_clusters"](spark, probe_dir).persist()
+    out["cc_clustered_docs"] = clusters.count()
+    out["cc_wall_s"] = round(time.time() - t0, 1)
+    grp = clusters.select(
+        F.pmod(F.col("doc_id"), F.lit(ID_OFFSET)).alias("base"),
+        "cluster_id",
+    ).groupBy("base").agg(
+        F.countDistinct("cluster_id").alias("nc"),
+        F.count(F.lit(1)).alias("nm"),
+    )
+    out["cc_groups"] = grp.count()
+    out["cc_groups_split"] = grp.filter(F.col("nc") > 1).count()
+    out["cc_groups_partial"] = grp.filter(
+        F.col("nm") != args.factor
+    ).count()
+    clusters.unpersist()
+    release_cached()
+
     # --- semantic_dedup: identical replicas collapse -----------------
     emb = replicate(
         spark.read.parquet(f"{args.sf}/embeddings.parquet"), "vec_id"
