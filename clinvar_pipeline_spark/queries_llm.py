@@ -878,7 +878,11 @@ def _cc_over_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return connected_components(pairs, "doc_a", "doc_b")
 
-    return memo(("ngram_cc", sf_dir), build)
+    # session-keyed, unlike the centroid memo: numpy centroids outlive
+    # a SparkSession, a DataFrame does not — a fresh session must
+    # rebuild, never receive a frame bound to a stopped context
+    app_id = spark.sparkContext.applicationId
+    return memo(("ngram_cc", app_id, sf_dir), build)
 
 
 @register(
