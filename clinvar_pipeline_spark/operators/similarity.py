@@ -378,6 +378,30 @@ def _train_centroids(
     return cent  # (num_cells, dim), unit-norm
 
 
+def save_centroids(spark, C: np.ndarray, path: str) -> None:
+    """Persist a trained coarse quantizer as parquet (cell id +
+    unit-norm vector). The production lifecycle of an IVF index: the
+    quantizer is trained once per corpus build and SERVED across
+    sessions/jobs — the session memo (caching.memo) covers one
+    process, this covers the fleet. Cell ids are explicit so a loaded
+    matrix reproduces assignments bit-for-bit."""
+    rows = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    """Load a quantizer saved by :func:`save_centroids` back into the
+    (num_cells, dim) matrix ann_topk_ivf / semantic_dedup accept via
+    ``centroids=``. Bounded driver collect — an index is
+    quantizer-sized, not corpus-sized."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError(f"centroid table at {path} has gaps")
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -389,6 +413,7 @@ def semantic_dedup(
     seed: int = 42,
     cell_cap: int = 100_000,
     memo_key: str | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then inside
@@ -418,13 +443,19 @@ def semantic_dedup(
 
     ``memo_key`` (a corpus identity string, e.g. the parquet dir)
     memoizes the corpus count and trained centroids across
-    invocations — see _train_centroids."""
-    if num_cells is None:
-        num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
-    C = _train_centroids(
-        corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
-        id_col=id_col, memo_key=memo_key,
-    )
+    invocations — see _train_centroids. ``centroids`` bypasses
+    training entirely with a pre-trained quantizer
+    (save_centroids/load_centroids — the cross-session index
+    lifecycle)."""
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        if num_cells is None:
+            num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
+        C = _train_centroids(
+            corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
+            id_col=id_col, memo_key=memo_key,
+        )
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
@@ -499,6 +530,7 @@ def ann_topk_ivf(
     lloyd_iters: int = 5,
     seed: int = 42,
     memo_key: str | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization:
     k-means cells over a bounded training sample, corpus rows assigned
@@ -521,17 +553,22 @@ def ann_topk_ivf(
     n_probe_cells to num_cells/4 (preserving the probed-fraction —
     and so the recall/cost point — as the corpus scales); pass
     explicit values to pin either. ``memo_key`` memoizes count +
-    centroids across invocations (see _train_centroids)."""
+    centroids across invocations (see _train_centroids); ``centroids``
+    serves a pre-trained quantizer (save_centroids/load_centroids —
+    the cross-session index lifecycle) and skips training."""
     from pyspark.sql.functions import pandas_udf
 
-    if num_cells is None:
-        num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        if num_cells is None:
+            num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
+        C = _train_centroids(
+            corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
+            id_col=id_col, memo_key=memo_key,
+        )
     if n_probe_cells is None:
-        n_probe_cells = max(4, num_cells // 4)
-    C = _train_centroids(
-        corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
-        id_col=id_col, memo_key=memo_key,
-    )
+        n_probe_cells = max(4, len(C) // 4)
 
     @pandas_udf("array<int>")
     def probe_cells(s: pd.Series) -> pd.Series:

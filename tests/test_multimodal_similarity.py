@@ -96,6 +96,42 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall > 0.4, recall
 
 
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """The cross-session IVF lifecycle: train once, persist the
+    quantizer, serve a later search from the loaded index — results
+    identical to the in-session search, no training job on the serve
+    path."""
+    import numpy as np
+
+    from clinvar_pipeline_spark.operators.similarity import (
+        _train_centroids,
+        ann_topk_ivf,
+        load_centroids,
+        save_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = _train_centroids(emb, "embedding", 16, 10000, 5, 42, id_col="vec_id")
+    path = str(tmp_path / "ivf_index")
+    save_centroids(spark, C, path)
+    C2 = load_centroids(spark, path)
+    assert C2.shape == C.shape
+    assert np.allclose(C, C2)
+
+    direct = {
+        (r.query_id, r.nn_id)
+        for r in ann_topk_ivf(emb, emb, k=3, centroids=C).collect()
+    }
+    served = {
+        (r.query_id, r.nn_id)
+        for r in ann_topk_ivf(emb, emb, k=3, centroids=C2).collect()
+    }
+    assert direct == served
+    from clinvar_pipeline_spark.caching import release_cached
+
+    release_cached()
+
+
 def test_ivf_tiny_corpus_fewer_cells_than_probes(spark):
     # trained cell count = min(num_cells, |sample|); a corpus smaller
     # than n_probe_cells used to crash argpartition ("kth out of
