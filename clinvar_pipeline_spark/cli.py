@@ -305,6 +305,26 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
     )
     if os.path.exists(f"{emb_sf}/embeddings.parquet"):
         land("semantic_dedup", reg["semantic_dedup"](spark, emb_sf))
+        # persist the trained coarse quantizer as a build artifact:
+        # downstream ANN/serve jobs load it (similarity.load_centroids)
+        # instead of re-training — the cross-session index lifecycle
+        from clinvar_pipeline_spark.operators.similarity import (
+            _corpus_count,
+            _derived_num_cells,
+            _train_centroids,
+            save_centroids,
+        )
+
+        emb = spark.read.parquet(f"{emb_sf}/embeddings.parquet")
+        key = f"{emb_sf}:embeddings"
+        cells = _derived_num_cells(_corpus_count(emb, key))
+        C = _train_centroids(
+            emb, "embedding", cells, 10000, 5, 42,
+            id_col="vec_id", memo_key=key,
+        )
+        save_centroids(spark, C, f"{args.out}/ivf_index")
+        counters.append(("ivf_index", len(C)))
+        print(f"ivf_index: {len(C)}")
     summary = spark.createDataFrame(counters, "stage string, n_rows long")
     summary.write.mode("overwrite").parquet(f"{args.out}/run_counters")
     release_cached()

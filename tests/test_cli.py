@@ -408,6 +408,12 @@ def test_cli_corpus_prep(spark, tmp_path):
     # scrubbed text identical
     scrub = spark.read.parquet(str(tmp_path / "prep" / "pii_scrub"))
     assert scrub.agg(F.sum("n_email"), F.sum("n_ip")).first() == (0, 0)
+    # the trained quantizer landed as a servable build artifact
+    from clinvar_pipeline_spark.operators.similarity import load_centroids
+
+    C = load_centroids(spark, str(tmp_path / "prep" / "ivf_index"))
+    assert counters["ivf_index"] == len(C)
+    assert C.shape[1] > 0
 
 
 def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
