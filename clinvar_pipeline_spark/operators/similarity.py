@@ -518,6 +518,216 @@ def semantic_dedup(
     )
 
 
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    n_subspaces: int,
+    pq_k: int,
+    train_sample: int,
+    lloyd_iters: int,
+    seed: int,
+    id_col: str | None = None,
+    memo_key: str | None = None,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the unit-normalized
+    vector is split into ``n_subspaces`` contiguous sub-vectors and
+    each subspace gets its own k-means codebook of ``pq_k`` centroids.
+    Returns (n_subspaces, pq_k, dim/n_subspaces). Trained on the same
+    bounded deterministic TakeOrdered sample as the coarse quantizer
+    and memoized under the same discipline (codebooks are corpus
+    state)."""
+    from clinvar_pipeline_spark.caching import memo
+
+    if memo_key is not None:
+        key = (
+            "pq_codebooks", memo_key, vec_col, n_subspaces, pq_k,
+            train_sample, lloyd_iters, seed, id_col,
+        )
+        return memo(
+            key,
+            lambda: _train_pq_codebooks(
+                corpus, vec_col, n_subspaces, pq_k, train_sample,
+                lloyd_iters, seed, id_col=id_col, memo_key=None,
+            ),
+        )
+    sel = corpus.select(
+        *([F.col(id_col)] if id_col else []),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if id_col:
+        sel = sel.orderBy(id_col)
+    X = np.asarray(
+        [r["_v"] for r in sel.limit(train_sample).collect()],
+        dtype=np.float64,
+    )
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    if d % n_subspaces:
+        raise ValueError(
+            f"dim {d} not divisible by n_subspaces {n_subspaces}"
+        )
+    dsub = d // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((n_subspaces, min(pq_k, len(X)), dsub))
+    for m in range(n_subspaces):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        cent = S[rng.choice(len(S), size=books.shape[1], replace=False)]
+        for _ in range(lloyd_iters):
+            # euclidean assignment per subspace (standard PQ; the
+            # full-vector dot decomposes over subspace dots at lookup)
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for ci in range(len(cent)):
+                members = S[assign == ci]
+                if len(members):
+                    cent[ci] = members.mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code): each unit-normalized vector compressed to one byte
+    per subspace (``binary`` column of n_subspaces bytes) — the
+    memory shape that makes 100 TB vector search feasible: an
+    encoded 64-dim float corpus shrinks 32x (256B -> 8B/vector), so
+    the whole code table fits where 3% of the raw vectors would.
+    Map-only Arrow kernel; codebooks ride via closure capture
+    (n_subspaces * 256 * dsub doubles — KBs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = codebooks
+    M, K, dsub = B.shape
+
+    @pandas_udf("binary")
+    def encode(s: pd.Series) -> pd.Series:
+        V = np.asarray(s.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        out = np.empty((len(V), M), dtype=np.uint8)
+        for m in range(M):
+            S = V[:, m * dsub : (m + 1) * dsub]
+            d2 = ((S[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+            out[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.Series([row.tobytes() for row in out])
+
+    return corpus.select(
+        F.col(id_col).alias("nn_id"),
+        encode(F.col(vec_col).cast("array<double>")).alias("code"),
+    )
+
+
+def ann_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 8,
+    pq_k: int = 256,
+    rerank: int | None = None,
+    train_sample: int = 10000,
+    lloyd_iters: int = 5,
+    seed: int = 42,
+    memo_key: str | None = None,
+    max_queries: int = 10000,
+) -> DataFrame:
+    """Product-quantization ANN — the SERVE path: a bounded query set
+    (collected driver-side, ``max_queries`` guard — query batches are
+    benchmark-sized by definition, the same closure-capture budget as
+    decontaminate's eval set) scans the 8-byte-per-vector code table
+    with asymmetric distance computation (ADC), then the top
+    ``rerank`` candidates per query get an exact cosine re-rank.
+
+    Plan shape at 100 TB: the scan is mapInPandas over the ENCODED
+    corpus — each task builds the M x pq_k dot-lookup table per query
+    once, scores its partition's codes via table lookups (no float
+    vectors touched), and emits only its local top-``rerank`` per
+    query (map-side partial top-k). One narrow shuffle of
+    (n_partitions x n_queries x rerank) id rows picks the global
+    candidate pool; exact re-rank joins full vectors for just those
+    rows. Nothing vector-sized is ever shuffled, and the scan reads
+    M bytes per corpus row."""
+    from pyspark.sql.functions import pandas_udf
+
+    if rerank is None:
+        rerank = max(4 * k, 16)
+    B = _train_pq_codebooks(
+        corpus, vec_col, n_subspaces, pq_k, train_sample, lloyd_iters,
+        seed, id_col=id_col, memo_key=memo_key,
+    )
+    M, K, dsub = B.shape
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .orderBy("_qid")
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ann_topk_pq serves bounded query batches (max_queries="
+            f"{max_queries}); for corpus-scale self-search use "
+            "ann_topk_ivf/ann_topk_hyperplane"
+        )
+    qids = np.asarray([r["_qid"] for r in q_rows])
+    Q = np.asarray([r["_qv"] for r in q_rows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # per-query lookup tables, built once on the driver and shipped in
+    # the closure: LUT[q, m, j] = <Q[q] subspace m, codebook[m][j]>
+    LUT = np.einsum(
+        "qmd,mjd->qmj", Q.reshape(len(Q), M, dsub), B
+    )
+
+    from typing import Iterator as _It
+
+    def scan(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), M)
+            ids = pdf["nn_id"].to_numpy()
+            # ADC: score[q, x] = sum_m LUT[q, m, codes[x, m]] — one
+            # vectorized gather per subspace (M is 8; the inner
+            # (nq, nx) gather is the hot loop and stays in numpy)
+            scores = np.zeros((len(qids), len(ids)))
+            for m in range(M):
+                scores += LUT[:, m, :][:, codes[:, m]]
+            r = min(rerank, scores.shape[1])
+            top = np.argpartition(-scores, r - 1, axis=1)[:, :r]
+            qcol = np.repeat(qids, r)
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol,
+                    "nn_id": ids[top].ravel(),
+                    "adc": np.take_along_axis(scores, top, axis=1).ravel(),
+                }
+            )
+
+    enc = pq_encode(corpus, B, id_col=id_col, vec_col=vec_col)
+    partial = enc.mapInPandas(
+        scan, "query_id long, nn_id long, adc double"
+    ).filter(F.col("query_id") != F.col("nn_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("nn_id"))
+    pool = (
+        partial.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "nn_id")
+    )
+    return _rerank_topk(pool, queries, corpus, id_col, vec_col, k)
+
+
 def ann_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,

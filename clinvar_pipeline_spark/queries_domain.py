@@ -1108,3 +1108,21 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not once per invocation (r5's warm-slower-than-cold bench
     # regression was the per-invocation re-training job)
     return ann_topk_ivf(e, e, k=5, memo_key=f"{sf_dir}:embeddings")
+
+
+@register("ann_topk_pq", None)  # PQ codebooks are engine state: no SQL twin
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py ann_topk_pq):
+    ADC scan over 8-byte codes with map-side partial top-k, exact
+    cosine re-rank of the pooled candidates. The memory-bounded serve
+    path — 32x smaller per-vector state than the float corpus — next
+    to ann_topk (LSH, index-free) and ann_topk_ivf (spatial cells).
+    Rows-only like its siblings (sampled k-means codebooks have no
+    DuckDB twin); recall floor, code-size contract, exact-duplicate
+    guarantee, and the bounded-query guard are pinned by
+    tests/test_multimodal_similarity.py; topk_cosine is the
+    oracle-checked exact twin."""
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+
+    e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
+    return ann_topk_pq(e, e, k=5, memo_key=f"{sf_dir}:embeddings")

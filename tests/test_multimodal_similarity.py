@@ -132,6 +132,69 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
     release_cached()
 
 
+def test_pq_encode_code_size_contract(spark):
+    """PQ's whole point is the memory shape: every code is exactly
+    n_subspaces bytes regardless of vector width."""
+    from clinvar_pipeline_spark.operators.similarity import (
+        _train_pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    B = _train_pq_codebooks(emb, "embedding", 8, 256, 10000, 3, 42,
+                            id_col="vec_id")
+    assert B.shape[0] == 8 and B.shape[2] == 8  # 64-dim -> 8x8
+    codes = pq_encode(emb, B).collect()
+    assert len(codes) == emb.count()
+    assert all(len(bytes(r["code"])) == 8 for r in codes)
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """ADC scan + exact re-rank must recover a solid fraction of the
+    true top-5 (same floor discipline as the LSH/IVF variants; the
+    re-rank pool makes quantization noise recoverable)."""
+    from clinvar_pipeline_spark.operators.similarity import (
+        ann_topk_pq,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.nn_id) for r in brute_force_topk(emb, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.nn_id)
+        for r in ann_topk_pq(emb, emb, k=5, rerank=40).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.4, recall
+    from clinvar_pipeline_spark.caching import release_cached
+
+    release_cached()
+
+
+def test_pq_identical_vector_always_found(spark):
+    """A verbatim duplicate shares the query's exact code, so ADC
+    scores it at the query's own self-similarity — it must always
+    surface (the dedup guarantee)."""
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [1.0] + [0.0] * 7))  # exact copy of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r.query_id, r.nn_id)
+        for r in ann_topk_pq(df, df, k=1, n_subspaces=4, pq_k=16).collect()
+    }
+    assert (0, 100) in out and (100, 0) in out
+
+
+def test_pq_bounded_query_guard(spark):
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="bounded query batches"):
+        ann_topk_pq(emb, emb, k=2, max_queries=10)
+
+
 def test_ivf_tiny_corpus_fewer_cells_than_probes(spark):
     # trained cell count = min(num_cells, |sample|); a corpus smaller
     # than n_probe_cells used to crash argpartition ("kth out of
