@@ -539,6 +539,10 @@ def _train_pq_codebooks(
     state)."""
     from clinvar_pipeline_spark.caching import memo
 
+    if pq_k > 256:
+        # codes are one uint8 per subspace; a wider codebook would
+        # silently wrap indices mod 256 at encode time
+        raise ValueError(f"pq_k must be <= 256 (uint8 codes), got {pq_k}")
     if memo_key is not None:
         key = (
             "pq_codebooks", memo_key, vec_col, n_subspaces, pq_k,
@@ -679,6 +683,12 @@ def ann_topk_pq(
             f"{max_queries}); for corpus-scale self-search use "
             "ann_topk_ivf/ann_topk_hyperplane"
         )
+    if not q_rows:
+        # empty query set -> empty result with the contract schema
+        # (np.linalg.norm on a (0,) array would raise on the driver)
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, nn_id long, cos_sim double, rk int"
+        )
     qids = np.asarray([r["_qid"] for r in q_rows])
     Q = np.asarray([r["_qv"] for r in q_rows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -690,6 +700,13 @@ def ann_topk_pq(
 
     from typing import Iterator as _It
 
+    # chunk the query axis so per-task peak memory is bounded by
+    # Q_CHUNK x arrow-batch-rows doubles (~20 MB at defaults)
+    # regardless of how close the batch sits to max_queries — an
+    # unchunked 10k x 10k float64 scores matrix is ~800 MB per
+    # in-flight batch and OOMs executors before the guard helps
+    Q_CHUNK = 256
+
     def scan(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -698,22 +715,25 @@ def ann_topk_pq(
                 b"".join(pdf["code"]), dtype=np.uint8
             ).reshape(len(pdf), M)
             ids = pdf["nn_id"].to_numpy()
-            # ADC: score[q, x] = sum_m LUT[q, m, codes[x, m]] — one
-            # vectorized gather per subspace (M is 8; the inner
-            # (nq, nx) gather is the hot loop and stays in numpy)
-            scores = np.zeros((len(qids), len(ids)))
-            for m in range(M):
-                scores += LUT[:, m, :][:, codes[:, m]]
-            r = min(rerank, scores.shape[1])
-            top = np.argpartition(-scores, r - 1, axis=1)[:, :r]
-            qcol = np.repeat(qids, r)
-            yield pd.DataFrame(
-                {
-                    "query_id": qcol,
-                    "nn_id": ids[top].ravel(),
-                    "adc": np.take_along_axis(scores, top, axis=1).ravel(),
-                }
-            )
+            r = min(rerank, len(ids))
+            for q0 in range(0, len(qids), Q_CHUNK):
+                lut = LUT[q0 : q0 + Q_CHUNK]
+                # ADC: score[q, x] = sum_m lut[q, m, codes[x, m]] —
+                # one vectorized gather per subspace (M is 8; the
+                # (chunk, nx) gather is the hot loop, pure numpy)
+                scores = np.zeros((len(lut), len(ids)))
+                for m in range(M):
+                    scores += lut[:, m, :][:, codes[:, m]]
+                top = np.argpartition(-scores, r - 1, axis=1)[:, :r]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids[q0 : q0 + Q_CHUNK], r),
+                        "nn_id": ids[top].ravel(),
+                        "adc": np.take_along_axis(
+                            scores, top, axis=1
+                        ).ravel(),
+                    }
+                )
 
     enc = pq_encode(corpus, B, id_col=id_col, vec_col=vec_col)
     partial = enc.mapInPandas(

@@ -782,11 +782,17 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------
 
-
-@register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE sh AS (
+# ONE oracle source of truth for the n-gram-Jaccard pair graph and its
+# recursive transitive closure, shared by dedup_clusters,
+# cluster_dedup_apply, and _FUNNEL_SQL — the engine side equally
+# shares q_ngram_jaccard_pairs + _cc_over_ngram_pairs, so a future
+# change to the pair semantics (cap, threshold, shingle width) has
+# exactly one place to land on each side instead of silently
+# diverging across three pasted copies. Yields CTEs: sh, sizes, shj,
+# inter, pairs, edges, reach, comp(node, cluster_id),
+# drops(doc_id = every non-minimum cluster member). Callers prepend
+# `WITH RECURSIVE` and append their own CTEs / final select.
+_NGRAM_CC_CTES = f"""sh AS (
         SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
         FROM (
             SELECT doc_id,
@@ -821,6 +827,13 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
     comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    drops AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id)"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_NGRAM_CC_CTES},
     csize AS (SELECT cluster_id, count(*) AS cluster_size
               FROM comp GROUP BY cluster_id)
     SELECT node AS doc_id, cluster_id, cluster_size
@@ -888,42 +901,7 @@ def _cc_over_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cluster_dedup_apply",
     f"""
-    WITH RECURSIVE sh AS (
-        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
-        FROM (
-            SELECT doc_id,
-                   list_transform(
-                       range(1, greatest(len(toks) - 2, 0) + 1),
-                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
-                   ) AS sh_list
-            FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
-                  FROM documents))
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    shj AS (
-        SELECT s.* FROM sh s
-        JOIN (SELECT shingle FROM sh GROUP BY shingle
-              HAVING count(*) <= {_SHINGLE_DF_CAP}) cold USING (shingle)),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
-        SELECT doc_a, doc_b
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10),
-    edges AS (
-        SELECT doc_a AS s, doc_b AS d FROM pairs
-        UNION
-        SELECT doc_b AS s, doc_a AS d FROM pairs),
-    reach(node, lbl) AS (
-        SELECT s, s FROM edges
-        UNION
-        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
-    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
-    drops AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id)
+    WITH RECURSIVE {_NGRAM_CC_CTES}
     SELECT d.doc_id, d.lang, d.source
     FROM documents d LEFT JOIN drops USING (doc_id)
     WHERE drops.doc_id IS NULL
@@ -1049,41 +1027,7 @@ _FUNNEL_SQL = f"""
                          >= {DECONTAM_FLAG}
                     THEN 1 ELSE 0 END AS contaminated
         FROM csizes cs LEFT JOIN chits ch USING (doc_id)),
-    jsh AS (
-        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
-        FROM (
-            SELECT doc_id,
-                   list_transform(
-                       range(1, greatest(len(toks) - 2, 0) + 1),
-                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
-                   ) AS sh_list
-            FROM tok)),
-    jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
-    jshj AS (
-        SELECT s.* FROM jsh s
-        JOIN (SELECT shingle FROM jsh GROUP BY shingle
-              HAVING count(*) <= {_SHINGLE_DF_CAP}) cold USING (shingle)),
-    jinter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        FROM jshj a JOIN jshj b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id),
-    jpairs AS (
-        SELECT doc_a, doc_b
-        FROM jinter
-        JOIN jsizes sa ON sa.doc_id = doc_a
-        JOIN jsizes sb ON sb.doc_id = doc_b
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10),
-    jedges AS (
-        SELECT doc_a AS s, doc_b AS d FROM jpairs
-        UNION
-        SELECT doc_b AS s, doc_a AS d FROM jpairs),
-    reach(node, lbl) AS (
-        SELECT s, s FROM jedges
-        UNION
-        SELECT e.d, r.lbl FROM reach r JOIN jedges e ON e.s = r.node),
-    comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
-    drops AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id)
+    {_NGRAM_CC_CTES}
     SELECT t.doc_id,
            CAST(len(t.toks) AS BIGINT) AS n_tokens,
            coalesce(g.gate_pass, 0) AS gate_pass,

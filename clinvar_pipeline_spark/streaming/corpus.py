@@ -32,12 +32,25 @@ def _stream_path(path: str) -> str:
     "basePath must be a directory". A file path is rewritten as the
     equivalent Hadoop glob (`dir/[d]ocuments.parquet`), which matches
     exactly that file while the inferred basePath stays the parent
-    directory."""
+    directory.
+
+    EVERY glob metacharacter in the basename is bracket-escaped, not
+    just the first character — a drop named `docs[1].jsonl` rewritten
+    as `[d]ocs[1].jsonl` would have its `[1]` read as a character
+    class and silently match a different file (`docs1.jsonl`)."""
     import os
 
     if os.path.isfile(path):
         d, b = os.path.split(path)
-        return os.path.join(d, f"[{b[0]}]{b[1:]}")
+        esc = "".join(
+            f"[{c}]" if c in "*?[]{}" else c for c in b
+        )
+        if esc == b:
+            # no metachars to escape: bracket the first char so the
+            # path still reads as a glob (else the directory check
+            # fires)
+            esc = f"[{b[0]}]{b[1:]}"
+        return os.path.join(d, esc)
     return path
 
 

@@ -195,6 +195,25 @@ def test_pq_bounded_query_guard(spark):
         ann_topk_pq(emb, emb, k=2, max_queries=10)
 
 
+def test_pq_k_uint8_guard(spark):
+    # pq_k > 256 would silently wrap uint8 codes — must raise instead
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="uint8"):
+        ann_topk_pq(emb, emb, k=2, pq_k=512)
+
+
+def test_pq_empty_queries_empty_result(spark):
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    none = emb.filter("vec_id < 0")
+    out = ann_topk_pq(none, emb, k=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "nn_id", "cos_sim", "rk"]
+
+
 def test_ivf_tiny_corpus_fewer_cells_than_probes(spark):
     # trained cell count = min(num_cells, |sample|); a corpus smaller
     # than n_probe_cells used to crash argpartition ("kth out of
