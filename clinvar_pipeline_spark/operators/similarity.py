@@ -641,6 +641,9 @@ def ann_topk_pq(
     seed: int = 42,
     memo_key: str | None = None,
     max_queries: int = 10000,
+    ivf: bool = False,
+    num_cells: int | None = None,
+    n_probe_cells: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN — the SERVE path: a bounded query set
     (collected driver-side, ``max_queries`` guard — query batches are
@@ -657,7 +660,18 @@ def ann_topk_pq(
     (n_partitions x n_queries x rerank) id rows picks the global
     candidate pool; exact re-rank joins full vectors for just those
     rows. Nothing vector-sized is ever shuffled, and the scan reads
-    M bytes per corpus row."""
+    M bytes per corpus row.
+
+    ``ivf=True`` composes the coarse quantizer on top (the FAISS
+    IndexIVFPQ shape): the encode kernel also emits each vector's
+    cell, the scan input is pre-filtered to the UNION of the batch's
+    probed cells (a JVM-side isin the parquet/batch reader can prune
+    early — with cell-partitioned storage this becomes partition
+    pruning), and each query only scores candidates inside its own
+    probed cells (per-chunk boolean mask). With ``n_probe_cells ==
+    num_cells`` the mask is all-true and results are identical to the
+    pure scan — pinned by test; smaller probes trade recall for scan
+    fraction exactly like ann_topk_ivf."""
     from pyspark.sql.functions import pandas_udf
 
     if rerank is None:
@@ -698,6 +712,23 @@ def ann_topk_pq(
         "qmd,mjd->qmj", Q.reshape(len(Q), M, dsub), B
     )
 
+    probe_mask = None
+    probed_union: list[int] = []
+    if ivf:
+        if num_cells is None:
+            num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
+        C = _train_centroids(
+            corpus, vec_col, num_cells, train_sample, lloyd_iters,
+            seed, id_col=id_col, memo_key=memo_key,
+        )
+        npr = n_probe_cells if n_probe_cells else max(4, len(C) // 4)
+        npr = min(npr, len(C))
+        sims = Q @ C.T
+        probe = np.argpartition(-sims, npr - 1, axis=1)[:, :npr]
+        probe_mask = np.zeros((len(Q), len(C)), dtype=bool)
+        probe_mask[np.arange(len(Q))[:, None], probe] = True
+        probed_union = sorted(int(c) for c in np.unique(probe))
+
     from typing import Iterator as _It
 
     # chunk the query axis so per-task peak memory is bounded by
@@ -715,6 +746,9 @@ def ann_topk_pq(
                 b"".join(pdf["code"]), dtype=np.uint8
             ).reshape(len(pdf), M)
             ids = pdf["nn_id"].to_numpy()
+            cells = (
+                pdf["cell"].to_numpy() if probe_mask is not None else None
+            )
             r = min(rerank, len(ids))
             for q0 in range(0, len(qids), Q_CHUNK):
                 lut = LUT[q0 : q0 + Q_CHUNK]
@@ -724,21 +758,68 @@ def ann_topk_pq(
                 scores = np.zeros((len(lut), len(ids)))
                 for m in range(M):
                     scores += lut[:, m, :][:, codes[:, m]]
+                if cells is not None:
+                    # IVF: a query only scores candidates in its own
+                    # probed cells (the union filter upstream already
+                    # dropped cells nobody probes)
+                    scores = np.where(
+                        probe_mask[q0 : q0 + Q_CHUNK][:, cells],
+                        scores,
+                        -np.inf,
+                    )
                 top = np.argpartition(-scores, r - 1, axis=1)[:, :r]
+                adc = np.take_along_axis(scores, top, axis=1).ravel()
+                keep = np.isfinite(adc)
                 yield pd.DataFrame(
                     {
-                        "query_id": np.repeat(qids[q0 : q0 + Q_CHUNK], r),
-                        "nn_id": ids[top].ravel(),
-                        "adc": np.take_along_axis(
-                            scores, top, axis=1
-                        ).ravel(),
+                        "query_id": np.repeat(
+                            qids[q0 : q0 + Q_CHUNK], r
+                        )[keep],
+                        "nn_id": ids[top].ravel()[keep],
+                        "adc": adc[keep],
                     }
                 )
 
-    enc = pq_encode(corpus, B, id_col=id_col, vec_col=vec_col)
-    partial = enc.mapInPandas(
-        scan, "query_id long, nn_id long, adc double"
-    ).filter(F.col("query_id") != F.col("nn_id"))
+    if probe_mask is not None:
+
+        def enc_with_cell(
+            batches: _It[pd.DataFrame],
+        ) -> _It[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                cell = np.argmax(V @ C.T, axis=1).astype(np.int32)
+                out = np.empty((len(V), M), dtype=np.uint8)
+                for m in range(M):
+                    S = V[:, m * dsub : (m + 1) * dsub]
+                    d2 = ((S[:, None, :] - B[m][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    out[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+                yield pd.DataFrame(
+                    {
+                        "nn_id": pdf["nn_id"],
+                        "cell": cell,
+                        "code": [row.tobytes() for row in out],
+                    }
+                )
+
+        enc = corpus.select(
+            F.col(id_col).alias("nn_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).mapInPandas(
+            enc_with_cell, "nn_id long, cell int, code binary"
+        ).filter(F.col("cell").isin(probed_union))
+    else:
+        enc = pq_encode(corpus, B, id_col=id_col, vec_col=vec_col)
+    scan_schema = (
+        "query_id long, nn_id long, adc double"
+    )
+    partial = enc.mapInPandas(scan, scan_schema).filter(
+        F.col("query_id") != F.col("nn_id")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("nn_id"))
     pool = (
         partial.withColumn("_r", F.row_number().over(w))

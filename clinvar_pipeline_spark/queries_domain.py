@@ -1126,3 +1126,19 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
     return ann_topk_pq(e, e, k=5, memo_key=f"{sf_dir}:embeddings")
+
+
+@register("ann_topk_ivfpq", None)  # sampled quantizer+codebooks: no SQL twin
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (ann_topk_pq with ivf=True — the FAISS
+    IndexIVFPQ shape): coarse cells prune WHAT is scanned (probed-cell
+    union filter + per-query cell mask), PQ codes decide HOW cheaply
+    (8-byte ADC lookups), exact re-rank restores precision on the
+    pooled candidates. Full-probe equivalence to the pure scan and the
+    recall floor are pinned by tests/test_multimodal_similarity.py."""
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+
+    e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
+    return ann_topk_pq(
+        e, e, k=5, ivf=True, memo_key=f"{sf_dir}:embeddings"
+    )

@@ -195,6 +195,55 @@ def test_pq_bounded_query_guard(spark):
         ann_topk_pq(emb, emb, k=2, max_queries=10)
 
 
+def test_ivfpq_full_probe_equals_pure_scan(spark):
+    """IVF-PQ with n_probe_cells == num_cells masks nothing — results
+    must be identical to the pure PQ scan (same codebooks, same
+    training), proving the composition changes WHAT is scanned, never
+    how it is scored."""
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pure = {
+        (r.query_id, r.nn_id)
+        for r in ann_topk_pq(emb, emb, k=3, rerank=20).collect()
+    }
+    full_probe = {
+        (r.query_id, r.nn_id)
+        for r in ann_topk_pq(
+            emb, emb, k=3, rerank=20, ivf=True, num_cells=16,
+            n_probe_cells=16,
+        ).collect()
+    }
+    assert pure == full_probe
+    from clinvar_pipeline_spark.caching import release_cached
+
+    release_cached()
+
+
+def test_ivfpq_recall_vs_brute_force(spark):
+    from clinvar_pipeline_spark.operators.similarity import (
+        ann_topk_pq,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.nn_id)
+        for r in brute_force_topk(emb, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.nn_id)
+        for r in ann_topk_pq(emb, emb, k=5, rerank=40, ivf=True).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probed-cell pruning on top of PQ quantization: a lower floor
+    # than the full scan's 0.4, same discipline as ann_topk_ivf
+    assert recall > 0.3, recall
+    from clinvar_pipeline_spark.caching import release_cached
+
+    release_cached()
+
+
 def test_pq_k_uint8_guard(spark):
     # pq_k > 256 would silently wrap uint8 codes — must raise instead
     from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
