@@ -402,6 +402,38 @@ def load_centroids(spark, path: str) -> np.ndarray:
     return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
 
 
+def save_pq_codebooks(spark, books: np.ndarray, path: str) -> None:
+    """Persist PQ codebooks (n_subspaces, pq_k, dsub) as parquet —
+    the PQ half of the index lifecycle next to save_centroids. One
+    row per (subspace, code) centroid so a load reproduces encodings
+    bit-for-bit."""
+    M, K, _ = books.shape
+    rows = [
+        (m, j, [float(x) for x in books[m, j]])
+        for m in range(M)
+        for j in range(K)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    """Load codebooks saved by :func:`save_pq_codebooks`; pass to
+    :func:`pq_encode` or precompute LUTs against them. Bounded driver
+    collect (codebooks are KBs)."""
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    M = 1 + max(r["subspace"] for r in rows)
+    K = len(rows) // M
+    if len(rows) != M * K:
+        raise ValueError(f"codebook table at {path} is ragged")
+    dsub = len(rows[0]["centroid"])
+    out = np.empty((M, K, dsub))
+    for r in rows:
+        out[r["subspace"], r["code"]] = r["centroid"]
+    return out
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

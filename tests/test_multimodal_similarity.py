@@ -195,6 +195,29 @@ def test_pq_bounded_query_guard(spark):
         ann_topk_pq(emb, emb, k=2, max_queries=10)
 
 
+def test_pq_codebooks_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from clinvar_pipeline_spark.operators.similarity import (
+        _train_pq_codebooks,
+        load_pq_codebooks,
+        pq_encode,
+        save_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    B = _train_pq_codebooks(emb, "embedding", 8, 64, 10000, 3, 42,
+                            id_col="vec_id")
+    path = str(tmp_path / "pq_books")
+    save_pq_codebooks(spark, B, path)
+    B2 = load_pq_codebooks(spark, path)
+    assert B2.shape == B.shape and np.allclose(B, B2)
+    # loaded books reproduce encodings bit-for-bit
+    c1 = {r["nn_id"]: bytes(r["code"]) for r in pq_encode(emb, B).collect()}
+    c2 = {r["nn_id"]: bytes(r["code"]) for r in pq_encode(emb, B2).collect()}
+    assert c1 == c2
+
+
 def test_ivfpq_full_probe_equals_pure_scan(spark):
     """IVF-PQ with n_probe_cells == num_cells masks nothing — results
     must be identical to the pure PQ scan (same codebooks, same
