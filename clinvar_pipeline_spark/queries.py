@@ -431,7 +431,12 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            # long: exact width-match with DuckDB's BIGINT row_number
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
         .filter(F.col("rn") <= 3)
     )
 
@@ -948,16 +953,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        # counts emit as long: exact width-match with the oracle's
+        # BIGINT count columns (tools/type_audit.py discipline)
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         hits("en").alias("en"),
         hits("es").alias("es"),
         hits("de").alias("de"),
         hits("fr").alias("fr"),
-        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
     )
     pred = (
         F.when(

@@ -83,7 +83,7 @@ def q_map_position_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xref_dispatch",
     """
     SELECT p_partkey,
-           m.xdb_key,
+           CAST(m.xdb_key AS BIGINT) AS xdb_key,
            CASE m.xdb_key
                 WHEN 52 THEN split_part(p_brand, '#', 2)
                 WHEN 48 THEN regexp_replace(p_name, '^(small|red|blue) ', '')
@@ -1053,10 +1053,13 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "frame_idx",
         F.hex("frame_bytes").alias("frame_hex"),
-        "n_bytes",
+        # kernel ints widen to long at the result boundary: exact
+        # width-match with the oracle's BIGINT octet_length columns
+        # (tools/type_audit.py discipline)
+        F.col("n_bytes").cast("long").alias("n_bytes"),
         "sha256",
-        "width",
-        "height",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
         "format",
     )
 

@@ -256,9 +256,11 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pii_scrub_exprs(F.col("t"))
     return base.select(
         "doc_id",
-        e["n_email"].alias("n_email"),
-        e["n_card"].alias("n_card"),
-        e["n_ip"].alias("n_ip"),
+        # counts widen to long: exact width-match with the oracle's
+        # BIGINT len() columns (type_audit width discipline)
+        e["n_email"].cast("long").alias("n_email"),
+        e["n_card"].cast("long").alias("n_card"),
+        e["n_ip"].cast("long").alias("n_ip"),
         F.md5(e["scrubbed"]).alias("scrub_fp"),
     )
 
@@ -615,7 +617,9 @@ def repetition_metrics(
     )
     return m.select(
         "doc_id",
-        "n_tokens",
+        # long: exact width-match with the oracle's BIGINT len()
+        # (type_audit width discipline)
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(uni_f, 4).alias("top_unigram_frac"),
         F.round(bi_f, 4).alias("top_bigram_frac"),
         F.round(dup_f, 4).alias("dup_bigram_frac"),
@@ -1355,7 +1359,16 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    return extract_video_meta(attach_binary(d, "doc_id", "text"))
+    out = extract_video_meta(attach_binary(d, "doc_id", "text"))
+    # kernel ints widen to long at the result boundary: exact
+    # width-match with the oracle's BIGINT octet_length columns
+    # (tools/type_audit.py discipline)
+    return out.withColumns(
+        {
+            c: F.col(c).cast("long")
+            for c in ("n_bytes", "width", "height")
+        }
+    )
 
 
 @register(
@@ -1388,7 +1401,11 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    return extract_audio_meta(attach_binary(d, "doc_id", "text"))
+    out = extract_audio_meta(attach_binary(d, "doc_id", "text"))
+    # kernel ints widen to long (type_audit width discipline)
+    return out.withColumns(
+        {c: F.col(c).cast("long") for c in ("n_bytes", "channels")}
+    )
 
 
 # ---------------------------------------------------------------------
@@ -1441,3 +1458,407 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", vec_col="embedding", tau=0.4,
         memo_key=f"{sf_dir}:embeddings",
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------
+# Round 6 additions: the training-run boundary — model-based quality
+# filtering, deterministic corpus order, split assignment + leakage
+# audit, and per-document keyword profiles.
+# ---------------------------------------------------------------------
+
+# Quality-classifier training slices. The generated corpus has no
+# curated seed set, so deterministic id-slices stand in (the
+# decontaminate %-97 idiom, which keeps the oracle exact): every
+# QC_MOD-th document is the "curated positive" seed (the role
+# Wikipedia/books play in CCNet/DCLM), the next residue class the
+# random negative sample. Production swaps the slice predicates for
+# real seed corpora; the plan shape is identical.
+QC_MOD = 7
+QC_POS_RES = 0
+QC_NEG_RES = 1
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS t
+        FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0),
+    tr AS (
+        SELECT t, CASE WHEN doc_id % {QC_MOD} = {QC_POS_RES}
+                       THEN 1 ELSE 0 END AS pos
+        FROM tok WHERE doc_id % {QC_MOD} IN ({QC_POS_RES}, {QC_NEG_RES})),
+    voc AS (
+        SELECT t, CAST(sum(pos) AS DOUBLE) AS pc,
+               CAST(sum(1 - pos) AS DOUBLE) AS nc
+        FROM tr GROUP BY t),
+    tot AS (
+        SELECT CAST(sum(pc) AS DOUBLE) AS pt, CAST(sum(nc) AS DOUBLE) AS nt,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM voc),
+    w AS (SELECT t, ln((pc + 1) / (pt + v)) - ln((nc + 1) / (nt + v)) AS w
+          FROM voc, tot),
+    unseen AS (SELECT ln((nt + v) / (pt + v)) AS wu FROM tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(coalesce(w, wu)), 4) AS score,
+           CASE WHEN round(avg(coalesce(w, wu)), 4) > 0 THEN 1 ELSE 0 END
+             AS keep_flag
+    FROM tok LEFT JOIN w USING (t) CROSS JOIN unseen
+    GROUP BY doc_id
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter, the fastText/DCLM pattern: a linear
+    bag-of-words classifier is TRAINED IN-ENGINE from a positive seed
+    slice vs a random negative slice (add-one-smoothed Naive-Bayes
+    log-odds per token — the closed form of the linear model fastText
+    converges to on bag-of-words features), then every document is
+    scored by its mean token log-odds; keep_flag thresholds at 0.
+    This is the stage modern pipelines (CCNet, DCLM, FineWeb-Edu) run
+    after rule gates: rules catch boilerplate, the classifier ranks
+    "seed-like" prose.
+
+    Scale: training is one groupBy over the slice's exploded tokens —
+    the weight table is VOCAB-sized, not corpus-sized, so its totals
+    window (partitionBy(lit(1)) over the vocab frame) is a single
+    trivial task, and the table broadcasts for scoring. Scoring is a
+    broadcast left-join + per-doc aggregate: one shuffle on doc_id.
+    The unseen-token default weight is a 1x1 broadcast cross join (the
+    documented scalar idiom). Exploded tokens are persisted once and
+    read by both the trainer and the scorer."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.explode("toks").alias("t"))
+    )
+    tok = _persist(tok)  # trainer + scorer both read it
+    pos = F.when(F.col("doc_id") % QC_MOD == QC_POS_RES, 1).otherwise(0)
+    tr = tok.filter(
+        (F.col("doc_id") % QC_MOD).isin(QC_POS_RES, QC_NEG_RES)
+    ).select("t", pos.alias("pos"))
+    voc = tr.groupBy("t").agg(
+        F.sum("pos").cast("double").alias("pc"),
+        F.sum(1 - F.col("pos")).cast("double").alias("nc"),
+    )
+    # totals over the VOCAB-sized frame: single-task window is the
+    # right tool at any corpus scale (vocab ~1e6 rows at 100 TB)
+    tot = Window.partitionBy(F.lit(1))
+    voc = voc.select(
+        "t", "pc", "nc",
+        F.sum("pc").over(tot).alias("pt"),
+        F.sum("nc").over(tot).alias("nt"),
+        F.count(F.lit(1)).over(tot).cast("double").alias("v"),
+    )
+    w = voc.select(
+        "t",
+        (
+            F.log((F.col("pc") + 1) / (F.col("pt") + F.col("v")))
+            - F.log((F.col("nc") + 1) / (F.col("nt") + F.col("v")))
+        ).alias("w"),
+    )
+    unseen = (
+        voc.limit(1)
+        .select(
+            F.log(
+                (F.col("nt") + F.col("v")) / (F.col("pt") + F.col("v"))
+            ).alias("wu")
+        )
+    )
+    avg_w = F.avg(F.coalesce(F.col("w"), F.col("wu")))
+    return (
+        tok.join(F.broadcast(w), "t", "left")
+        .crossJoin(F.broadcast(unseen))  # 1x1 scalar
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(avg_w, 4).alias("score"),
+            F.when(F.round(avg_w, 4) > 0, 1).otherwise(0).alias("keep_flag"),
+        )
+    )
+
+
+# Deterministic corpus-shuffle hash: multiplicative bucket mod a prime
+# in the overflow-free reduced form ((id % M) * (K % M)) % M — exact
+# in both engines for any int64 id (the stratified_sample discipline,
+# with a ~1e6 modulus so bucket collisions are rare and the "shuffle"
+# has fine grain). Honest limitation, same as there: the bucket is a
+# function of id % M, so ids congruent mod 999983 share a position
+# class; production uses pmod(xxhash64(id), M) — identical plan shape.
+SHUF_M = 999_983  # largest prime below 1e6; (M-1)^2 < 2^63 headroom
+SHUF_K = 2_654_435_761  # Knuth multiplicative constant
+
+
+@register(
+    "corpus_shuffle",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               ((doc_id % {SHUF_M}) * {SHUF_K % SHUF_M}) % {SHUF_M} AS bucket
+        FROM documents)
+    SELECT doc_id, bucket,
+           ROW_NUMBER() OVER (ORDER BY bucket, doc_id) - 1 AS global_pos
+    FROM b
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order step.
+    A pretraining run must visit documents in a reproducible
+    pseudo-random order (restarts, data-order ablations, and multi-
+    epoch schedules all need position to be a pure function of the
+    corpus, not of the cluster); rand() cannot give that. Each doc
+    gets a multiplicative hash bucket, and its global position is its
+    rank in (bucket, doc_id) order.
+
+    Scale: the global rank is computed WITHOUT a single-partition
+    window — range-partition by (bucket, doc_id), per-partition
+    row_number (parallel), exclusive prefix-sum of per-partition
+    counts over ~n_partitions rows, broadcast back (the plans/load.py
+    id-allocation / sequence_packing discipline; equals the oracle's
+    ROW_NUMBER at any partition count). One range exchange + one
+    broadcast join, rows are 3 longs — this is exactly how you lay
+    out a 100 TB training order."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(SHUF_M)) * F.lit(SHUF_K % SHUF_M),
+        F.lit(SHUF_M),
+    )
+    part = (
+        d.select("doc_id", bucket.alias("bucket"))
+        .repartitionByRange("bucket", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # one materialization: a retry could resample range bounds and
+    # shift partition ids between the offsets and rank reads
+    local = _persist(
+        part.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy("bucket", "doc_id")
+            ),
+        )
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_cnt")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        "doc_id",
+        "bucket",
+        (F.col("_offset") + F.col("_rn") - 1).alias("global_pos"),
+    )
+
+
+# Train/val/test boundaries on the per-mille sampling bucket
+# (stratified_sample's engine-portable hash): 90/5/5.
+SPLIT_TRAIN_LT = 900
+SPLIT_VAL_LT = 950
+
+_SPLIT_CASE_SQL = f"""
+        CASE WHEN ((doc_id % 1000) * {_SAMPLE_K % 1000}) % 1000
+                  < {SPLIT_TRAIN_LT} THEN 'train'
+             WHEN ((doc_id % 1000) * {_SAMPLE_K % 1000}) % 1000
+                  < {SPLIT_VAL_LT} THEN 'val'
+             ELSE 'test' END"""
+
+
+def _split_col() -> F.Column:
+    """Spark twin of _SPLIT_CASE_SQL: deterministic per-mille bucket →
+    train/val/test. A pure function of doc_id, so the assignment is
+    reproducible across runs, engines, and partitionings."""
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(_SAMPLE_K % 1000),
+        F.lit(1000),
+    )
+    return (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "split_report",
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang, {_SPLIT_CASE_SQL} AS split
+        FROM documents),
+    c AS (SELECT split, lang, count(*) AS n_docs FROM s GROUP BY split, lang)
+    SELECT split, lang, n_docs,
+           round(CAST(n_docs AS DOUBLE)
+                 / sum(n_docs) OVER (PARTITION BY lang), 4) AS frac_of_lang
+    FROM c
+    """,
+)
+def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5 on the
+    per-mille hash bucket) with the shape audit a dataset release
+    ships: per (split, lang) document counts and each split's
+    fraction WITHIN its language — the check that hashing didn't
+    starve a small language's val/test slice.
+
+    Scale: assignment is map-only (pure function of doc_id); one
+    groupBy to |splits|x|langs| rows; the within-lang fraction is a
+    window over that tiny frame. Nothing corpus-sized leaves the
+    mappers."""
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", "lang", _split_col().alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    lang_total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return c.select(
+        "split", "lang", "n_docs",
+        F.round(F.col("n_docs").cast("double") / lang_total, 4).alias(
+            "frac_of_lang"
+        ),
+    )
+
+
+@register(
+    "split_leakage",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice({_TOKENIZE_SQL.format(col='text')}, 1, 3),
+                   ' ')) AS content_key,
+               {_SPLIT_CASE_SQL} AS split
+        FROM documents)
+    SELECT content_key,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+           min(doc_id) AS first_doc
+    FROM s GROUP BY content_key
+    HAVING count(*) > 1 AND count(DISTINCT split) > 1
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: content-key groups (exact_dedup's
+    normalized 3-token-prefix key — the engine's canonical content
+    fingerprint) whose members land in MORE THAN ONE split. Duplicate
+    or near-identical content straddling train/test silently inflates
+    eval scores; this is the report a release gate blocks on (the
+    reason GPT-3's book dedup and every serious benchmark audit
+    exist). Emits the key, group size, which splits it touches, and
+    the first member.
+
+    Scale: one hash-groupBy on the content key (the exact_dedup
+    shuffle) carrying (key, split, doc_id) — no joins, no text
+    movement; the leakage report is exception-sized."""
+    d = _t(spark, sf_dir, "documents")
+    toks = normalized_tokens(F.col("text"))
+    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, 3)))
+    return (
+        d.select(
+            "doc_id",
+            key.alias("content_key"),
+            _split_col().alias("split"),
+        )
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.size(F.collect_set("split")).cast("long").alias("n_splits"),
+            F.concat_ws(",", F.sort_array(F.collect_set("split"))).alias(
+                "splits"
+            ),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_splits") > 1))
+    )
+
+
+TFIDF_TOP_K = 3  # keywords per document
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS t
+        FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+    scored AS (
+        SELECT doc_id, t, tf, df,
+               tf * ln((n + 1) / (df + 1)) AS score
+        FROM tf JOIN df USING (t) CROSS JOIN n)
+    SELECT doc_id, t AS term, tf, df, round(score, 4) AS score, rank
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, t) AS BIGINT)
+                      AS rank
+          FROM scored)
+    WHERE rank <= {TFIDF_TOP_K}
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-{K} terms by smoothed
+    TF-IDF (tf * ln((N+1)/(df+1))) — the per-doc topical profile a
+    corpus browser / topic-mixture analysis reads, and the classic
+    two-aggregate + broadcast-join Spark pattern.
+
+    Rank ties break on the term string; cross-ENGINE rank flips are
+    impossible because a score tie requires equal (tf, df), which
+    yields bitwise-equal doubles within each engine.
+
+    Scale: tf is a groupBy on (doc_id, term); df is VOCAB-sized and
+    joins on the term (AQE broadcasts it when it fits — no hint, per
+    the engine's broadcast policy); N is a bounded single-scalar
+    collect off the persisted explode (the lm_quality discipline).
+    The top-k window partitions BY DOCUMENT — parallel at any corpus
+    size, never a global sort."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.explode("toks").alias("t"))
+    )
+    tok = _persist(tok)  # tf + df + N all read it
+    n_docs = float(tok.select("doc_id").distinct().count())
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf") * F.log(
+        (F.lit(n_docs) + 1) / (F.col("df").cast("double") + 1)
+    )
+    ranked = (
+        tf.join(df, "t")
+        .withColumn("score", score)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("t")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("t").alias("term"),
+        "tf",
+        "df",
+        F.round("score", 4).alias("score"),
+        "rank",
+    )

@@ -1,0 +1,216 @@
+"""Round-6 LLM-pipeline additions: in-engine quality classifier,
+deterministic corpus shuffle (global training order), split
+assignment/report, split-leakage audit, TF-IDF keywords — exact
+contracts on handcrafted fixtures plus the invariants (permutation
+validity, partitioning independence, tie-break determinism) the
+oracle check can't see."""
+
+from __future__ import annotations
+
+import math
+
+import clinvar_pipeline_spark.queries_llm as ql
+
+
+def _write_docs(spark, path, rows, parts=2):
+    """rows: [(doc_id, text, lang)] -> a documents.parquet table dir."""
+    spark.createDataFrame(
+        [(i, t, lg, "s", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).repartition(parts).write.mode("overwrite").parquet(
+        str(path / "documents.parquet")
+    )
+    return str(path)
+
+
+def _bucket(doc_id: int) -> int:
+    return ((doc_id % 1000) * (ql._SAMPLE_K % 1000)) % 1000
+
+
+def _split(doc_id: int) -> str:
+    b = _bucket(doc_id)
+    if b < ql.SPLIT_TRAIN_LT:
+        return "train"
+    if b < ql.SPLIT_VAL_LT:
+        return "val"
+    return "test"
+
+
+# ---------------------------------------------------------------------
+# quality_classifier
+# ---------------------------------------------------------------------
+
+def test_quality_classifier_separates_seed_like_docs(spark, tmp_path):
+    # positive seed slice (id % 7 == 0): "good prose" language;
+    # negative slice (id % 7 == 1): "spam junk" language; scoring-only
+    # docs (other residues) written in each style plus an unseen-token
+    # doc that must get the smoothed default weight.
+    rows = [
+        (0, "good prose good prose", "en"),
+        (7, "good prose prose", "en"),
+        (14, "good good prose", "en"),
+        (1, "spam junk spam junk", "en"),
+        (8, "spam junk junk", "en"),
+        (15, "spam spam junk", "en"),
+        (2, "good prose good", "en"),       # seed-like -> keep
+        (3, "spam junk junk junk", "en"),   # junk-like -> drop
+        (4, "zzz qqq", "en"),               # unseen tokens only
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in
+           ql.q_quality_classifier(spark, d).collect()}
+    assert set(out) == {r[0] for r in rows}
+    assert out[2]["score"] > 0 and out[2]["keep_flag"] == 1
+    assert out[3]["score"] < 0 and out[3]["keep_flag"] == 0
+    # training docs score onto their own side
+    assert out[0]["score"] > 0 and out[1]["score"] < 0
+    # unseen-token doc: every token takes the default weight
+    # wu = ln((nt + v) / (pt + v)); here pt = nt = 10, v = 4
+    wu = math.log((10 + 4) / (10 + 4))
+    assert out[4]["score"] == round(wu, 4) == 0.0
+    assert out[4]["n_tokens"] == 2
+    # deterministic: re-run equals
+    out2 = {r["doc_id"]: r for r in
+            ql.q_quality_classifier(spark, d).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+
+
+def test_quality_classifier_exact_log_odds(spark, tmp_path):
+    # one positive doc "a a b", one negative "b c": hand-check weights.
+    # pc: a=2 b=1 c=0 ; nc: a=0 b=1 c=1 ; pt=3 nt=2 v=3
+    rows = [(0, "a a b", "en"), (1, "b c", "en"), (2, "a c", "en")]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in
+           ql.q_quality_classifier(spark, d).collect()}
+    w = {
+        "a": math.log(3 / 6) - math.log(1 / 5),
+        "b": math.log(2 / 6) - math.log(2 / 5),
+        "c": math.log(1 / 6) - math.log(2 / 5),
+    }
+    assert out[2]["score"] == round((w["a"] + w["c"]) / 2, 4)
+    assert out[0]["score"] == round((2 * w["a"] + w["b"]) / 3, 4)
+
+
+# ---------------------------------------------------------------------
+# corpus_shuffle
+# ---------------------------------------------------------------------
+
+def test_corpus_shuffle_is_the_hash_order_permutation(spark, tmp_path):
+    ids = [3, 11, 42, 999, 1000, 1003, 500_017, 123_456_789]
+    d = _write_docs(spark, tmp_path, [(i, "x", "en") for i in ids])
+    out = sorted(
+        ((r["doc_id"], r["bucket"], r["global_pos"])
+         for r in ql.q_corpus_shuffle(spark, d).collect()),
+        key=lambda t: t[2],
+    )
+    # positions are a permutation of 0..N-1
+    assert [t[2] for t in out] == list(range(len(ids)))
+    # and the order is exactly (bucket, doc_id) ascending
+    km = ql.SHUF_K % ql.SHUF_M
+    expect = sorted(ids, key=lambda i: (((i % ql.SHUF_M) * km) % ql.SHUF_M, i))
+    assert [t[0] for t in out] == expect
+    for _, b, _pos in out:
+        assert 0 <= b < ql.SHUF_M
+    # the order actually shuffles (differs from doc_id order) on this set
+    assert [t[0] for t in out] != sorted(ids)
+
+
+def test_corpus_shuffle_partitioning_invariant(spark, tmp_path):
+    ids = list(range(100, 170))
+    d1 = _write_docs(spark, tmp_path / "a",
+                     [(i, "x", "en") for i in ids], parts=1)
+    d8 = _write_docs(spark, tmp_path / "b",
+                     [(i, "x", "en") for i in ids], parts=8)
+    r1 = sorted(map(tuple, ql.q_corpus_shuffle(spark, d1).collect()))
+    r8 = sorted(map(tuple, ql.q_corpus_shuffle(spark, d8).collect()))
+    assert r1 == r8
+
+
+# ---------------------------------------------------------------------
+# split_report / split_leakage
+# ---------------------------------------------------------------------
+
+def test_split_report_counts_and_fractions(spark, tmp_path):
+    ids = list(range(200))
+    langs = {i: ("en" if i % 2 == 0 else "fr") for i in ids}
+    d = _write_docs(spark, tmp_path, [(i, "x", langs[i]) for i in ids])
+    out = {(r["split"], r["lang"]): r for r in
+           ql.q_split_report(spark, d).collect()}
+    # recompute in python
+    from collections import Counter
+    c = Counter((_split(i), langs[i]) for i in ids)
+    lang_tot = Counter(langs[i] for i in ids)
+    assert {k: v["n_docs"] for k, v in out.items()} == dict(c)
+    for (sp, lg), r in out.items():
+        assert r["frac_of_lang"] == round(c[(sp, lg)] / lang_tot[lg], 4)
+    # fractions per lang sum to 1
+    for lg in ("en", "fr"):
+        assert round(sum(r["frac_of_lang"] for (s, l), r in out.items()
+                         if l == lg), 2) == 1.0
+
+
+def test_split_leakage_flags_only_cross_split_groups(spark, tmp_path):
+    # find ids by split so fixtures are robust to the hash constants
+    train = [i for i in range(400) if _split(i) == "train"]
+    test_ = [i for i in range(400) if _split(i) == "test"]
+    assert len(train) >= 2 and len(test_) >= 1
+    rows = [
+        # group A: same 3-token prefix, train + test -> LEAKS
+        (train[0], "alpha beta gamma one", "en"),
+        (test_[0], "alpha beta gamma two", "en"),
+        # group B: duplicate prefix entirely inside train -> clean
+        (train[1], "delta epsilon zeta x", "en"),
+        (train[2], "delta epsilon zeta y", "en"),
+        # unique doc -> not a group
+        (train[3], "unique solo words here", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = ql.q_split_leakage(spark, d).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r["n_docs"] == 2 and r["n_splits"] == 2
+    assert r["splits"] == "test,train"
+    assert r["first_doc"] == min(train[0], test_[0])
+
+
+# ---------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------
+
+def test_tfidf_rare_term_outranks_common(spark, tmp_path):
+    # "the" appears in every doc (df=4 -> idf ~ 0); "quark" only in
+    # doc 0. Despite tf("the") = 3 in doc 0, quark must rank first.
+    rows = [
+        (0, "the the the quark lepton", "en"),
+        (1, "the lepton lepton", "en"),
+        (2, "the common words", "en"),
+        (3, "the common words", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = [r for r in ql.q_tfidf_top_terms(spark, d).collect()
+           if r["doc_id"] == 0]
+    out.sort(key=lambda r: r["rank"])
+    assert len(out) == ql.TFIDF_TOP_K
+    assert out[0]["term"] == "quark"
+    assert out[0]["tf"] == 1 and out[0]["df"] == 1
+    assert out[0]["score"] == round(math.log(5 / 2), 4)
+    # "the": tf=3, df=4 -> 3*ln(5/5) = 0, ranks last of the three
+    assert out[-1]["term"] == "the" and out[-1]["score"] == 0.0
+    # every rank <= K and ranks are 1..K with no gaps
+    assert [r["rank"] for r in out] == list(range(1, ql.TFIDF_TOP_K + 1))
+
+
+def test_tfidf_tie_breaks_on_term_string(spark, tmp_path):
+    # doc with two terms of identical (tf, df) -> identical score;
+    # row_number must break the tie on the term string ascending
+    rows = [(0, "zebra apple", "en"), (1, "other words", "en")]
+    d = _write_docs(spark, tmp_path, rows)
+    out = sorted(
+        (r for r in ql.q_tfidf_top_terms(spark, d).collect()
+         if r["doc_id"] == 0),
+        key=lambda r: r["rank"],
+    )
+    assert [r["term"] for r in out] == ["apple", "zebra"]
