@@ -216,6 +216,11 @@ CORPUS_PREP_STAGES = [
     "text_profile",
     "repetition_gates",
     "lm_quality",
+    # late r6: the model-based quality filter (in-engine-trained linear
+    # BoW classifier) runs after the rule gates — rules catch
+    # boilerplate, the model ranks seed-likeness
+    "quality_classifier",
+    "tfidf_top_terms",
     "minhash_lsh_pairs",
     "dedup_apply",
     # r6: transitive near-dup clusters + cluster-canonical survivors
@@ -232,6 +237,12 @@ CORPUS_PREP_STAGES = [
     # r6: corpus Zipf head + the per-document keep manifest capstone
     "token_histogram",
     "filter_funnel",
+    # late r6: the training-run boundary — deterministic train/val/test
+    # assignment with its shape audit, the cross-split duplicate
+    # release gate, and the global training-order layout
+    "split_report",
+    "split_leakage",
+    "corpus_shuffle",
 ]
 
 
