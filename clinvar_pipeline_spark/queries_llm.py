@@ -16,6 +16,8 @@ policy.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1525,8 +1527,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (partitionBy(lit(1)) over the vocab frame) is a single
     trivial task, and the table broadcasts for scoring. Scoring is a
     broadcast left-join + per-doc aggregate: one shuffle on doc_id.
-    The unseen-token default weight is a 1x1 broadcast cross join (the
-    documented scalar idiom). Exploded tokens are persisted once and
+    The unseen-token default weight is a bounded single-scalar collect
+    folded in as a literal (the lm_quality / guarded-delete W4
+    discipline — one double to the driver beats a nested-loop scalar
+    join in the scoring plan). Exploded tokens are persisted once and
     read by both the trainer and the scorer."""
     d = _spread(_t(spark, sf_dir, "documents"))
     tok = (
@@ -1559,18 +1563,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("nc") + 1) / (F.col("nt") + F.col("v")))
         ).alias("w"),
     )
-    unseen = (
-        voc.limit(1)
-        .select(
-            F.log(
-                (F.col("nt") + F.col("v")) / (F.col("pt") + F.col("v"))
-            ).alias("wu")
-        )
+    # bounded scalar: the smoothed default weight for tokens outside
+    # the training vocabulary, one 1-row collect off the vocab frame
+    row = (
+        voc.select("pt", "nt", "v").limit(1).collect()
     )
-    avg_w = F.avg(F.coalesce(F.col("w"), F.col("wu")))
+    wu = (
+        math.log((row[0]["nt"] + row[0]["v"]) / (row[0]["pt"] + row[0]["v"]))
+        if row
+        else 0.0
+    )
+    avg_w = F.avg(F.coalesce(F.col("w"), F.lit(wu)))
     return (
         tok.join(F.broadcast(w), "t", "left")
-        .crossJoin(F.broadcast(unseen))  # 1x1 scalar
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
