@@ -375,9 +375,11 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         decontaminate_stream,
         eval_shingle_hashes,
         gates_stream,
+        quality_stream,
         read_document_stream,
         read_document_stream_jsonl,
         scrub_stream,
+        train_quality_weights,
     )
 
     sf = args.sf or "/root/testdata/sf0.001"
@@ -395,6 +397,9 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     ev = eval_shingle_hashes(
         batch_docs.filter(col("doc_id") % 97 == 0), k=DECONTAM_K
     )
+    # quality model: trained once in batch (vocab-sized collect),
+    # served map-only to every arriving micro-batch
+    qw, qwu = train_quality_weights(batch_docs)
 
     def stage(name: str, df: DataFrame):
         return (
@@ -409,6 +414,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     queries = [
         stage("pii_scrub", scrub_stream(docs)),
         stage("repetition_gates", gates_stream(docs)),
+        stage("quality_classifier", quality_stream(docs, qw, qwu)),
         stage(
             "decontaminate",
             decontaminate_stream(
@@ -422,7 +428,12 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     for q in queries:
         q.awaitTermination()
     counters = []
-    for name in ("pii_scrub", "repetition_gates", "decontaminate"):
+    for name in (
+        "pii_scrub",
+        "repetition_gates",
+        "quality_classifier",
+        "decontaminate",
+    ):
         n = spark.read.parquet(f"{args.out}/{name}").count()
         counters.append((name, n))
         print(f"{name}: {n}")

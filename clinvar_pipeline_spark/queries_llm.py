@@ -1533,12 +1533,43 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     join in the scoring plan). Exploded tokens are persisted once and
     read by both the trainer and the scorer."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    tok = (
+    tok = _persist(doc_tokens(d))  # trainer + scorer both read it
+    w, wu = quality_weight_frame(tok)
+    avg_w = F.avg(F.coalesce(F.col("w"), F.lit(wu)))
+    return (
+        tok.join(F.broadcast(w), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(avg_w, 4).alias("score"),
+            F.when(F.round(avg_w, 4) > 0, 1).otherwise(0).alias("keep_flag"),
+        )
+    )
+
+
+def doc_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, t) exploded normalized tokens, zero-token docs
+    dropped — the shared trainer/scorer input."""
+    return (
         d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") > 0)
         .select("doc_id", F.explode("toks").alias("t"))
     )
-    tok = _persist(tok)  # trainer + scorer both read it
+
+
+def quality_weight_frame(tok: DataFrame) -> tuple[DataFrame, float]:
+    """Train the linear BoW quality model from the id-sliced training
+    classes inside `tok`: returns (vocab weight frame [t, w], smoothed
+    unseen-token default). Shared by the batch query above and the
+    streaming serve path (streaming/corpus.quality_stream) — corpus
+    state trained once, served everywhere (the quantizer discipline).
+
+    Scale: one groupBy over the slice's exploded tokens to a
+    VOCAB-sized frame; its totals window (partitionBy(lit(1))) is a
+    single trivial task at any corpus scale (vocab ~1e6 rows at
+    100 TB). The unseen default is a bounded 1-row collect (the
+    lm_quality / guarded-delete W4 discipline — one double to the
+    driver beats a nested-loop scalar join in the scoring plan)."""
     pos = F.when(F.col("doc_id") % QC_MOD == QC_POS_RES, 1).otherwise(0)
     tr = tok.filter(
         (F.col("doc_id") % QC_MOD).isin(QC_POS_RES, QC_NEG_RES)
@@ -1547,8 +1578,6 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("double").alias("pc"),
         F.sum(1 - F.col("pos")).cast("double").alias("nc"),
     )
-    # totals over the VOCAB-sized frame: single-task window is the
-    # right tool at any corpus scale (vocab ~1e6 rows at 100 TB)
     tot = Window.partitionBy(F.lit(1))
     voc = voc.select(
         "t", "pc", "nc",
@@ -1563,26 +1592,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("nc") + 1) / (F.col("nt") + F.col("v")))
         ).alias("w"),
     )
-    # bounded scalar: the smoothed default weight for tokens outside
-    # the training vocabulary, one 1-row collect off the vocab frame
-    row = (
-        voc.select("pt", "nt", "v").limit(1).collect()
-    )
+    row = voc.select("pt", "nt", "v").limit(1).collect()
     wu = (
         math.log((row[0]["nt"] + row[0]["v"]) / (row[0]["pt"] + row[0]["v"]))
         if row
         else 0.0
     )
-    avg_w = F.avg(F.coalesce(F.col("w"), F.lit(wu)))
-    return (
-        tok.join(F.broadcast(w), "t", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(avg_w, 4).alias("score"),
-            F.when(F.round(avg_w, 4) > 0, 1).otherwise(0).alias("keep_flag"),
-        )
-    )
+    return w, wu
 
 
 # Deterministic corpus-shuffle hash: multiplicative bucket mod a prime

@@ -189,3 +189,60 @@ def decontaminate_stream(
             ),
         )
     )
+
+def train_quality_weights(batch_docs: DataFrame) -> tuple[dict, float]:
+    """Batch-train the linear BoW quality model
+    (queries_llm.quality_weight_frame — same slices, smoothing, and
+    log-odds closed form as the batch quality_classifier query) and
+    collect the VOCAB-sized weight table driver-side. Bounded by the
+    same budget eval_shingle_hashes gives the benchmark set: a
+    classifier vocabulary is ~1e5-1e6 tokens regardless of corpus
+    size. The dict rides to executors via closure capture in
+    :func:`quality_stream` — corpus state trained once in batch,
+    served to every arriving micro-batch (the quantizer
+    discipline)."""
+    from clinvar_pipeline_spark.queries_llm import (
+        doc_tokens,
+        quality_weight_frame,
+    )
+
+    w, wu = quality_weight_frame(doc_tokens(batch_docs))
+    return {r["t"]: r["w"] for r in w.collect()}, wu
+
+
+def quality_stream(
+    docs: DataFrame, weights: dict, w_unseen: float
+) -> DataFrame:
+    """Model-based quality scoring on a (possibly streaming) frame:
+    per-document mean token log-odds under the captured weight table,
+    keep_flag at 0 — the serving half of the batch
+    quality_classifier query (same tokenizer, same rounding, same
+    flag rule; pinned equal by test). Map-only / append-safe: a
+    document's score is a pure function of its own row plus the
+    broadcast-captured model.
+
+    Scale: tokens never leave their row — the Arrow kernel receives
+    (token-array) columns and emits one double per doc."""
+    from pyspark.sql.functions import pandas_udf
+
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+
+    @pandas_udf("double")
+    def mean_logodds(toks: pd.Series) -> pd.Series:
+        out = []
+        for arr in toks:
+            out.append(
+                sum(weights.get(t, w_unseen) for t in arr) / len(arr)
+            )
+        return pd.Series(out, dtype="float64")
+
+    base = docs.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    score = F.round(mean_logodds(F.col("_toks")), 4)
+    return base.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        score.alias("score"),
+        F.when(score > 0, 1).otherwise(0).alias("keep_flag"),
+    )

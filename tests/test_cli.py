@@ -441,7 +441,12 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
             tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
         )
 
-    for stage in ("pii_scrub", "repetition_gates", "decontaminate"):
+    for stage in (
+        "pii_scrub",
+        "repetition_gates",
+        "quality_classifier",
+        "decontaminate",
+    ):
         assert rows("sprep", stage) == rows("bprep", stage), stage
     counters = {
         r["stage"]: r["n_rows"]
@@ -449,7 +454,12 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
             str(tmp_path / "sprep" / "run_counters")
         ).collect()
     }
-    assert set(counters) == {"pii_scrub", "repetition_gates", "decontaminate"}
+    assert set(counters) == {
+        "pii_scrub",
+        "repetition_gates",
+        "quality_classifier",
+        "decontaminate",
+    }
     assert counters["pii_scrub"] == spark.read.parquet(
         str(tmp_path / "sprep" / "pii_scrub")
     ).count()

@@ -162,3 +162,57 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     got_rows = sorted(map(tuple, got.collect()))
     assert got_rows == want_rows
     assert len(got_rows) == 2  # docs 5 (full copy) and 6 (one window)
+
+
+def test_streaming_quality_serve_equals_batch_query(
+    spark, tmp_path_factory, tmp_path
+):
+    """Batch-train the quality model, serve it on a stream: scores,
+    rounding, and flags equal the batch quality_classifier query on
+    the same corpus."""
+    import clinvar_pipeline_spark.queries_llm as ql
+    from clinvar_pipeline_spark.streaming.corpus import (
+        quality_stream,
+        train_quality_weights,
+    )
+
+    d = tmp_path_factory.mktemp("qserve")
+    rows1 = [
+        (0, "good prose good prose", "en", "s", 20),
+        (7, "good prose prose", "en", "s", 16),
+        (1, "spam junk spam junk", "en", "s", 19),
+        (8, "spam junk junk", "en", "s", 14),
+    ]
+    rows2 = [
+        (2, "good prose good", "en", "s", 15),
+        (3, "spam junk junk junk", "en", "s", 19),
+        (4, "zzz qqq", "en", "s", 7),
+    ]
+    for rows in (rows1, rows2):  # two drops = two micro-batches
+        spark.createDataFrame(rows, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d / "documents.parquet"))
+
+    batch_docs = spark.read.parquet(str(d / "documents.parquet"))
+    weights, wu = train_quality_weights(batch_docs)
+    # the model is vocab-sized and covers exactly the training slices
+    assert set(weights) == {"good", "prose", "spam", "junk"}
+    assert weights["good"] > 0 > weights["spam"]
+
+    got = _run(
+        spark,
+        quality_stream(
+            read_document_stream(spark, str(d / "documents.parquet")),
+            weights,
+            wu,
+        ),
+        tmp_path,
+        "quality_out",
+    )
+    want = ql.q_quality_classifier(spark, str(d))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert by_id[2]["keep_flag"] == 1
+    assert by_id[3]["keep_flag"] == 0
