@@ -15,6 +15,15 @@ invariants under load:
 - semantic_dedup (tau=0.99): each vector's factor-1 exact copies must
   collapse onto one survivor per identical group — planted drop
   fraction == (factor-1)/factor over duplicated groups.
+- corpus_shuffle (late r6): global_pos must remain an exact
+  permutation 0..N-1 at 10x — the two-phase prefix-sum rank cannot
+  drop or duplicate a position as the range exchange widens.
+- quality_classifier (late r6): the collected model must stay
+  VOCAB-sized as the corpus replicates (replicas add no new tokens) —
+  the claim that classifier state is corpus-content-sized, not
+  corpus-row-sized.
+- split_leakage (late r6): full DuckDB-oracle row match at 10x — the
+  one probe invariant checked by an independent engine end-to-end.
 
 Usage: python tools/corpus_probe.py [--sf DIR] [--factor 10]
 Prints one JSON line; paste numbers into README's probe table.
@@ -175,6 +184,67 @@ def main() -> None:
     )
     out["semdedup_replicas"] = n_replicas
     out["semdedup_replicas_missed"] = missed
+    release_cached()
+
+    # --- corpus_shuffle: exact permutation at 10x --------------------
+    t0 = time.time()
+    shuf = reg["corpus_shuffle"](spark, probe_dir)
+    stats = shuf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("global_pos").alias("nd"),
+        F.min("global_pos").alias("mn"),
+        F.max("global_pos").alias("mx"),
+    ).first()
+    out["shuffle_wall_s"] = round(time.time() - t0, 1)
+    out["shuffle_is_permutation"] = bool(
+        stats["n"] == n_docs
+        and stats["nd"] == n_docs
+        and stats["mn"] == 0
+        and stats["mx"] == n_docs - 1
+    )
+    release_cached()
+
+    # --- quality_classifier: model stays vocab-sized at 10x ----------
+    from clinvar_pipeline_spark.streaming.corpus import (
+        train_quality_weights,
+    )
+
+    base_docs = spark.read.parquet(f"{args.sf}/documents.parquet")
+    w1, _ = train_quality_weights(base_docs)
+    t0 = time.time()
+    w10, _ = train_quality_weights(
+        spark.read.parquet(f"{probe_dir}/documents.parquet")
+    )
+    out["qc_train_wall_s"] = round(time.time() - t0, 1)
+    out["qc_vocab_1x"] = len(w1)
+    out["qc_vocab_10x"] = len(w10)
+    t0 = time.time()
+    out["qc_scored_rows"] = reg["quality_classifier"](
+        spark, probe_dir
+    ).count()
+    out["qc_score_wall_s"] = round(time.time() - t0, 1)
+    release_cached()
+
+    # --- split_leakage: independent-engine oracle match at 10x -------
+    import duckdb
+
+    from clinvar_pipeline_spark.queries import oracle_sql
+
+    t0 = time.time()
+    got = sorted(
+        map(tuple, reg["split_leakage"](spark, probe_dir).collect())
+    )
+    out["leakage_wall_s"] = round(time.time() - t0, 1)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{probe_dir}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(
+        oracle_sql()["split_leakage"]
+    ).fetchall()))
+    out["leakage_groups"] = len(got)
+    out["leakage_oracle_match"] = bool(got == want)
     release_cached()
 
     print(json.dumps(out))
