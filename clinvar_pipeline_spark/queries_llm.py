@@ -975,6 +975,18 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Filter funnel (per-document keep manifest across every screen)
 # ---------------------------------------------------------------------
 
+# Quality-classifier training slices (the model screen below and the
+# standalone quality_classifier query). The generated corpus has no
+# curated seed set, so deterministic id-slices stand in (the
+# decontaminate %-97 idiom, which keeps the oracle exact): every
+# QC_MOD-th document is the "curated positive" seed (the role
+# Wikipedia/books play in CCNet/DCLM), the next residue class the
+# random negative sample. Production swaps the slice predicates for
+# real seed corpora; the plan shape is identical.
+QC_MOD = 7
+QC_POS_RES = 0
+QC_NEG_RES = 1
+
 
 # shared by filter_funnel and funnel_report (the report nests it as a
 # subquery — DuckDB allows a WITH RECURSIVE inside a CTE definition)
@@ -1033,18 +1045,44 @@ _FUNNEL_SQL = f"""
                          >= {DECONTAM_FLAG}
                     THEN 1 ELSE 0 END AS contaminated
         FROM csizes cs LEFT JOIN chits ch USING (doc_id)),
+    qtok AS (
+        SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0),
+    qtr AS (
+        SELECT t, CASE WHEN doc_id % {QC_MOD} = {QC_POS_RES}
+                       THEN 1 ELSE 0 END AS pos
+        FROM qtok WHERE doc_id % {QC_MOD} IN ({QC_POS_RES}, {QC_NEG_RES})),
+    qvoc AS (
+        SELECT t, CAST(sum(pos) AS DOUBLE) AS pc,
+               CAST(sum(1 - pos) AS DOUBLE) AS nc
+        FROM qtr GROUP BY t),
+    qtot AS (
+        SELECT CAST(sum(pc) AS DOUBLE) AS pt, CAST(sum(nc) AS DOUBLE) AS nt,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM qvoc),
+    qw AS (SELECT t, ln((pc + 1) / (pt + v)) - ln((nc + 1) / (nt + v)) AS w
+           FROM qvoc, qtot),
+    qunseen AS (SELECT ln((nt + v) / (pt + v)) AS wu FROM qtot),
+    quality AS (
+        SELECT doc_id,
+               CASE WHEN round(avg(coalesce(w, wu)), 4) > 0
+                    THEN 1 ELSE 0 END AS model_keep
+        FROM qtok LEFT JOIN qw USING (t) CROSS JOIN qunseen
+        GROUP BY doc_id),
     {_NGRAM_CC_CTES}
     SELECT t.doc_id,
            CAST(len(t.toks) AS BIGINT) AS n_tokens,
            coalesce(g.gate_pass, 0) AS gate_pass,
            coalesce(c.contaminated, 0) AS contaminated,
+           coalesce(q.model_keep, 0) AS model_keep,
            CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END AS near_dup_drop,
            CASE WHEN coalesce(g.gate_pass, 0) = 1
                  AND coalesce(c.contaminated, 0) = 0
+                 AND coalesce(q.model_keep, 0) = 1
                  AND dr.doc_id IS NULL THEN 1 ELSE 0 END AS keep
     FROM tok t
     LEFT JOIN gates g USING (doc_id)
     LEFT JOIN contam c USING (doc_id)
+    LEFT JOIN quality q USING (doc_id)
     LEFT JOIN drops dr USING (doc_id)
     WHERE t.doc_id % 97 <> 0
     """
@@ -1054,24 +1092,28 @@ _FUNNEL_SQL = f"""
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus filter FUNNEL: one per-training-document manifest
     combining every screen this suite runs — Gopher repetition gates,
-    benchmark decontamination, and transitive near-dup cluster drops —
-    into boolean verdict columns and a final ``keep`` flag. This is
-    the table a pretraining run actually materializes: per-stage
-    attrition is one groupBy over it, and the kept corpus is one
-    filter — instead of re-deriving each screen ad hoc.
+    benchmark decontamination, the model-based quality classifier
+    (late r6), and transitive near-dup cluster drops — into boolean
+    verdict columns and a final ``keep`` flag. This is the table a
+    pretraining run actually materializes: per-stage attrition is one
+    groupBy over it, and the kept corpus is one filter — instead of
+    re-deriving each screen ad hoc.
 
-    Verdict semantics: gate_pass defaults 0 for token-less documents
-    (nothing to keep), contaminated/near_dup_drop default 0 for
-    documents too short to shingle or never paired; keep = passes the
-    gate AND uncontaminated AND not a cluster drop. Eval-slice
-    documents (doc_id % 97 == 0) are out of scope — they are the
-    benchmark, not the corpus.
+    Verdict semantics: gate_pass/model_keep default 0 for token-less
+    documents (nothing to keep), contaminated/near_dup_drop default 0
+    for documents too short to shingle or never paired; keep = passes
+    the gate AND uncontaminated AND model-kept AND not a cluster
+    drop. Eval-slice documents (doc_id % 97 == 0) are out of scope —
+    they are the benchmark, not the corpus (the classifier still
+    trains on its id-slices over the full corpus, exactly like the
+    standalone quality_classifier query).
 
-    Scale: composes three already-audited plans (map-only gates, the
-    broadcast-semi-join contamination check, the components job) with
-    three left joins on doc_id — no new shuffle shapes; the funnel
-    costs its inputs, not more (and the components labeling is
-    memoized per corpus — see _cc_over_ngram_pairs)."""
+    Scale: composes four already-audited plans (map-only gates, the
+    broadcast-semi-join contamination check, the broadcast-weight
+    model scoring, the components job) with four left joins on
+    doc_id — no new shuffle shapes; the funnel costs its inputs, not
+    more (and the components labeling is memoized per corpus — see
+    _cc_over_ngram_pairs)."""
     d = _spread(_t(spark, sf_dir, "documents"))
     train = d.filter(F.col("doc_id") % 97 != 0)
     base = train.select(
@@ -1113,25 +1155,46 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("contaminated"),
     )
+    # model screen: train once over the full corpus (the standalone
+    # quality_classifier semantics), keep verdicts for train docs
+    qtok = _persist(doc_tokens(d))
+    w, wu = quality_weight_frame(qtok)
+    avg_w = F.avg(F.coalesce(F.col("w"), F.lit(wu)))
+    quality = (
+        qtok.join(F.broadcast(w), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.when(F.round(avg_w, 4) > 0, 1)
+            .otherwise(0)
+            .alias("model_keep")
+        )
+    )
     cc = _cc_over_ngram_pairs(spark, sf_dir)
     drops = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"), F.lit(1).alias("_drop")
     )
     gate_pass = F.coalesce(F.col("gate_pass"), F.lit(0))
     contaminated = F.coalesce(F.col("contaminated"), F.lit(0))
+    model_keep = F.coalesce(F.col("model_keep"), F.lit(0))
     near_dup = F.coalesce(F.col("_drop"), F.lit(0))
     return (
         base.join(gates, "doc_id", "left")
         .join(contam, "doc_id", "left")
+        .join(quality, "doc_id", "left")
         .join(drops, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
             gate_pass.alias("gate_pass"),
             contaminated.alias("contaminated"),
+            model_keep.alias("model_keep"),
             near_dup.alias("near_dup_drop"),
             F.when(
-                (gate_pass == 1) & (contaminated == 0) & (near_dup == 0), 1
+                (gate_pass == 1)
+                & (contaminated == 0)
+                & (model_keep == 1)
+                & (near_dup == 0),
+                1,
             )
             .otherwise(0)
             .alias("keep"),
@@ -1146,6 +1209,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(gate_pass) AS BIGINT) AS n_gate_pass,
            CAST(sum(1 - contaminated) AS BIGINT) AS n_uncontaminated,
+           CAST(sum(model_keep) AS BIGINT) AS n_model_keep,
            CAST(sum(1 - near_dup_drop) AS BIGINT) AS n_unique,
            CAST(sum(keep) AS BIGINT) AS n_keep
     FROM m
@@ -1163,6 +1227,7 @@ def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("gate_pass").alias("n_gate_pass"),
         F.sum(1 - F.col("contaminated")).alias("n_uncontaminated"),
+        F.sum("model_keep").alias("n_model_keep"),
         F.sum(1 - F.col("near_dup_drop")).alias("n_unique"),
         F.sum("keep").alias("n_keep"),
     )
@@ -1467,18 +1532,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filtering, deterministic corpus order, split assignment + leakage
 # audit, and per-document keyword profiles.
 # ---------------------------------------------------------------------
-
-# Quality-classifier training slices. The generated corpus has no
-# curated seed set, so deterministic id-slices stand in (the
-# decontaminate %-97 idiom, which keeps the oracle exact): every
-# QC_MOD-th document is the "curated positive" seed (the role
-# Wikipedia/books play in CCNet/DCLM), the next residue class the
-# random negative sample. Production swaps the slice predicates for
-# real seed corpora; the plan shape is identical.
-QC_MOD = 7
-QC_POS_RES = 0
-QC_NEG_RES = 1
-
 
 @register(
     "quality_classifier",
