@@ -229,6 +229,8 @@ CORPUS_PREP_STAGES = [
     "dedup_clusters",
     "cluster_dedup_apply",
     "duplicate_passages",
+    # late r6: stride-1 exact-substring cut list (Lee et al. semantics)
+    "duplicate_spans",
     "cdc_chunks",
     "decontaminate",
     "mixing_weights",

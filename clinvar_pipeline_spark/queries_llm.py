@@ -719,6 +719,108 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_W = PASSAGE_W  # stride-1 window width for exact-substring spans
+
+
+@register(
+    "duplicate_spans",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+        FROM documents),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {SPAN_W} + 2)) AS i
+        FROM tok WHERE len(toks) >= {SPAN_W}),
+    win AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(toks, i, i + {SPAN_W} - 1), ' ')
+                 AS s
+        FROM idx),
+    dup AS (SELECT s FROM win GROUP BY s HAVING count(*) > 1),
+    d AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (s)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) > {SPAN_W}
+                    THEN 1 ELSE 0 END AS brk
+        FROM d),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl)
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {SPAN_W} AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate SPANS (Lee et al. 2022's ExactSubstr
+    semantics, the stride-1 upgrade of duplicate_passages): every
+    {SPAN_W}-token window whose token string occurs more than once in
+    the corpus (any doc, including self-repeats) marks its positions
+    duplicated; per document, marked window starts are merged
+    gaps-and-islands style (break when the next start clears the
+    previous window entirely, i.e. gap > {SPAN_W}) into maximal
+    [span_start, span_end) token spans. This is the cut-list an
+    exact-substring dedup pass applies — a suffix-array build finds
+    the same regions; the windowed form is the shuffle-native
+    equivalent with minimum-match-length {SPAN_W}.
+
+    Scale: the explode is stride-1 (~n rows per doc — the honest cost
+    of substring granularity; Lee et al. pay the same in suffix-array
+    space), but everything after moves 8-byte hashes and positions:
+    one groupBy for the duplicated-window set, one semi-join back
+    (hash equi-join, no pairs are formed — df skew on boilerplate
+    windows stays linear), and the island merge is a per-DOCUMENT
+    window — parallel at any corpus size. Window strings never leave
+    the mappers (xxhash64 keys; the key is not in the result, the
+    decontaminate discipline)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = normalized_tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SPAN_W
+    )
+    win = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SPAN_W} + 1),"
+                f" i -> struct(cast(i - 1 as bigint) as pos,"
+                f" xxhash64(concat_ws(' ', slice(toks, i, {SPAN_W})))"
+                f" as h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    win = _persist(win)  # dup-set build + position semi-join share it
+    dup = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    marked = win.join(dup, "h", "left_semi")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wdoc) > SPAN_W, 1
+    ).otherwise(0)
+    grp = marked.select("doc_id", "pos", brk.alias("brk")).select(
+        "doc_id",
+        "pos",
+        F.sum("brk")
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+    )
+    return grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + SPAN_W).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("g")
+
+
 # ---------------------------------------------------------------------
 # Dedup application (detect -> remove)
 # ---------------------------------------------------------------------

@@ -214,3 +214,55 @@ def test_tfidf_tie_breaks_on_term_string(spark, tmp_path):
         key=lambda r: r["rank"],
     )
     assert [r["term"] for r in out] == ["apple", "zebra"]
+
+
+# ---------------------------------------------------------------------
+# duplicate_spans (exact-substring cut list)
+# ---------------------------------------------------------------------
+
+def test_duplicate_spans_marks_shared_substring_at_any_offset(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(ql, "SPAN_W", 3)
+    # 10-token boilerplate shared by docs 0 and 1 at DIFFERENT offsets;
+    # doc 2 is fully distinct -> no spans
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    rows = [
+        (0, f"u0 u1 {boiler} u2 u3", "en"),
+        (1, f"v0 v1 v2 v3 v4 {boiler}", "en"),
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in ql.q_duplicate_spans(spark, d).collect()
+    }
+    # doc 0: boiler occupies tokens [2, 12) -> duplicated windows start
+    # at 2..9 (8 windows), one merged span
+    # doc 1: boiler occupies [5, 15) -> starts 5..12
+    assert out == {(0, 2, 12): 8, (1, 5, 15): 8}
+
+
+def test_duplicate_spans_self_repeat_and_island_split(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(ql, "SPAN_W", 3)
+    # one doc with the same trigram at positions 0 and 10 (gap > W ->
+    # two islands), surrounded by unique tokens
+    rows = [
+        (0, "r0 r1 r2 x0 x1 x2 x3 x4 x5 x6 r0 r1 r2 y0", "en"),
+        (1, "z0 z1 z2 z3 z4 z5 z6 z7", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in ql.q_duplicate_spans(spark, d).collect()
+    )
+    assert out == [(0, 0, 3, 1), (0, 10, 13, 1)]
+
+
+def test_duplicate_spans_short_docs_excluded(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(ql, "SPAN_W", 8)
+    rows = [(0, "a b c", "en"), (1, "a b c", "en")]  # < W tokens
+    d = _write_docs(spark, tmp_path, rows)
+    assert ql.q_duplicate_spans(spark, d).count() == 0
