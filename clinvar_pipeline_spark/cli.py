@@ -231,6 +231,7 @@ CORPUS_PREP_STAGES = [
     "duplicate_passages",
     # late r6: stride-1 exact-substring cut list (Lee et al. semantics)
     "duplicate_spans",
+    "duplicate_spans_apply",
     "cdc_chunks",
     "decontaminate",
     "mixing_weights",

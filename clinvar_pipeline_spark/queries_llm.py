@@ -721,10 +721,9 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_W = PASSAGE_W  # stride-1 window width for exact-substring spans
 
-
-@register(
-    "duplicate_spans",
-    f"""
+# CTE chain shared by duplicate_spans and duplicate_spans_apply (the
+# _FUNNEL_SQL nesting idiom)
+_SPANS_CTES = f"""
     WITH tok AS (
         SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
         FROM documents),
@@ -749,12 +748,21 @@ SPAN_W = PASSAGE_W  # stride-1 window width for exact-substring spans
         SELECT doc_id, pos,
                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS UNBOUNDED PRECEDING) AS g
-        FROM isl)
-    SELECT doc_id,
-           min(pos) AS span_start,
-           max(pos) + {SPAN_W} AS span_end,
-           CAST(count(*) AS BIGINT) AS n_windows
-    FROM grp GROUP BY doc_id, g
+        FROM isl),
+    spans AS (
+        SELECT doc_id,
+               min(pos) AS span_start,
+               max(pos) + {SPAN_W} AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM grp GROUP BY doc_id, g)
+"""
+
+
+@register(
+    "duplicate_spans",
+    f"""
+    {_SPANS_CTES}
+    SELECT doc_id, span_start, span_end, n_windows FROM spans
     """,
 )
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,6 +827,76 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + SPAN_W).alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).drop("g")
+
+
+@register(
+    "duplicate_spans_apply",
+    f"""
+    {_SPANS_CTES},
+    removed AS (
+        SELECT doc_id, unnest(range(span_start, span_end)) AS p
+        FROM spans),
+    rem AS (SELECT doc_id, count(*) AS n_removed
+            FROM removed GROUP BY doc_id),
+    posx AS (
+        SELECT doc_id, i - 1 AS p, toks[i] AS t
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+              FROM tok WHERE len(toks) > 0)),
+    keptx AS (
+        SELECT px.doc_id, px.p, px.t
+        FROM posx px LEFT JOIN removed r
+          ON px.doc_id = r.doc_id AND px.p = r.p
+        WHERE r.doc_id IS NULL),
+    ks AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS s
+           FROM keptx GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(ks.s, '')) AS kept_fp
+    FROM tok t
+    LEFT JOIN rem rm USING (doc_id)
+    LEFT JOIN ks USING (doc_id)
+    WHERE len(t.toks) > 0
+    """,
+)
+def q_duplicate_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the exact-substring cut list: remove every duplicated
+    span from every document and emit the per-document result manifest
+    (token counts before/removed + md5 fingerprint of the kept token
+    stream). Removal policy is ALL OCCURRENCES — deterministic and
+    join-free across occurrences; a keep-one-occurrence policy needs a
+    global first-occurrence pick, which is what cluster_dedup_apply
+    provides at document granularity (documented trade-off, matching
+    the released ExactSubstr tooling's cut-everything default).
+
+    Scale: the spans re-derive (same audited plan), aggregate to a
+    per-doc span list (doc-keyed narrow join), and the cut itself is
+    an in-row array filter — token strings never enter a shuffle; the
+    fingerprint hashes in the same mapper."""
+    spans = q_duplicate_spans(spark, sf_dir)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_n_removed"),
+    )
+    d = _spread(_t(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    kept = F.expr(
+        "filter(toks, (t, i) -> _spans is null or not exists(_spans,"
+        " s -> i >= s.span_start and i < s.span_end))"
+    )
+    return (
+        base.join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("_n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("kept_fp"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------

@@ -266,3 +266,30 @@ def test_duplicate_spans_short_docs_excluded(spark, tmp_path, monkeypatch):
     rows = [(0, "a b c", "en"), (1, "a b c", "en")]  # < W tokens
     d = _write_docs(spark, tmp_path, rows)
     assert ql.q_duplicate_spans(spark, d).count() == 0
+
+
+def test_duplicate_spans_apply_cuts_exactly_the_spans(
+    spark, tmp_path, monkeypatch
+):
+    import hashlib
+
+    monkeypatch.setattr(ql, "SPAN_W", 3)
+    boiler = "b0 b1 b2 b3 b4"
+    rows = [
+        (0, f"u0 u1 {boiler} u2 u3", "en"),
+        (1, f"{boiler} v0 v1 v2 v3", "en"),
+        (2, "w0 w1 w2 w3", "en"),  # untouched
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in
+           ql.q_duplicate_spans_apply(spark, d).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 0: boiler at [2, 7) cut -> kept "u0 u1 u2 u3"
+    assert out[0]["n_tokens"] == 9 and out[0]["n_removed"] == 5
+    assert out[0]["kept_fp"] == md5("u0 u1 u2 u3")
+    # doc 1: boiler at [0, 5) cut -> kept "v0 v1 v2 v3"
+    assert out[1]["n_removed"] == 5
+    assert out[1]["kept_fp"] == md5("v0 v1 v2 v3")
+    # doc 2: no duplicated window -> untouched, fp of full stream
+    assert out[2]["n_removed"] == 0
+    assert out[2]["kept_fp"] == md5("w0 w1 w2 w3")
