@@ -23,11 +23,15 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain: profile, repetition gates, lm_quality,
-        near-dup pairs, passage dedup, CDC chunks, decontamination,
-        mixing plan, stratified sample, packing manifest, PII scrub,
-        SemDeDup — one parquet dir per stage + counters; --jsonl
-        ingests the corpus from JSONL with corrupt lines counted)
+        (LLM corpus-prep chain, 23 stages: profile, repetition gates,
+        lm_quality, quality-classifier scores, TF-IDF keywords,
+        near-dup pairs + applies, dedup clusters, passage dedup,
+        exact-substring span cut list + apply, CDC chunks,
+        decontamination, mixing plan, stratified sample, packing
+        manifest, token histogram, filter funnel, split report +
+        leakage gate, shuffle order, PII scrub, SemDeDup — one
+        parquet dir per stage + counters; --jsonl ingests the corpus
+        from JSONL with corrupt lines counted)
 
 AUX_DIR holds orthologs / ont_terms / ont_synonyms / concept_omim /
 existing_annotations as ``<name>.parquet``; ONT_DIR holds
@@ -346,8 +350,9 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
 
 def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     """--corpusPrep --stream: the stateless corpus-prep stages (PII
-    scrub, repetition gates, benchmark decontamination) as ONE
-    Structured Streaming ingest over the document source — each stage
+    scrub, repetition gates, model quality scoring, benchmark
+    decontamination) as ONE Structured Streaming ingest over the
+    document source — each stage
     a map-only/append-safe writeStream to parquet, so documents are
     scrubbed/gated/checked as they arrive instead of in a nightly
     batch. availableNow triggers drain whatever is present and stop
