@@ -1737,7 +1737,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM voc, tot),
     unseen AS (SELECT ln((nt + v) / (pt + v)) AS wu FROM tot)
     SELECT doc_id, count(*) AS n_tokens,
-           round(avg(coalesce(w, wu)), 4) AS score,
+           round(avg(coalesce(w, wu)), 4) + 0 AS score,
            CASE WHEN round(avg(coalesce(w, wu)), 4) > 0 THEN 1 ELSE 0 END
              AS keep_flag
     FROM tok LEFT JOIN w USING (t) CROSS JOIN unseen
@@ -1774,7 +1774,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(avg_w, 4).alias("score"),
+            # + 0 folds IEEE -0.0 to +0.0: a doc whose mean log-odds
+            # rounds to zero can land on either signed zero depending
+            # on the engine's summation order; the hash distinguishes
+            # them (caught at sf0.1, doc 1216)
+            (F.round(avg_w, 4) + F.lit(0.0)).alias("score"),
             F.when(F.round(avg_w, 4) > 0, 1).otherwise(0).alias("keep_flag"),
         )
     )

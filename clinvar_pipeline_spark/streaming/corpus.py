@@ -243,6 +243,8 @@ def quality_stream(
     return base.select(
         "doc_id",
         F.size("_toks").cast("long").alias("n_tokens"),
-        score.alias("score"),
+        # + 0 folds -0.0 to +0.0 (the batch query's signed-zero
+        # discipline — stream must hash-match it)
+        (score + F.lit(0.0)).alias("score"),
         F.when(score > 0, 1).otherwise(0).alias("keep_flag"),
     )
