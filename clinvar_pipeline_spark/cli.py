@@ -361,8 +361,13 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     the incremental-ingest story at scale. The stateful/global stages
     (dedup, stratified rates, packing) stay in the batch chain by
     nature (documented in streaming/corpus.py); output parquet for
-    the streamed stages is identical to their batch twins, pinned by
-    tests/test_cli.py.
+    the streamed stages is identical to their batch twins on a given
+    corpus, pinned by tests/test_cli.py. The quality stage serves the
+    model FROZEN at the first run (_quality_model artifact), so
+    incremental reruns stay arrival-order independent; the batch
+    chain retrains per run — after the corpus grows, rebuild
+    batch-side (or delete the artifact + checkpoints) to rescore
+    under a fresh model.
 
     The eval shingle set for decontamination is built with one bounded
     batch read (benchmark-sized by definition — the same broadcast
@@ -383,9 +388,11 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         decontaminate_stream,
         eval_shingle_hashes,
         gates_stream,
+        load_quality_model,
         quality_stream,
         read_document_stream,
         read_document_stream_jsonl,
+        save_quality_model,
         scrub_stream,
         train_quality_weights,
     )
@@ -405,9 +412,19 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     ev = eval_shingle_hashes(
         batch_docs.filter(col("doc_id") % 97 == 0), k=DECONTAM_K
     )
-    # quality model: trained once in batch (vocab-sized collect),
-    # served map-only to every arriving micro-batch
-    qw, qwu = train_quality_weights(batch_docs)
+    # quality model: trained on the FIRST run's corpus and FROZEN as a
+    # run artifact (the ivf_index lifecycle) — incremental re-runs load
+    # it, so new arrivals score under the same model as already-landed
+    # rows (retraining per rerun would make keep decisions depend on
+    # arrival order). Delete _quality_model (with the checkpoints) to
+    # rebuild.
+    model_path = f"{args.out}/_quality_model"
+    loaded = load_quality_model(spark, model_path)
+    if loaded is None:
+        qw, qwu = train_quality_weights(batch_docs)
+        save_quality_model(spark, qw, qwu, model_path)
+    else:
+        qw, qwu = loaded
 
     def stage(name: str, df: DataFrame):
         return (

@@ -1167,6 +1167,27 @@ QC_MOD = 7
 QC_POS_RES = 0
 QC_NEG_RES = 1
 
+# The model chain (slice -> per-token class counts -> smoothed
+# log-odds weights + unseen default), shared by the standalone
+# quality_classifier oracle and _FUNNEL_SQL's model screen (the
+# _SPANS_CTES idiom — one definition, two consumers). Consumers must
+# define `qtok(doc_id, t)`: the exploded token stream.
+_QC_MODEL_CTES = f"""qtr AS (
+        SELECT t, CASE WHEN doc_id % {QC_MOD} = {QC_POS_RES}
+                       THEN 1 ELSE 0 END AS pos
+        FROM qtok WHERE doc_id % {QC_MOD} IN ({QC_POS_RES}, {QC_NEG_RES})),
+    qvoc AS (
+        SELECT t, CAST(sum(pos) AS DOUBLE) AS pc,
+               CAST(sum(1 - pos) AS DOUBLE) AS nc
+        FROM qtr GROUP BY t),
+    qtot AS (
+        SELECT CAST(sum(pc) AS DOUBLE) AS pt, CAST(sum(nc) AS DOUBLE) AS nt,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM qvoc),
+    qw AS (SELECT t, ln((pc + 1) / (pt + v)) - ln((nc + 1) / (nt + v)) AS w
+           FROM qvoc, qtot),
+    qunseen AS (SELECT ln((nt + v) / (pt + v)) AS wu FROM qtot)"""
+
 
 # shared by filter_funnel and funnel_report (the report nests it as a
 # subquery — DuckDB allows a WITH RECURSIVE inside a CTE definition)
@@ -1227,21 +1248,7 @@ _FUNNEL_SQL = f"""
         FROM csizes cs LEFT JOIN chits ch USING (doc_id)),
     qtok AS (
         SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0),
-    qtr AS (
-        SELECT t, CASE WHEN doc_id % {QC_MOD} = {QC_POS_RES}
-                       THEN 1 ELSE 0 END AS pos
-        FROM qtok WHERE doc_id % {QC_MOD} IN ({QC_POS_RES}, {QC_NEG_RES})),
-    qvoc AS (
-        SELECT t, CAST(sum(pos) AS DOUBLE) AS pc,
-               CAST(sum(1 - pos) AS DOUBLE) AS nc
-        FROM qtr GROUP BY t),
-    qtot AS (
-        SELECT CAST(sum(pc) AS DOUBLE) AS pt, CAST(sum(nc) AS DOUBLE) AS nt,
-               CAST(count(*) AS DOUBLE) AS v
-        FROM qvoc),
-    qw AS (SELECT t, ln((pc + 1) / (pt + v)) - ln((nc + 1) / (nt + v)) AS w
-           FROM qvoc, qtot),
-    qunseen AS (SELECT ln((nt + v) / (pt + v)) AS wu FROM qtot),
+    {_QC_MODEL_CTES},
     quality AS (
         SELECT doc_id,
                CASE WHEN round(avg(coalesce(w, wu)), 4) > 0
@@ -1716,31 +1723,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_classifier",
     f"""
-    WITH tok AS (
+    WITH qtok AS (
         SELECT doc_id, unnest(toks) AS t
         FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
               FROM documents)
         WHERE len(toks) > 0),
-    tr AS (
-        SELECT t, CASE WHEN doc_id % {QC_MOD} = {QC_POS_RES}
-                       THEN 1 ELSE 0 END AS pos
-        FROM tok WHERE doc_id % {QC_MOD} IN ({QC_POS_RES}, {QC_NEG_RES})),
-    voc AS (
-        SELECT t, CAST(sum(pos) AS DOUBLE) AS pc,
-               CAST(sum(1 - pos) AS DOUBLE) AS nc
-        FROM tr GROUP BY t),
-    tot AS (
-        SELECT CAST(sum(pc) AS DOUBLE) AS pt, CAST(sum(nc) AS DOUBLE) AS nt,
-               CAST(count(*) AS DOUBLE) AS v
-        FROM voc),
-    w AS (SELECT t, ln((pc + 1) / (pt + v)) - ln((nc + 1) / (nt + v)) AS w
-          FROM voc, tot),
-    unseen AS (SELECT ln((nt + v) / (pt + v)) AS wu FROM tot)
+    {_QC_MODEL_CTES}
     SELECT doc_id, count(*) AS n_tokens,
-           round(avg(coalesce(w, wu)), 4) + 0 AS score,
+           coalesce(round(avg(coalesce(w, wu)), 4) + 0, 0.0) AS score,
            CASE WHEN round(avg(coalesce(w, wu)), 4) > 0 THEN 1 ELSE 0 END
              AS keep_flag
-    FROM tok LEFT JOIN w USING (t) CROSS JOIN unseen
+    FROM qtok LEFT JOIN qw USING (t) CROSS JOIN qunseen
     GROUP BY doc_id
     """,
 )
@@ -1816,11 +1809,17 @@ def quality_weight_frame(tok: DataFrame) -> tuple[DataFrame, float]:
         F.sum(1 - F.col("pos")).cast("double").alias("nc"),
     )
     tot = Window.partitionBy(F.lit(1))
-    voc = voc.select(
-        "t", "pc", "nc",
-        F.sum("pc").over(tot).alias("pt"),
-        F.sum("nc").over(tot).alias("nt"),
-        F.count(F.lit(1)).over(tot).cast("double").alias("v"),
+    # persisted: the wu scalar collect below and the returned weight
+    # frame both read this aggregation — without the persist the
+    # corpus-sized explode+groupBy runs twice per training (review
+    # finding; the frame itself is vocab-sized, so the cache is tiny)
+    voc = _persist(
+        voc.select(
+            "t", "pc", "nc",
+            F.sum("pc").over(tot).alias("pt"),
+            F.sum("nc").over(tot).alias("nt"),
+            F.count(F.lit(1)).over(tot).cast("double").alias("v"),
+        )
     )
     w = voc.select(
         "t",
@@ -2085,12 +2084,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     The top-k window partitions BY DOCUMENT — parallel at any corpus
     size, never a global sort."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    tok = (
-        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") > 0)
-        .select("doc_id", F.explode("toks").alias("t"))
-    )
-    tok = _persist(tok)  # tf + df + N all read it
+    tok = _persist(doc_tokens(d))  # tf + df + N all read it
     n_docs = float(tok.select("doc_id").distinct().count())
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))

@@ -248,3 +248,32 @@ def quality_stream(
         (score + F.lit(0.0)).alias("score"),
         F.when(score > 0, 1).otherwise(0).alias("keep_flag"),
     )
+
+def save_quality_model(
+    spark: SparkSession, weights: dict, w_unseen: float, path: str
+) -> None:
+    """Land the trained model as a parquet run artifact (the
+    save_centroids / ivf_index lifecycle): one (t, w) row per vocab
+    token plus a NULL-token row holding the unseen default. The model
+    an incremental streaming run serves must be FROZEN — retraining
+    on each rerun's grown corpus would score new arrivals under a
+    different model than already-landed rows (review finding)."""
+    rows = [(t, float(w)) for t, w in weights.items()]
+    rows.append((None, float(w_unseen)))
+    spark.createDataFrame(rows, "t string, w double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_quality_model(
+    spark: SparkSession, path: str
+) -> tuple[dict, float] | None:
+    """Load a frozen quality model saved by save_quality_model;
+    None if no model has been landed at `path` yet."""
+    try:
+        rows = spark.read.parquet(path).collect()
+    except Exception:
+        return None
+    weights = {r["t"]: r["w"] for r in rows if r["t"] is not None}
+    wu = next(r["w"] for r in rows if r["t"] is None)
+    return weights, wu

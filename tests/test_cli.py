@@ -614,3 +614,66 @@ def test_cli_corpus_prep_jsonl_ingest(spark, tmp_path):
         str(tmp_path / "prep" / "semantic_dedup")
     ).collect()
     assert {(r["vec_id"], r["kept_by"]) for r in dropped} == {(2, 1)}
+
+
+def test_cli_corpus_prep_stream_model_frozen_across_reruns(spark, tmp_path):
+    """Incremental rerun: new document drops are scored under the
+    model FROZEN at the first run (_quality_model artifact), not a
+    model retrained on the grown corpus — keep decisions must not
+    depend on arrival order."""
+    from clinvar_pipeline_spark.streaming.corpus import (
+        DOCUMENT_SCHEMA,
+        load_quality_model,
+        quality_stream,
+    )
+
+    d = tmp_path / "grow"
+    rows_a = [
+        (0, "good prose good prose", "en", "s", 20),
+        (7, "good prose prose", "en", "s", 16),
+        (1, "spam junk spam junk", "en", "s", 19),
+        (8, "spam junk junk", "en", "s", 14),
+        (2, "good prose good", "en", "s", 15),
+    ]
+    spark.createDataFrame(rows_a, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d / "documents.parquet"))
+    out = tmp_path / "sprep"
+    argv = [
+        "--corpusPrep", "--stream",
+        "--sf", str(d),
+        "--out", str(out),
+    ]
+    main(argv)
+    w1, wu1 = load_quality_model(spark, str(out / "_quality_model"))
+
+    # drop B: new positive-slice doc with NEW vocabulary — a retrain
+    # would change the model; the frozen artifact must not move
+    rows_b = [
+        (14, "fresh tokens fresh tokens", "en", "s", 25),
+        (3, "good prose junk", "en", "s", 15),
+    ]
+    spark.createDataFrame(rows_b, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d / "documents.parquet"))
+    main(argv)
+    w2, wu2 = load_quality_model(spark, str(out / "_quality_model"))
+    assert (w2, wu2) == (w1, wu1)  # artifact untouched by the rerun
+    assert "fresh" not in w2
+
+    # the rerun scored exactly the new docs, under the frozen model
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(
+            str(out / "quality_classifier")
+        ).collect()
+    }
+    assert set(got) == {0, 7, 1, 8, 2, 14, 3}
+    want = {
+        r["doc_id"]: r
+        for r in quality_stream(
+            spark.createDataFrame(rows_b, DOCUMENT_SCHEMA), w1, wu1
+        ).collect()
+    }
+    for i in (14, 3):
+        assert tuple(got[i]) == tuple(want[i])

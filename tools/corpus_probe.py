@@ -218,6 +218,10 @@ def main() -> None:
     out["qc_train_wall_s"] = round(time.time() - t0, 1)
     out["qc_vocab_1x"] = len(w1)
     out["qc_vocab_10x"] = len(w10)
+    # the invariant as a checked boolean (not just two numbers):
+    # replicas add no new tokens, so the model must be the same
+    # token set — corpus-content-sized, never corpus-row-sized
+    out["qc_vocab_stable"] = bool(set(w1) == set(w10))
     t0 = time.time()
     out["qc_scored_rows"] = reg["quality_classifier"](
         spark, probe_dir
