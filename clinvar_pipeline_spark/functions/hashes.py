@@ -248,6 +248,16 @@ def _blake64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+def _md5_64(data: bytes) -> int:
+    """Upper 64 bits of md5 as a big-endian int — the ENGINE-PORTABLE
+    64-bit hash: DuckDB recomputes it as the first 16 chars of md5()'s
+    hex string, so kernels built on it (simhash) stay oracle-checkable
+    where blake2b/xxhash64 families cannot be."""
+    import hashlib
+
+    return int(hashlib.md5(data).hexdigest()[:16], 16)
+
+
 def _splitmix64(z: "np.ndarray") -> "np.ndarray":
     """Vectorized splitmix64 finalizer over uint64 (wrap-around mults)."""
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -353,7 +363,11 @@ def simhash64_batch():
     """Arrow-batched SimHash: text -> 64-bit signature (sign bit clear).
     Tokenization matches :func:`normalized_tokens` (lowercase, strip
     non-alnum, whitespace split, distinct); per-bit votes over the
-    distinct tokens' blake2b/8 bits, vectorized in numpy.
+    distinct tokens' md5-prefix bits (:func:`_md5_64`), vectorized in
+    numpy. The md5 family (late r6, was blake2b) makes the signature
+    ORACLE-CHECKABLE: DuckDB reproduces every bit from md5()'s hex
+    string, so simhash graduated from rows-only to value-compared
+    (the r4 minhash precedent).
 
     Hot-path twin of the groupBy formulation in operators/dedup.py —
     same semantics, different hash constants; one kernel pass replaces
@@ -373,7 +387,7 @@ def simhash64_batch():
             if not toks:
                 continue
             base = np.array(
-                [_blake64(tk.encode("utf-8")) for tk in toks], dtype=np.uint64
+                [_md5_64(tk.encode("utf-8")) for tk in toks], dtype=np.uint64
             )
             bits = (base[:, None] >> bitpos[None, :]) & np.uint64(1)  # n x 63
             votes = bits.sum(axis=0)

@@ -813,14 +813,54 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_signatures", None)  # non-SQL-expressible (xxhash64)
+# The simhash signature as SQL (md5-prefix bit votes; shared by the
+# signature and near-dup oracles). Bit b of a token's portable 64-bit
+# hash (_md5_64 = big-endian int of md5-hex[:16]) lives in hex char
+# 16 - b//4 at in-digit position b%4; sign bit 63 stays clear, so the
+# signature assembles into a BIGINT without overflow.
+_SIMHASH_CTES = f"""tok AS (
+        SELECT doc_id,
+               unnest(list_distinct({{tokenize}})) AS t
+        FROM documents),
+    th AS (SELECT doc_id, md5(t) AS h FROM tok),
+    bits AS (
+        SELECT doc_id, bb.b AS b,
+               ((strpos('0123456789abcdef',
+                        substr(th.h, 16 - (bb.b // 4), 1)) - 1)
+                >> (bb.b % 4)) & 1 AS bit
+        FROM th CROSS JOIN (SELECT unnest(range(0, 63)) AS b) bb),
+    votes AS (SELECT doc_id, b, sum(bit) AS v, count(*) AS n
+              FROM bits GROUP BY doc_id, b),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v * 2 > n
+                             THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id)""".format(
+    tokenize=_TOKENIZE_SQL.format(col="text")
+)
+
+
+@register(
+    "simhash_signatures",
+    f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sig
+    """,
+)
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures per document (near-dup via Hamming
     distance ≤ k; signatures are the shuffle-light representation that
-    scales — 8 bytes/doc regardless of doc size)."""
+    scales — 8 bytes/doc regardless of doc size). Oracle-checked as of
+    late r6: the kernel's token hash is the md5-prefix family
+    (functions.hashes._md5_64), which DuckDB recomputes bit-for-bit
+    from md5()'s hex string — simhash graduated out of the rows-only
+    class exactly as minhash did in r4. Zero-token documents are out
+    of scope (no votes to take; both engines omit them)."""
     from clinvar_pipeline_spark.operators.dedup import simhash_signatures
 
     d = _spread(_t(spark, sf_dir, "documents"))
+    d = d.filter(F.size(normalized_tokens(F.col("text"))) > 0)
     return simhash_signatures(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
@@ -841,7 +881,24 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(e, threshold=0.45)
 
 
-@register("simhash_neardup", None)  # blake2b hash family: no SQL twin
+@register(
+    "simhash_neardup",
+    f"""
+    WITH {_SIMHASH_CTES},
+    ch AS (
+        SELECT doc_id, simhash, cc.c AS blk,
+               (simhash >> (cc.c * 16)) & 65535 AS val
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM ch a JOIN ch b
+          ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+    """,
+)
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole block join
     (operators/dedup.py simhash_neardup_pairs): signatures split into
@@ -850,14 +907,15 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified on candidates. The contract — every emitted pair has
     hamming <= 8 AND shares a chunk; any pair with hamming <= 3 is
     GUARANTEED found (pigeonhole: 3 flips cannot touch all 4 blocks) —
-    is pinned by tests/test_simhash.py against a brute-force twin.
-    Registered past the driver window (rows-only: blake2b signatures
-    have no DuckDB twin; the Hamming/near-dup semantics are attested
-    by the unit twin instead)."""
+    is pinned by tests/test_simhash.py against a brute-force twin, and
+    as of late r6 the full pair set is DuckDB-oracle-compared (md5
+    signature family; the oracle reproduces the chunk join and the
+    Hamming verify with bit_count(xor))."""
     from clinvar_pipeline_spark.operators.dedup import simhash_neardup_pairs
 
     d = _spread(_t(spark, sf_dir, "documents"))
-    return simhash_neardup_pairs(d, "doc_id", "text")
+    out = simhash_neardup_pairs(d, "doc_id", "text")
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 # =====================================================================
