@@ -24,6 +24,10 @@ invariants under load:
   corpus-row-sized.
 - split_leakage (late r6): full DuckDB-oracle row match at 10x — the
   one probe invariant checked by an independent engine end-to-end.
+- duplicate_spans (late r6): replication makes every window
+  duplicated, so each >=W-token doc must collapse to exactly ONE
+  full-coverage span — the gaps-and-islands merge under total
+  duplication.
 
 Usage: python tools/corpus_probe.py [--sf DIR] [--factor 10]
 Prints one JSON line; paste numbers into README's probe table.
@@ -227,6 +231,42 @@ def main() -> None:
         spark, probe_dir
     ).count()
     out["qc_score_wall_s"] = round(time.time() - t0, 1)
+    release_cached()
+
+    # --- duplicate_spans: full-coverage collapse at 10x --------------
+    # replication makes EVERY window of every doc occur `factor`
+    # times, so each >=W-token doc must emit exactly ONE span covering
+    # its full token range — islands merging across the whole doc
+    from clinvar_pipeline_spark.functions.hashes import (
+        normalized_tokens as _nt,
+    )
+    from clinvar_pipeline_spark.queries_llm import SPAN_W
+
+    t0 = time.time()
+    spans = reg["duplicate_spans"](spark, probe_dir).persist()
+    n_span_rows = spans.count()
+    out["spans_wall_s"] = round(time.time() - t0, 1)
+    lens = (
+        spark.read.parquet(f"{probe_dir}/documents.parquet")
+        .select(
+            "doc_id", F.size(_nt(F.col("text"))).alias("_n")
+        )
+        .filter(F.col("_n") >= SPAN_W)
+    )
+    eligible = lens.count()
+    full = (
+        spans.join(lens, "doc_id")
+        .filter(
+            (F.col("span_start") == 0) & (F.col("span_end") == F.col("_n"))
+        )
+        .count()
+    )
+    out["spans_docs_eligible"] = eligible
+    out["spans_rows"] = n_span_rows
+    out["spans_full_coverage"] = bool(
+        n_span_rows == eligible and full == eligible
+    )
+    spans.unpersist()
     release_cached()
 
     # --- split_leakage: independent-engine oracle match at 10x -------
