@@ -251,11 +251,12 @@ def _blake64(data: bytes) -> int:
 def _md5_64(data: bytes) -> int:
     """Upper 64 bits of md5 as a big-endian int — the ENGINE-PORTABLE
     64-bit hash: DuckDB recomputes it as the first 16 chars of md5()'s
-    hex string, so kernels built on it (simhash) stay oracle-checkable
-    where blake2b/xxhash64 families cannot be."""
+    hex string (== the first 8 digest bytes big-endian, the cheaper
+    form used here), so kernels built on it (simhash) stay
+    oracle-checkable where blake2b/xxhash64 families cannot be."""
     import hashlib
 
-    return int(hashlib.md5(data).hexdigest()[:16], 16)
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
 
 
 def _splitmix64(z: "np.ndarray") -> "np.ndarray":
