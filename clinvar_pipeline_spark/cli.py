@@ -23,11 +23,12 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain, 23 stages: profile, repetition gates,
+        (LLM corpus-prep chain, 24 stages: profile, repetition gates,
         lm_quality, quality-classifier scores, TF-IDF keywords,
         near-dup pairs + applies, dedup clusters, passage dedup,
         exact-substring span cut list + apply, CDC chunks,
-        decontamination, mixing plan, stratified sample, packing
+        decontamination, mixing plan + applied mix, stratified
+        sample, packing
         manifest, token histogram, filter funnel, split report +
         leakage gate, shuffle order, PII scrub, SemDeDup — one
         parquet dir per stage + counters; --jsonl ingests the corpus
@@ -239,6 +240,8 @@ CORPUS_PREP_STAGES = [
     "cdc_chunks",
     "decontaminate",
     "mixing_weights",
+    # late r6: execute the mixture plan (per-domain hash-sample)
+    "mixing_apply",
     "stratified_sample",
     "sequence_packing",
     # r6: corpus Zipf head + the per-document keep manifest capstone

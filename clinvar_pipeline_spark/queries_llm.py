@@ -110,11 +110,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_ALPHA = 0.5  # temperature exponent; 1.0 = proportional, 0 = uniform
 MIX_BUDGET = 100_000  # target token budget for the mixture
 
-
-@register(
-    "mixing_weights",
-    f"""
-    WITH t AS (
+# SQL twin of the _mixing_targets plan chain, shared by the
+# mixing_weights and mixing_apply oracles (the _SPANS_CTES idiom)
+_MIX_PLAN_CTES = f"""t AS (
         SELECT lang, count(*) AS n_docs,
                CAST(sum(len(toks)) AS BIGINT) AS n_tokens
         FROM (SELECT lang, {_TOKENIZE_SQL.format(col='text')} AS toks
@@ -124,7 +122,13 @@ MIX_BUDGET = 100_000  # target token budget for the mixture
         SELECT lang, n_docs, n_tokens,
                sqrt(CAST(n_tokens AS DOUBLE)) AS wr,
                sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS tot
-        FROM t)
+        FROM t)"""
+
+
+@register(
+    "mixing_weights",
+    f"""
+    WITH {_MIX_PLAN_CTES}
     SELECT lang, n_docs, n_tokens,
            round(wr / tot, 4) AS mix_share,
            CAST(floor(wr / tot * {MIX_BUDGET}) AS BIGINT) AS target_tokens,
@@ -149,6 +153,24 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one tokenize scan + one groupBy to domain cardinality;
     the normalization window runs over the handful of domain rows."""
     d = _spread(_t(spark, sf_dir, "documents"))
+    t, wr, tot, target = _mixing_targets(d)
+    return t.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(wr / tot, 4).alias("mix_share"),
+        target.alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("n_tokens")), 4
+        ).alias("sample_rate"),
+    )
+
+
+def _mixing_targets(d: DataFrame):
+    """Shared mixture-plan frame (the quality_weight_frame idiom): the
+    per-domain aggregate plus the alpha=0.5 share/target expressions,
+    consumed by mixing_weights (the plan) and mixing_apply (its
+    execution). Returns (frame, wr, tot, target) columns over it."""
     t = (
         d.select(
             "lang", F.size(normalized_tokens(F.col("text"))).alias("n")
@@ -162,15 +184,70 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = F.sqrt(F.col("n_tokens").cast("double"))
     tot = F.sum(wr).over(Window.partitionBy(F.lit(1)))
     target = F.floor(wr / tot * MIX_BUDGET).cast("long")
-    return t.select(
+    return t, wr, tot, target
+
+
+@register(
+    "mixing_apply",
+    f"""
+    WITH {_MIX_PLAN_CTES},
+    th AS (
+        SELECT lang,
+               CAST(floor(1000 * least(1.0,
+                        CAST(floor(wr / tot * {MIX_BUDGET}) AS DOUBLE)
+                        / n_tokens)) AS BIGINT) AS keep_lt
+        FROM w)
+    SELECT d.doc_id, d.lang,
+           CAST(len({_TOKENIZE_SQL.format(col='d.text')}) AS BIGINT)
+             AS n_tokens,
+           ((d.doc_id % 1000) * {_SAMPLE_K % 1000}) % 1000 AS bucket
+    FROM documents d JOIN th USING (lang)
+    WHERE ((d.doc_id % 1000) * {_SAMPLE_K % 1000}) % 1000 < th.keep_lt
+    """,
+)
+def q_mixing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the alpha-temperature mixing plan: each domain's
+    sample_rate (target_tokens / n_tokens, capped at 1) quantizes to a
+    per-mille keep threshold, and a document survives iff its
+    deterministic hash bucket clears its domain's threshold — the
+    plan→apply closure for data mixtures (mixing_weights plans,
+    this materializes; the stratified_sample discipline: pure function
+    of the row, reproducible across runs, engines, partitionings).
+    Per-doc token counts ride along so the realized token budget is
+    one groupBy over this manifest. Per-mille quantization is the
+    documented honest granularity (rates move in 0.1% steps, same as
+    stratified_sample).
+
+    Scale: the threshold table is domain-cardinality-sized and
+    broadcasts; the keep filter is map-only over the fact table."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    t, wr, tot, target = _mixing_targets(d)
+    th = t.select(
         "lang",
-        "n_docs",
-        "n_tokens",
-        F.round(wr / tot, 4).alias("mix_share"),
-        target.alias("target_tokens"),
-        F.round(
-            F.least(F.lit(1.0), target / F.col("n_tokens")), 4
-        ).alias("sample_rate"),
+        F.floor(
+            1000
+            * F.least(
+                F.lit(1.0), target.cast("double") / F.col("n_tokens")
+            )
+        )
+        .cast("long")
+        .alias("keep_lt"),
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(_SAMPLE_K % 1000),
+        F.lit(1000),
+    )
+    return (
+        d.join(F.broadcast(th), "lang")
+        .filter(bucket < F.col("keep_lt"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(normalized_tokens(F.col("text")))
+            .cast("long")
+            .alias("n_tokens"),
+            bucket.alias("bucket"),
+        )
     )
 
 

@@ -293,3 +293,41 @@ def test_duplicate_spans_apply_cuts_exactly_the_spans(
     # doc 2: no duplicated window -> untouched, fp of full stream
     assert out[2]["n_removed"] == 0
     assert out[2]["kept_fp"] == md5("w0 w1 w2 w3")
+
+
+# ---------------------------------------------------------------------
+# mixing_apply (execute the mixture plan)
+# ---------------------------------------------------------------------
+
+def test_mixing_apply_realizes_plan_rates(spark, tmp_path, monkeypatch):
+    import math
+
+    monkeypatch.setattr(ql, "MIX_BUDGET", 600)
+    # en: 80 docs x 10 tokens = 800; fr: 20 docs x 10 = 200.
+    # wr = sqrt(800), sqrt(200); shares ~ 2/3, 1/3 -> targets 400/200;
+    # en rate 400/800 = 0.5 -> keep_lt 500; fr rate 200/200 = 1.0 -> 1000
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    rows = [(i, text, "en" if i < 80 else "fr") for i in range(100)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in ql.q_mixing_apply(spark, d).collect()}
+    wr_en, wr_fr = math.sqrt(800), math.sqrt(200)
+    tot = wr_en + wr_fr
+    lt = {
+        "en": math.floor(
+            1000 * min(1.0, math.floor(wr_en / tot * 600) / 800)
+        ),
+        "fr": math.floor(
+            1000 * min(1.0, math.floor(wr_fr / tot * 600) / 200)
+        ),
+    }
+    assert lt["fr"] == 1000  # low-resource domain fully kept
+    assert 0 < lt["en"] < 1000  # big domain down-sampled
+    expect = {
+        i for i, _, lg in rows if _bucket(i) < lt[lg]
+    }
+    assert set(out) == expect
+    # every fr doc survives; en is a strict subset
+    assert all(i in out for i in range(80, 100))
+    assert 0 < sum(1 for i in range(80) if i in out) < 80
+    for i, r in out.items():
+        assert r["n_tokens"] == 10
