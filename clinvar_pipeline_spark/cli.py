@@ -23,12 +23,13 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain, 24 stages: profile, repetition gates,
-        lm_quality, quality-classifier scores, TF-IDF keywords,
+        (LLM corpus-prep chain, 26 stages: profile, repetition gates,
+        lm_quality, quality-classifier scores, perplexity bands,
+        TF-IDF keywords,
         near-dup pairs + applies, dedup clusters, passage dedup,
         exact-substring span cut list + apply, CDC chunks,
-        decontamination, mixing plan + applied mix, stratified
-        sample, packing
+        decontamination + eval-leak report, mixing plan + applied
+        mix, stratified sample, packing
         manifest, token histogram, filter funnel, split report +
         leakage gate, shuffle order, PII scrub, SemDeDup — one
         parquet dir per stage + counters; --jsonl ingests the corpus
@@ -225,6 +226,8 @@ CORPUS_PREP_STAGES = [
     # BoW classifier) runs after the rule gates — rules catch
     # boilerplate, the model ranks seed-likeness
     "quality_classifier",
+    # late r6: CCNet head/middle/tail banding on the lm_quality score
+    "perplexity_bands",
     "tfidf_top_terms",
     "minhash_lsh_pairs",
     "dedup_apply",
@@ -239,6 +242,9 @@ CORPUS_PREP_STAGES = [
     "duplicate_spans_apply",
     "cdc_chunks",
     "decontaminate",
+    # late r6: the eval-side contamination view (which benchmark rows
+    # are compromised regardless of training-side drops)
+    "eval_leak_report",
     "mixing_weights",
     # late r6: execute the mixture plan (per-domain hash-sample)
     "mixing_apply",

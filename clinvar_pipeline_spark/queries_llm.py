@@ -2191,3 +2191,194 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 4).alias("score"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------
+# Perplexity bands (CCNet head/middle/tail) + eval-side leak report
+# ---------------------------------------------------------------------
+
+# z-score band edges on the per-language LM-quality distribution.
+# CCNet cuts head/middle/tail at per-language perplexity PERCENTILES;
+# exact percentiles of a domain need either a single-task sort per
+# domain (scale-hostile) or engine-specific sketches (oracle-hostile),
+# so the banding statistic here is the z-score against per-domain
+# mean/stddev — one aggregate pass, broadcast back, map-only labeling,
+# and bit-portable across engines. Same selection semantics: typical
+# text lands in head, rare-token text in tail.
+BAND_HEAD_Z = 0.5
+BAND_TAIL_Z = -0.5
+
+
+@register(
+    "perplexity_bands",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(toks) AS t
+        FROM (SELECT doc_id, lang, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0),
+    freq AS (
+        SELECT t, count(*) AS cnt,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS total
+        FROM tok GROUP BY t),
+    scored AS (
+        SELECT doc_id, lang,
+               round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS score
+        FROM tok JOIN freq USING (t)
+        GROUP BY doc_id, lang),
+    stats AS (
+        SELECT lang, avg(score) AS mu, stddev_samp(score) AS sd
+        FROM scored GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.score,
+           round((s.score - st.mu) / st.sd, 4) AS z,
+           CASE WHEN (s.score - st.mu) / st.sd >= {BAND_HEAD_Z}
+                THEN 'head'
+                WHEN (s.score - st.mu) / st.sd <= {BAND_TAIL_Z}
+                THEN 'tail'
+                ELSE 'middle' END AS band
+    FROM scored s JOIN stats st USING (lang)
+    """,
+)
+def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality banding: every document's LM-quality score
+    (lm_quality's mean unigram logprob) is z-scored against its
+    LANGUAGE's distribution and cut into head / middle / tail — the
+    partition CCNet feeds to downstream selection (keep head+middle,
+    resample or drop tail). Languages are banded independently so a
+    low-resource language's typical text is not crushed by a
+    high-resource language's distribution.
+
+    Scale: the scoring plan is lm_quality's (one persisted explode,
+    vocab-sized frequency join); the band thresholds are per-domain
+    mean/stddev — ONE aggregate to domain cardinality, broadcast
+    back, labeling map-only. No per-domain sort, no percentile sketch
+    (docstring above documents the percentile->z-score trade)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tok = (
+        d.select(
+            "doc_id", "lang", normalized_tokens(F.col("text")).alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "lang", F.explode("toks").alias("t"))
+    )
+    tok = _persist(tok)
+    total = tok.count()  # bounded scalar (the lm_quality discipline)
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+    scored = (
+        tok.join(freq, "t")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(lp), 4).alias("score"))
+    )
+    scored = _persist(scored)  # stats + labeling both read it
+    stats = scored.groupBy("lang").agg(
+        F.avg("score").alias("mu"), F.stddev_samp("score").alias("sd")
+    )
+    z = (F.col("score") - F.col("mu")) / F.col("sd")
+    return (
+        scored.join(F.broadcast(stats), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            F.round(z, 4).alias("z"),
+            F.when(z >= BAND_HEAD_Z, "head")
+            .when(z <= BAND_TAIL_Z, "tail")
+            .otherwise("middle")
+            .alias("band"),
+        )
+    )
+
+
+@register(
+    "eval_leak_report",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS s
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - {DECONTAM_K - 1}, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(toks, i, i + {DECONTAM_K - 1}), ' ')
+                   ) AS sh_list
+            FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+                  FROM documents))
+    ),
+    ev AS (SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id AS train_doc, s FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (SELECT ev.eval_doc, tr.train_doc, ev.s
+             FROM ev JOIN tr USING (s)),
+    sizes AS (SELECT eval_doc, count(*) AS n_shingles FROM ev
+              GROUP BY eval_doc)
+    SELECT z.eval_doc,
+           z.n_shingles,
+           CAST(coalesce(count(DISTINCT h.s), 0) AS BIGINT)
+             AS n_leaked_shingles,
+           CAST(coalesce(count(DISTINCT h.train_doc), 0) AS BIGINT)
+             AS n_train_docs,
+           round(CAST(count(DISTINCT h.s) AS DOUBLE) / z.n_shingles, 4)
+             AS leak_ratio
+    FROM sizes z LEFT JOIN hits h USING (eval_doc)
+    GROUP BY z.eval_doc, z.n_shingles
+    """,
+)
+def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVAL-side contamination view (decontaminate's flip side):
+    per benchmark document, how much of it leaked into the training
+    corpus — distinct leaked k-grams, distinct carrying training
+    documents, and the leaked fraction. decontaminate answers "which
+    training docs must I drop"; this answers "which benchmark rows
+    are compromised no matter what I drop" — the report an eval
+    integrity review reads before trusting a score.
+
+    Scale: the eval side is benchmark-sized and broadcasts; the join
+    emits one row per (eval shingle x carrying train doc) — bounded
+    by eval size x shingle df, the same envelope decontaminate's
+    semi-join bounds, with the SHINGLE_DF_CAP guard available if a
+    boilerplate k-gram's df explodes. Aggregation is per eval doc
+    (benchmark-sized output)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    sh = (
+        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_of_tokens(F.col("toks"), k=DECONTAM_K)
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sh = _persist(sh)
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    tr = sh.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    hits = ev.join(tr, "s")
+    sizes = ev.groupBy("eval_doc").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    agg = hits.groupBy("eval_doc").agg(
+        F.countDistinct("s").alias("_ls"),
+        F.countDistinct("train_doc").alias("_td"),
+    )
+    return (
+        sizes.join(agg, "eval_doc", "left")
+        .select(
+            "eval_doc",
+            "n_shingles",
+            F.coalesce(F.col("_ls"), F.lit(0)).cast("long").alias(
+                "n_leaked_shingles"
+            ),
+            F.coalesce(F.col("_td"), F.lit(0)).cast("long").alias(
+                "n_train_docs"
+            ),
+            F.round(
+                F.coalesce(F.col("_ls"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                4,
+            ).alias("leak_ratio"),
+        )
+    )

@@ -331,3 +331,47 @@ def test_mixing_apply_realizes_plan_rates(spark, tmp_path, monkeypatch):
     assert 0 < sum(1 for i in range(80) if i in out) < 80
     for i, r in out.items():
         assert r["n_tokens"] == 10
+
+
+# ---------------------------------------------------------------------
+# perplexity_bands / eval_leak_report
+# ---------------------------------------------------------------------
+
+def test_perplexity_bands_rare_token_doc_lands_in_tail(spark, tmp_path):
+    # 20 docs of corpus-typical tokens + one doc of singletons: the
+    # singleton doc's mean logprob is far below the language mean
+    common = "alpha beta gamma delta epsilon"
+    rows = [(i, common, "en") for i in range(20)]
+    rows.append((20, "zzq xxv wwu yyt", "en"))
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in
+           ql.q_perplexity_bands(spark, d).collect()}
+    assert out[20]["band"] == "tail" and out[20]["z"] < -0.5
+    # the 20 identical docs share one score -> identical z and band
+    zs = {out[i]["z"] for i in range(20)}
+    bands = {out[i]["band"] for i in range(20)}
+    assert len(zs) == 1 and len(bands) == 1
+    # scores: typical docs above the mean, singleton doc far below
+    assert out[0]["score"] > out[20]["score"]
+
+
+def test_eval_leak_report_flags_verbatim_copy(spark, tmp_path):
+    # eval docs have id % 97 == 0: ids 0 and 97. doc 0's text is
+    # copied verbatim into training doc 5 -> leak_ratio 1.0; doc 97
+    # is unique -> leak_ratio 0.0
+    leaked = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, leaked, "en"),                       # eval, fully leaked
+        (97, "unique eval only words here", "en"),  # eval, clean
+        (5, leaked, "en"),                       # the training copy
+        (6, "other training text entirely", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["eval_doc"]: r for r in
+           ql.q_eval_leak_report(spark, d).collect()}
+    assert set(out) == {0, 97}
+    assert out[0]["leak_ratio"] == 1.0
+    assert out[0]["n_train_docs"] == 1
+    assert out[0]["n_leaked_shingles"] == out[0]["n_shingles"] == 4
+    assert out[97]["leak_ratio"] == 0.0
+    assert out[97]["n_train_docs"] == 0
