@@ -78,3 +78,26 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     c = {r["counter"]: r["value"] for r in counters.collect()}
     assert c == {"DOCS_GOOD": 2}
+
+
+def test_jsonl_gzip_ingest_transparent(spark, tmp_path):
+    """Corpora ship as .jsonl.gz; the JSONL source must read them
+    transparently (Hadoop codec inference) with the corrupt-line
+    counters intact."""
+    import gzip
+
+    from clinvar_pipeline_spark.sources.jsonl import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(
+            '{"doc_id": 1, "text": "hello world one", "lang": "en",'
+            ' "source": "s"}\n'
+            "corrupt {\n"
+            '{"doc_id": 2, "text": "two three four", "lang": "en",'
+            ' "source": "s"}\n'
+        )
+    good, counters = read_documents_jsonl(spark, str(p))
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    c = {r["counter"]: r["value"] for r in counters.collect()}
+    assert c == {"DOCS_GOOD": 2, "DOCS_CORRUPT": 1}
