@@ -371,12 +371,13 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     (dedup, stratified rates, packing) stay in the batch chain by
     nature (documented in streaming/corpus.py); output parquet for
     the streamed stages is identical to their batch twins on a given
-    corpus, pinned by tests/test_cli.py. The quality stage serves the
-    model FROZEN at the first run (_quality_model artifact), so
+    corpus, pinned by tests/test_cli.py. Run-scoped corpus state —
+    the quality model (_quality_model) and the decontamination eval
+    shingle set (_eval_shingles) — is FROZEN at the first run, so
     incremental reruns stay arrival-order independent; the batch
-    chain retrains per run — after the corpus grows, rebuild
-    batch-side (or delete the artifact + checkpoints) to rescore
-    under a fresh model.
+    chain rebuilds per run — after the corpus grows, rebuild
+    batch-side (or delete the artifacts + checkpoints) to rescore
+    under fresh state.
 
     The eval shingle set for decontamination is built with one bounded
     batch read (benchmark-sized by definition — the same broadcast
@@ -397,10 +398,12 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         decontaminate_stream,
         eval_shingle_hashes,
         gates_stream,
+        load_eval_hashes,
         load_quality_model,
         quality_stream,
         read_document_stream,
         read_document_stream_jsonl,
+        save_eval_hashes,
         save_quality_model,
         scrub_stream,
         train_quality_weights,
@@ -418,15 +421,20 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         src = f"{sf}/documents.parquet"
         batch_docs = spark.read.parquet(src)
         docs = read_document_stream(spark, src)
-    ev = eval_shingle_hashes(
-        batch_docs.filter(col("doc_id") % 97 == 0), k=DECONTAM_K
-    )
-    # quality model: trained on the FIRST run's corpus and FROZEN as a
-    # run artifact (the ivf_index lifecycle) — incremental re-runs load
-    # it, so new arrivals score under the same model as already-landed
-    # rows (retraining per rerun would make keep decisions depend on
-    # arrival order). Delete _quality_model (with the checkpoints) to
-    # rebuild.
+    # run-scoped corpus state — the quality model AND the eval shingle
+    # set — is built on the FIRST run and FROZEN as run artifacts (the
+    # ivf_index lifecycle): incremental re-runs load both, so new
+    # arrivals are scored and contamination-checked under exactly the
+    # state already-landed rows saw (rebuilding either per rerun would
+    # make keep/contamination decisions depend on arrival order).
+    # Delete the artifacts (with the checkpoints) to rebuild.
+    ev_path = f"{args.out}/_eval_shingles"
+    ev = load_eval_hashes(spark, ev_path)
+    if ev is None:
+        ev = eval_shingle_hashes(
+            batch_docs.filter(col("doc_id") % 97 == 0), k=DECONTAM_K
+        )
+        save_eval_hashes(spark, ev, ev_path)
     model_path = f"{args.out}/_quality_model"
     loaded = load_quality_model(spark, model_path)
     if loaded is None:

@@ -914,6 +914,10 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinvar_pipeline_spark.operators.dedup import simhash_neardup_pairs
 
     d = _spread(_t(spark, sf_dir, "documents"))
+    # zero-token docs out of scope, same as the signatures query: the
+    # kernel gives them all signature 0, which would emit C(n,2) bogus
+    # (empty, empty) hamming-0 pairs the oracle's sig CTE never forms
+    d = d.filter(F.size(normalized_tokens(F.col("text"))) > 0)
     out = simhash_neardup_pairs(d, "doc_id", "text")
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 

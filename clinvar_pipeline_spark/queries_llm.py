@@ -153,7 +153,7 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one tokenize scan + one groupBy to domain cardinality;
     the normalization window runs over the handful of domain rows."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    t, wr, tot, target = _mixing_targets(d)
+    t, wr, tot, target = _mixing_targets(_doc_token_counts(d))
     return t.select(
         "lang",
         "n_docs",
@@ -166,20 +166,25 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mixing_targets(d: DataFrame):
-    """Shared mixture-plan frame (the quality_weight_frame idiom): the
-    per-domain aggregate plus the alpha=0.5 share/target expressions,
-    consumed by mixing_weights (the plan) and mixing_apply (its
-    execution). Returns (frame, wr, tot, target) columns over it."""
-    t = (
-        d.select(
-            "lang", F.size(normalized_tokens(F.col("text"))).alias("n")
-        )
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n").alias("n_tokens"),
-        )
+def _doc_token_counts(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, n) per-document token counts — the single
+    tokenize pass both mixture queries derive from."""
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(normalized_tokens(F.col("text"))).alias("n"),
+    )
+
+
+def _mixing_targets(counts: DataFrame):
+    """Shared mixture-plan frame (the quality_weight_frame idiom) over
+    a _doc_token_counts projection: the per-domain aggregate plus the
+    alpha=0.5 share/target expressions, consumed by mixing_weights
+    (the plan) and mixing_apply (its execution). Returns
+    (frame, wr, tot, target) columns over it."""
+    t = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
     )
     wr = F.sqrt(F.col("n_tokens").cast("double"))
     tot = F.sum(wr).over(Window.partitionBy(F.lit(1)))
@@ -221,7 +226,11 @@ def q_mixing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the threshold table is domain-cardinality-sized and
     broadcasts; the keep filter is map-only over the fact table."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    t, wr, tot, target = _mixing_targets(d)
+    # one tokenize pass, persisted: the plan aggregate AND the output
+    # n_tokens column both read it (review finding — the naive form
+    # tokenized the corpus twice)
+    base = _persist(_doc_token_counts(d))
+    t, wr, tot, target = _mixing_targets(base)
     th = t.select(
         "lang",
         F.floor(
@@ -238,14 +247,12 @@ def q_mixing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000),
     )
     return (
-        d.join(F.broadcast(th), "lang")
+        base.join(F.broadcast(th), "lang")
         .filter(bucket < F.col("keep_lt"))
         .select(
             "doc_id",
             "lang",
-            F.size(normalized_tokens(F.col("text")))
-            .cast("long")
-            .alias("n_tokens"),
+            F.col("n").cast("long").alias("n_tokens"),
             bucket.alias("bucket"),
         )
     )
@@ -2228,15 +2235,18 @@ BAND_TAIL_Z = -0.5
         GROUP BY doc_id, lang),
     stats AS (
         SELECT lang, avg(score) AS mu, stddev_samp(score) AS sd
-        FROM scored GROUP BY lang)
-    SELECT s.doc_id, s.lang, s.score,
-           round((s.score - st.mu) / st.sd, 4) AS z,
-           CASE WHEN (s.score - st.mu) / st.sd >= {BAND_HEAD_Z}
-                THEN 'head'
-                WHEN (s.score - st.mu) / st.sd <= {BAND_TAIL_Z}
-                THEN 'tail'
+        FROM scored GROUP BY lang),
+    zz AS (
+        SELECT s.doc_id, s.lang, s.score,
+               CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0.0
+                    ELSE (s.score - st.mu) / st.sd END AS zraw
+        FROM scored s JOIN stats st USING (lang))
+    SELECT doc_id, lang, score,
+           round(zraw, 4) + 0 AS z,
+           CASE WHEN zraw >= {BAND_HEAD_Z} THEN 'head'
+                WHEN zraw <= {BAND_TAIL_Z} THEN 'tail'
                 ELSE 'middle' END AS band
-    FROM scored s JOIN stats st USING (lang)
+    FROM zz
     """,
 )
 def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2274,14 +2284,23 @@ def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = scored.groupBy("lang").agg(
         F.avg("score").alias("mu"), F.stddev_samp("score").alias("sd")
     )
-    z = (F.col("score") - F.col("mu")) / F.col("sd")
+    # degenerate-domain guard: a language whose docs all share one
+    # score has sd = 0 (or NULL for a single doc) — everyone is
+    # "typical", z pinned to 0.0 in BOTH engines (unguarded, Spark's
+    # 0/0 is NULL while DuckDB >= 1.1 gives NaN that sorts above
+    # every threshold — a review-caught engine divergence)
+    z = F.when(
+        F.col("sd").isNull() | (F.col("sd") == 0), F.lit(0.0)
+    ).otherwise((F.col("score") - F.col("mu")) / F.col("sd"))
     return (
         scored.join(F.broadcast(stats), "lang")
         .select(
             "doc_id",
             "lang",
             "score",
-            F.round(z, 4).alias("z"),
+            # + 0 folds signed zero (the quality_classifier lesson —
+            # z crosses 0 by construction)
+            (F.round(z, 4) + F.lit(0.0)).alias("z"),
             F.when(z >= BAND_HEAD_Z, "head")
             .when(z <= BAND_TAIL_Z, "tail")
             .otherwise("middle")

@@ -268,12 +268,40 @@ def save_quality_model(
 def load_quality_model(
     spark: SparkSession, path: str
 ) -> tuple[dict, float] | None:
-    """Load a frozen quality model saved by save_quality_model;
-    None if no model has been landed at `path` yet."""
-    try:
-        rows = spark.read.parquet(path).collect()
-    except Exception:
+    """Load a frozen quality model saved by save_quality_model; None
+    ONLY if no model has been landed at `path` yet. A read failure on
+    an EXISTING artifact (corrupt footer from an interrupted
+    overwrite, FS error) PROPAGATES — silently retraining there would
+    overwrite the frozen model and reintroduce the arrival-order
+    dependence the artifact exists to prevent (review finding)."""
+    import os
+
+    if not os.path.exists(path):
         return None
+    rows = spark.read.parquet(path).collect()
     weights = {r["t"]: r["w"] for r in rows if r["t"] is not None}
     wu = next(r["w"] for r in rows if r["t"] is None)
     return weights, wu
+
+
+def save_eval_hashes(spark: SparkSession, hashes: set, path: str) -> None:
+    """Freeze the decontamination benchmark's shingle-hash set as a
+    run artifact — the same lifecycle as the quality model: ALL
+    run-scoped corpus state an incremental streaming run serves must
+    be frozen at first run, or contamination flags become a function
+    of arrival order (run-1 docs were never checked against eval docs
+    that arrive later; review finding)."""
+    spark.createDataFrame(
+        [(int(h),) for h in sorted(hashes)], "h long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_eval_hashes(spark: SparkSession, path: str) -> set | None:
+    """Load a frozen eval shingle set; None only if never landed
+    (read failures on an existing artifact propagate — the
+    load_quality_model discipline)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    return {r["h"] for r in spark.read.parquet(path).collect()}

@@ -660,6 +660,12 @@ def test_cli_corpus_prep_stream_model_frozen_across_reruns(spark, tmp_path):
     w2, wu2 = load_quality_model(spark, str(out / "_quality_model"))
     assert (w2, wu2) == (w1, wu1)  # artifact untouched by the rerun
     assert "fresh" not in w2
+    # the decontamination eval set is frozen the same way (no doc in
+    # this fixture has id % 97 == 0 except doc 0 -> its shingles)
+    from clinvar_pipeline_spark.streaming.corpus import load_eval_hashes
+
+    ev1 = load_eval_hashes(spark, str(out / "_eval_shingles"))
+    assert ev1 is not None
 
     # the rerun scored exactly the new docs, under the frozen model
     got = {
