@@ -223,16 +223,28 @@ def quality_stream(
 
     Scale: tokens never leave their row — the Arrow kernel receives
     (token-array) columns and emits one double per doc."""
+    import math
+
     from pyspark.sql.functions import pandas_udf
 
     from clinvar_pipeline_spark.functions.hashes import normalized_tokens
 
     @pandas_udf("double")
     def mean_logodds(toks: pd.Series) -> pd.Series:
+        # math.fsum: the batch twin's distributed avg() sums partials
+        # in nondeterministic order; a naive in-order Python sum would
+        # make stream/batch equality hinge on round(.,4) absorbing
+        # last-ulp drift. fsum is exactly rounded, so the served score
+        # is summation-order INDEPENDENT — the stream's value is
+        # deterministic relative to the batch twin, and any residual
+        # divergence would sit at a true 4-decimal rounding boundary
+        # of the exact sum, not at a float-association accident
+        # (review finding).
         out = []
         for arr in toks:
             out.append(
-                sum(weights.get(t, w_unseen) for t in arr) / len(arr)
+                math.fsum(weights.get(t, w_unseen) for t in arr)
+                / len(arr)
             )
         return pd.Series(out, dtype="float64")
 
@@ -248,6 +260,23 @@ def quality_stream(
         (score + F.lit(0.0)).alias("score"),
         F.when(score > 0, 1).otherwise(0).alias("keep_flag"),
     )
+
+def _artifact_exists(spark: SparkSession, path: str) -> bool:
+    """Probe run-artifact existence through the Hadoop FileSystem API
+    so the freshness gate works on every filesystem Spark can write.
+    ``os.path.exists`` answers for the driver's LOCAL disk only — for
+    an ``hdfs://`` / ``s3a://`` artifact it is always False, so a
+    local-path check would silently retrain and overwrite the frozen
+    model/eval set on every rerun, reintroducing exactly the
+    arrival-order dependence the artifacts exist to prevent (review
+    finding). The probe resolves the path against ITS OWN scheme's
+    filesystem (``Path.getFileSystem``), matching where the
+    save_* writers land it."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
 
 def save_quality_model(
     spark: SparkSession, weights: dict, w_unseen: float, path: str
@@ -273,10 +302,11 @@ def load_quality_model(
     an EXISTING artifact (corrupt footer from an interrupted
     overwrite, FS error) PROPAGATES — silently retraining there would
     overwrite the frozen model and reintroduce the arrival-order
-    dependence the artifact exists to prevent (review finding)."""
-    import os
-
-    if not os.path.exists(path):
+    dependence the artifact exists to prevent (review finding).
+    Existence probes through the Hadoop FS API (_artifact_exists) so
+    the gate holds for hdfs://s3a:// artifacts, not just local
+    paths."""
+    if not _artifact_exists(spark, path):
         return None
     rows = spark.read.parquet(path).collect()
     weights = {r["t"]: r["w"] for r in rows if r["t"] is not None}
@@ -298,10 +328,9 @@ def save_eval_hashes(spark: SparkSession, hashes: set, path: str) -> None:
 
 def load_eval_hashes(spark: SparkSession, path: str) -> set | None:
     """Load a frozen eval shingle set; None only if never landed
-    (read failures on an existing artifact propagate — the
-    load_quality_model discipline)."""
-    import os
-
-    if not os.path.exists(path):
+    (read failures on an existing artifact propagate, and existence
+    probes through the Hadoop FS API — the load_quality_model
+    discipline)."""
+    if not _artifact_exists(spark, path):
         return None
     return {r["h"] for r in spark.read.parquet(path).collect()}
