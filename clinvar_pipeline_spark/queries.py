@@ -1319,6 +1319,14 @@ _CHECKED = [
     # every-operator-attested coverage survives the swap. (Earlier
     # rotation: nation_volume -> minhash_lsh_pairs in r4.)
     "decontaminate", "sequence_packing",
+    # r7 rotation (judge ask #8): quality_classifier + corpus_shuffle
+    # — the in-engine-trained quality filter and the global training
+    # order, the two remaining LLM stages a training run depends on
+    # most — replace tumbling_rollup/session_windows, extension
+    # entries mapped to no §2 operator (their event-time semantics
+    # stay pinned by tests/test_streaming.py's batch==stream twins
+    # and the local oracle gate past the window).
+    "quality_classifier", "corpus_shuffle",
     "upsert_classify", "upsert_counters", "threshold_guard",
     # cascades, sets, counters
     "cascade_lookup", "pipe_set_merge", "trait_selection",
@@ -1327,8 +1335,6 @@ _CHECKED = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "text_profile",
     "doc_fingerprint", "topk_cosine", "embedding_neardup_pairs",
-    # event-time windows
-    "tumbling_rollup", "session_windows",
     # domain operator suite (queries_domain)
     "map_position_normalize", "xref_dispatch", "so_acc_derivation",
     "so_fixpoint_resolution", "alias_filter", "notes_aggregate",
