@@ -489,3 +489,72 @@ def cdc_spans_batch(window: int = 16, divisor: int = 64):
         return pd.Series(out)
 
     return spans
+
+
+# Rolling token-window hashing (the ExactSubstr stride-1 pass).
+# Base must be ODD so it is invertible mod 2^64 (the prefix-sum
+# normalization below multiplies by powers of its inverse).
+ROLL_BASE = 0x9E3779B97F4A7C15
+ROLL_BASE_INV = pow(ROLL_BASE, -1, 1 << 64)
+
+
+def rolling_window_hashes_batch(window: int):
+    """Arrow-batched stride-1 window hashes over PRE-HASHED token
+    streams: an ``array<bigint>`` of per-token xxhash64 values in, an
+    ``array<bigint>`` of ``n - window + 1`` window hashes out — O(n)
+    per document instead of the O(n*window) bytes a per-window
+    ``concat_ws(slice(...))`` string materialization pushes through
+    the tokenizer (the cdc_spans_batch Karp-Rabin discipline, lifted
+    from characters to token hashes).
+
+    Mechanics (all vectorized numpy, wraparound mod 2^64): with
+    per-token hashes t_j and prefix sums P_k = sum_{j<k} t_j * B^-j,
+    the hash of the window starting at i is
+    ``(P[i+W] - P[i]) * B^i == sum_{d<W} t_{i+d} * B^-d`` — a pure
+    function of the token-hash subsequence, so two windows collide
+    exactly when their token sequences match (up to 64-bit hash
+    collisions, the same residual the previous per-window xxhash64
+    carried). Token hashing itself stays JVM-side
+    (``transform(toks, t -> xxhash64(t))``), so the kernel moves
+    8 bytes per token over Arrow, never strings, and Python sees only
+    int64 ndarrays.
+
+    Position sensitivity: B^-d weights by IN-WINDOW offset d, so equal
+    token multisets in different orders hash differently, and the
+    normalization by B^i makes the value independent of the window's
+    absolute position — required for cross-document matching."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.uint64(ROLL_BASE)
+    Binv = np.uint64(ROLL_BASE_INV)
+
+    @pandas_udf("array<bigint>")
+    def roll(hs: pd.Series) -> pd.Series:
+        lens = [0 if a is None else len(a) for a in hs]
+        maxlen = max(lens, default=0)
+        # shared power tables per Arrow batch: B^i and B^-i, i<=maxlen
+        powB = np.ones(maxlen + 1, dtype=np.uint64)
+        powBinv = np.ones(maxlen + 1, dtype=np.uint64)
+        if maxlen:
+            np.multiply.accumulate(
+                np.full(maxlen, B, dtype=np.uint64), out=powB[1:]
+            )
+            np.multiply.accumulate(
+                np.full(maxlen, Binv, dtype=np.uint64), out=powBinv[1:]
+            )
+        out = []
+        with np.errstate(over="ignore"):
+            for arr, n in zip(hs, lens):
+                if n < window:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                t = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                P = np.empty(n + 1, dtype=np.uint64)
+                P[0] = 0
+                np.cumsum(t * powBinv[:n], out=P[1:])
+                m = n - window + 1
+                h = (P[window:] - P[:m]) * powB[:m]
+                out.append(h.view(np.int64))
+        return pd.Series(out)
+
+    return roll
