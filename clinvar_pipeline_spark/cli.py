@@ -23,8 +23,12 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain, 26 stages: profile, repetition gates,
-        lm_quality, quality-classifier scores, perplexity bands,
+        (LLM corpus-prep chain — 27 landed stages: 26 registry
+        queries + the raw-text PII scrub, plus SemDeDup + the
+        IVF/PQ index artifacts when embeddings exist: profile,
+        repetition gates,
+        lm_quality, quality-classifier scores, perplexity bands
+        (z-score + percentile-true),
         TF-IDF keywords,
         near-dup pairs + applies, dedup clusters, passage dedup,
         exact-substring span cut list + apply, CDC chunks,
@@ -228,6 +232,10 @@ CORPUS_PREP_STAGES = [
     "quality_classifier",
     # late r6: CCNet head/middle/tail banding on the lm_quality score
     "perplexity_bands",
+    # r7: the percentile-TRUE banding (exact per-language order
+    # statistics via two-pass histogram) — the paper's semantics; the
+    # z-score variant above stays as the cheap comparison path
+    "perplexity_bands_pct",
     "tfidf_top_terms",
     "minhash_lsh_pairs",
     "dedup_apply",

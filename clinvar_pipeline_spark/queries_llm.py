@@ -2222,19 +2222,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # z-score band edges on the per-language LM-quality distribution.
 # CCNet cuts head/middle/tail at per-language perplexity PERCENTILES;
-# exact percentiles of a domain need either a single-task sort per
-# domain (scale-hostile) or engine-specific sketches (oracle-hostile),
-# so the banding statistic here is the z-score against per-domain
-# mean/stddev — one aggregate pass, broadcast back, map-only labeling,
-# and bit-portable across engines. Same selection semantics: typical
-# text lands in head, rare-token text in tail.
+# perplexity_bands_pct below is the percentile-TRUE variant (exact
+# per-language order statistics via a two-pass fixed-width histogram —
+# engine-portable, no per-language sort); this z-score variant stays
+# as the documented cheap path — ONE aggregate pass, broadcast back,
+# map-only labeling. Same selection semantics on roughly-normal
+# distributions (typical text lands in head, rare-token text in
+# tail), but cut POINTS diverge on skewed ones — the divergence is
+# pinned by tests/test_llm_queries_r7.py on a skewed fixture.
 BAND_HEAD_Z = 0.5
 BAND_TAIL_Z = -0.5
 
-
-@register(
-    "perplexity_bands",
-    f"""
+# LM-quality scoring CTEs shared by perplexity_bands /
+# perplexity_bands_pct (the _SPANS_CTES idiom — one definition, two
+# oracle consumers; the engine side equally shares _lm_scored)
+_LM_SCORED_CTES = f"""
     WITH tok AS (
         SELECT doc_id, lang, unnest(toks) AS t
         FROM (SELECT doc_id, lang, {_TOKENIZE_SQL.format(col='text')} AS toks
@@ -2248,7 +2250,40 @@ BAND_TAIL_Z = -0.5
         SELECT doc_id, lang,
                round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS score
         FROM tok JOIN freq USING (t)
-        GROUP BY doc_id, lang),
+        GROUP BY doc_id, lang)
+"""
+
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, score): every document's LM-quality score —
+    lm_quality's mean unigram logprob, rounded 4 — persisted, the
+    shared front end of both banding variants. One persisted explode,
+    a vocab-sized frequency join, one bounded scalar collect (the
+    lm_quality discipline)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tok = (
+        d.select(
+            "doc_id", "lang", normalized_tokens(F.col("text")).alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "lang", F.explode("toks").alias("t"))
+    )
+    tok = _persist(tok)
+    total = tok.count()  # bounded scalar
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+    scored = (
+        tok.join(freq, "t")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(lp), 4).alias("score"))
+    )
+    return _persist(scored)  # every consumer reads it at least twice
+
+
+@register(
+    "perplexity_bands",
+    f"""
+    {_LM_SCORED_CTES},
     stats AS (
         SELECT lang, avg(score) AS mu, stddev_samp(score) AS sd
         FROM scored GROUP BY lang),
@@ -2275,28 +2310,12 @@ def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-resource language's distribution.
 
     Scale: the scoring plan is lm_quality's (one persisted explode,
-    vocab-sized frequency join); the band thresholds are per-domain
-    mean/stddev — ONE aggregate to domain cardinality, broadcast
-    back, labeling map-only. No per-domain sort, no percentile sketch
-    (docstring above documents the percentile->z-score trade)."""
-    d = _spread(_t(spark, sf_dir, "documents"))
-    tok = (
-        d.select(
-            "doc_id", "lang", normalized_tokens(F.col("text")).alias("toks")
-        )
-        .filter(F.size("toks") > 0)
-        .select("doc_id", "lang", F.explode("toks").alias("t"))
-    )
-    tok = _persist(tok)
-    total = tok.count()  # bounded scalar (the lm_quality discipline)
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    lp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
-    scored = (
-        tok.join(freq, "t")
-        .groupBy("doc_id", "lang")
-        .agg(F.round(F.avg(lp), 4).alias("score"))
-    )
-    scored = _persist(scored)  # stats + labeling both read it
+    vocab-sized frequency join — shared via _lm_scored); the band
+    thresholds are per-domain mean/stddev — ONE aggregate to domain
+    cardinality, broadcast back, labeling map-only. No per-domain
+    sort, no percentile sketch (the cheap path; see
+    perplexity_bands_pct for the percentile-true cuts)."""
+    scored = _lm_scored(spark, sf_dir)
     stats = scored.groupBy("lang").agg(
         F.avg("score").alias("mu"), F.stddev_samp("score").alias("sd")
     )
@@ -2322,6 +2341,147 @@ def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("middle")
             .alias("band"),
         )
+    )
+
+
+# fixed-width histogram resolution for the percentile-true bands: the
+# refine pass sorts only the cut bin (~n/PCT_NBINS rows per language),
+# so at a larger corpus raise PCT_NBINS to keep that slice bounded
+PCT_NBINS = 1024
+
+
+@register(
+    "perplexity_bands_pct",
+    f"""
+    {_LM_SCORED_CTES},
+    stats AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang),
+    ranked AS (
+        SELECT lang, score,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY score DESC) AS rk
+        FROM scored),
+    cuts AS (
+        SELECT r.lang,
+               max(CASE WHEN r.rk = CAST(ceil(st.n / 3.0) AS BIGINT)
+                        THEN r.score END) AS cut_head,
+               max(CASE WHEN r.rk = CAST(ceil(2 * st.n / 3.0) AS BIGINT)
+                        THEN r.score END) AS cut_tail
+        FROM ranked r JOIN stats st USING (lang)
+        GROUP BY r.lang)
+    SELECT s.doc_id, s.lang, s.score,
+           CASE WHEN s.score >= c.cut_head THEN 'head'
+                WHEN s.score < c.cut_tail THEN 'tail'
+                ELSE 'middle' END AS band
+    FROM scored s JOIN cuts c USING (lang)
+    """,
+)
+def q_perplexity_bands_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet banding at TRUE per-language percentiles (the paper's
+    semantics — perplexity_bands' z-score variant is the documented
+    cheap path): the head/tail cuts are the exact k-th order
+    statistics of each language's score distribution in descending
+    order, k_head = ceil(n/3) and k_tail = ceil(2n/3) — equal thirds
+    up to ties. Band assignment is BY VALUE against the cuts (score
+    >= cut_head -> head, score < cut_tail -> tail), so ties at a cut
+    all land on the same side in every engine.
+
+    The oracle computes the same order statistics via
+    ROW_NUMBER-over-language; the engine must NOT (a per-language
+    global sort puts a whole language's corpus in one task). Instead,
+    an engine-portable two-pass fixed-width histogram finds each cut
+    exactly:
+
+    1. per-language (n, min, max) — one aggregate, broadcast back;
+    2. map-only binning into PCT_NBINS descending fixed-width bins,
+       then per-(lang, bin) counts — an aggregate to language x 1024
+       cardinality, where a running sum locates the bin containing
+       each target rank and the count of rows in earlier bins;
+    3. refine: ONLY the cut bin's rows (~n/PCT_NBINS per language)
+       sort within (language, cut) partitions; row_number picks the
+       (k - preceding)-th — the exact k-th order statistic, since
+       equal values always share a bin.
+
+    Every heavy shuffle is the scoring plan's own; the histogram
+    frame, cut-bin table, and cuts are language-cardinality and
+    broadcast. The refine window's partitions are bin-sized, not
+    language-sized — raise PCT_NBINS to scale the slice down."""
+    scored = _lm_scored(spark, sf_dir)
+    stats = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("score").alias("mn"),
+        F.max("score").alias("mx"),
+    )
+    # descending bins: bin 0 holds the top scores, so the running sum
+    # over ascending bin ids accumulates descending ranks
+    span = F.col("mx") - F.col("mn")
+    binned = scored.join(F.broadcast(stats), "lang").select(
+        "lang",
+        "score",
+        F.when(span == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("mx") - F.col("score")) / span * PCT_NBINS),
+                F.lit(PCT_NBINS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    binned = _persist(binned)  # histogram + refine both read it
+    hist = binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("prev"),
+    )
+    ranks = stats.select(
+        "lang",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("head").alias("cut"),
+                    F.ceil(F.col("n") / 3.0).cast("long").alias("k"),
+                ),
+                F.struct(
+                    F.lit("tail").alias("cut"),
+                    F.ceil(2 * F.col("n") / 3.0).cast("long").alias("k"),
+                ),
+            )
+        ).alias("r"),
+    ).select("lang", F.col("r.cut").alias("cut"), F.col("r.k").alias("k"))
+    cut_bins = cum.join(ranks, "lang").filter(
+        (F.col("prev") < F.col("k")) & (F.col("cum") >= F.col("k"))
+    ).select("lang", "bin", "cut", "k", "prev")
+    wref = Window.partitionBy("lang", "cut").orderBy(F.desc("score"))
+    cut_vals = (
+        binned.join(F.broadcast(cut_bins), ["lang", "bin"])
+        .withColumn("_rn", F.row_number().over(wref))
+        .filter(F.col("_rn") == F.col("k") - F.col("prev"))
+        .groupBy("lang")
+        .pivot("cut", ["head", "tail"])
+        .agg(F.first("score"))
+        .select(
+            "lang",
+            F.col("head").alias("cut_head"),
+            F.col("tail").alias("cut_tail"),
+        )
+    )
+    return scored.join(F.broadcast(cut_vals), "lang").select(
+        "doc_id",
+        "lang",
+        "score",
+        F.when(F.col("score") >= F.col("cut_head"), "head")
+        .when(F.col("score") < F.col("cut_tail"), "tail")
+        .otherwise("middle")
+        .alias("band"),
     )
 
 

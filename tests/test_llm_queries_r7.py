@@ -75,3 +75,79 @@ def test_eval_leak_all_capped_doc_reports_zero(spark, tmp_path, monkeypatch):
     assert r["n_leaked_shingles"] == 0
     assert r["n_train_docs"] == 0
     assert r["leak_ratio"] == 0.0
+
+
+# ---------------------------------------------------------------------
+# perplexity_bands_pct: percentile-true cuts + divergence from z-bands
+# ---------------------------------------------------------------------
+
+import math
+
+
+def _pct_expect(rows):
+    """Reference banding in pure Python from (lang, score) pairs:
+    cut_head = ceil(n/3)-th largest, cut_tail = ceil(2n/3)-th
+    largest, assignment by value."""
+    by_lang: dict[str, list[float]] = {}
+    for lang, s in rows:
+        by_lang.setdefault(lang, []).append(s)
+    out = {}
+    for lang, ss in by_lang.items():
+        desc = sorted(ss, reverse=True)
+        n = len(desc)
+        ch = desc[math.ceil(n / 3) - 1]
+        ct = desc[math.ceil(2 * n / 3) - 1]
+        out[lang] = (ch, ct)
+    return out
+
+
+def test_pct_bands_exact_order_statistics(spark, tmp_path):
+    """Cuts are the exact k-th order statistics — checked against a
+    pure-Python sort on a fixture wide enough to spread over many
+    histogram bins (distinct rare vocab per doc -> distinct scores)."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(i % 7 + 1))
+             + " common" * (i % 5), "en") for i in range(30)]
+    rows += [(100 + i, f"s{i} s{i} t{i}", "fr") for i in range(4)]
+    rows += [(200, "solo language doc", "xx")]  # n=1: both cuts = score
+    d = _write_docs(spark, tmp_path, rows)
+    got = ql.q_perplexity_bands_pct(spark, d).collect()
+    cuts = _pct_expect([(r["lang"], r["score"]) for r in got])
+    for r in got:
+        ch, ct = cuts[r["lang"]]
+        want = ("head" if r["score"] >= ch
+                else "tail" if r["score"] < ct else "middle")
+        assert r["band"] == want, (r, ch, ct)
+    # the single-doc language lands head (its score is both cuts)
+    assert [r["band"] for r in got if r["lang"] == "xx"] == ["head"]
+
+
+def test_pct_bands_degenerate_language_all_one_score(spark, tmp_path):
+    """All docs of a language share one score: span == 0 collapses to
+    one bin, cuts equal that score, everyone is head (>= cut_head) in
+    BOTH engines — the z-variant's sd==0 guard analogue."""
+    rows = [(i, "same same same", "en") for i in range(6)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = ql.q_perplexity_bands_pct(spark, d).collect()
+    assert len(out) == 6 and all(r["band"] == "head" for r in out)
+
+
+def test_pct_vs_z_bands_diverge_on_skew(spark, tmp_path):
+    """The documented trade the pct variant closes: on a skewed
+    distribution (a heavy mode + a rare tail) the z-score cut points
+    differ from the percentile cuts — at least one document is banded
+    differently, while the pct bands remain exact thirds-by-value."""
+    rows = [(i, "a", "en") for i in range(12)]
+    rows += [(100 + i, f"rare{i}", "en") for i in range(3)]
+    d = _write_docs(spark, tmp_path, rows)
+    z = {r["doc_id"]: r["band"]
+         for r in ql.q_perplexity_bands(spark, d).collect()}
+    p = {r["doc_id"]: r["band"]
+         for r in ql.q_perplexity_bands_pct(spark, d).collect()}
+    assert set(z) == set(p)
+    diverged = {k for k in z if z[k] != p[k]}
+    assert diverged, "skewed fixture must separate the two variants"
+    # pct semantics on this fixture: the 12-doc mode IS the top-third
+    # cut value -> all head; the 3 rare docs sit below the 2/3 cut ->
+    # tail; middle empty
+    got = sorted(p.values())
+    assert got.count("head") == 12 and got.count("tail") == 3
