@@ -830,9 +830,12 @@ def _window_hash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "h")
 
 
-# CTE chain shared by duplicate_spans and duplicate_spans_apply (the
-# _FUNNEL_SQL nesting idiom)
-_SPANS_CTES = f"""
+def _spans_ctes(d_def: str) -> str:
+    """The ExactSubstr oracle CTE chain, parameterized on the
+    marked-window set ``d`` (doc_id, pos) so the cut-all and
+    keep-first policies share every other stage (the _FUNNEL_SQL
+    one-definition idiom)."""
+    return f"""
     WITH tok AS (
         SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
         FROM documents),
@@ -845,8 +848,7 @@ _SPANS_CTES = f"""
                array_to_string(list_slice(toks, i, i + {SPAN_W} - 1), ' ')
                  AS s
         FROM idx),
-    dup AS (SELECT s FROM win GROUP BY s HAVING count(*) > 1),
-    d AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (s)),
+    {d_def},
     isl AS (
         SELECT doc_id, pos,
                CASE WHEN pos - lag(pos) OVER (
@@ -865,6 +867,47 @@ _SPANS_CTES = f"""
                CAST(count(*) AS BIGINT) AS n_windows
         FROM grp GROUP BY doc_id, g)
 """
+
+
+# cut-ALL-occurrences policy (duplicate_spans / _apply): every
+# occurrence of a duplicated window is marked
+_SPANS_CTES = _spans_ctes(
+    """dup AS (SELECT s FROM win GROUP BY s HAVING count(*) > 1),
+    d AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (s))"""
+)
+
+# keep-FIRST-occurrence policy: the globally-first occurrence of each
+# window string (min (doc_id, pos) — ROW_NUMBER over occurrences)
+# survives; only later occurrences are marked
+_SPANS_KEEP_FIRST_CTES = _spans_ctes(
+    """occ AS (
+        SELECT doc_id, pos, row_number() OVER (
+            PARTITION BY s ORDER BY doc_id, pos) AS rn
+        FROM win),
+    d AS (SELECT doc_id, pos FROM occ WHERE rn > 1)"""
+)
+
+
+def _merge_marked_to_spans(marked: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of marked window starts into maximal
+    [span_start, span_end) token spans — per-DOCUMENT windows,
+    parallel at any corpus size (shared by both span policies)."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wdoc) > SPAN_W, 1
+    ).otherwise(0)
+    grp = marked.select("doc_id", "pos", brk.alias("brk")).select(
+        "doc_id",
+        "pos",
+        F.sum("brk")
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+    )
+    return grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + SPAN_W).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("g")
 
 
 @register(
@@ -911,22 +954,47 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     marked = win.join(dup, "h", "left_semi")
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(
-        F.col("pos") - F.lag("pos").over(wdoc) > SPAN_W, 1
-    ).otherwise(0)
-    grp = marked.select("doc_id", "pos", brk.alias("brk")).select(
-        "doc_id",
-        "pos",
-        F.sum("brk")
-        .over(wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("g"),
+    return _merge_marked_to_spans(marked)
+
+
+@register(
+    "duplicate_spans_keep_first",
+    f"""
+    {_SPANS_KEEP_FIRST_CTES}
+    SELECT doc_id, span_start, span_end, n_windows FROM spans
+    """,
+)
+def q_duplicate_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_spans under the KEEP-ONE-OCCURRENCE policy: the
+    globally-first occurrence of each duplicated window — min
+    (doc_id, pos), the same deterministic total order corpus_shuffle's
+    prefix-sum rank uses — is NOT marked, so exactly one copy of each
+    duplicated string survives the cut (up to span overlap in the
+    surviving document, pinned by the conservation contract test).
+    Lee et al.'s released ExactSubstr tooling defaults to
+    cut-everything (duplicate_spans); some pipelines instead keep one
+    canonical copy — this is that mode as its own cut list.
+
+    Scale: identical plan family — the linear rolling-hash window
+    pass, then ONE h-keyed groupBy picking min(struct(doc_id, pos))
+    (a 16-byte aggregate per distinct window, no global order
+    needed because min over the struct IS the global
+    first-occurrence pick), one h-equi-join back, and the per-doc
+    island merge. No new shuffle shape vs duplicate_spans."""
+    win = _window_hash_frame(spark, sf_dir)
+    win = _persist(win)  # first-pick build + position join share it
+    firsts = win.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("f")
     )
-    return grp.groupBy("doc_id", "g").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + SPAN_W).alias("span_end"),
-        F.count(F.lit(1)).alias("n_windows"),
-    ).drop("g")
+    marked = (
+        win.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("f.doc_id"))
+            | (F.col("pos") != F.col("f.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    return _merge_marked_to_spans(marked)
 
 
 @register(

@@ -151,3 +151,91 @@ def test_pct_vs_z_bands_diverge_on_skew(spark, tmp_path):
     # tail; middle empty
     got = sorted(p.values())
     assert got.count("head") == 12 and got.count("tail") == 3
+
+
+# ---------------------------------------------------------------------
+# duplicate_spans_keep_first: one canonical copy survives
+# ---------------------------------------------------------------------
+
+def _apply_cut(rows, spans):
+    """Pure-Python cut application: tokens outside any span survive.
+    Returns {doc_id: (n_tokens, kept_tokens)}."""
+    cut = {}
+    for r in spans:
+        cut.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    out = {}
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        spans_d = cut.get(doc_id, [])
+        kept = [
+            t for i, t in enumerate(toks)
+            if not any(s <= i < e for s, e in spans_d)
+        ]
+        out[doc_id] = (len(toks), kept)
+    return out
+
+
+def test_keep_first_one_occurrence_survives(spark, tmp_path, monkeypatch):
+    """The contract: exactly ONE occurrence of each duplicated string
+    survives the keep-first cut (the globally-first by (doc_id, pos)),
+    and per-document token mass is conserved (kept + cut ==
+    n_tokens)."""
+    monkeypatch.setattr(ql, "SPAN_W", 3)
+    rows = [
+        (0, "b0 b1 b2 u0 u1 u2 u3", "en"),
+        (1, "v0 v1 v2 b0 b1 b2", "en"),
+        (2, "b0 b1 b2 w0 w1", "en"),
+        # self-repeat: first copy at pos 0 survives, second (pos 7) cut
+        (3, "x0 x1 x2 q0 q1 q2 q3 x0 x1 x2", "en"),
+        (4, "z0 z1 z2 z3", "en"),  # unique -> untouched
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    spans = ql.q_duplicate_spans_keep_first(spark, d).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in spans}
+    assert got == {(1, 3, 6, 1), (2, 0, 3, 1), (3, 7, 10, 1)}
+    applied = _apply_cut(rows, spans)
+    # token-mass conservation per doc
+    for doc_id, text, _ in rows:
+        n, kept = applied[doc_id]
+        n_cut = sum(
+            r["span_end"] - r["span_start"] for r in spans
+            if r["doc_id"] == doc_id
+        )
+        assert len(kept) + n_cut == n
+    # exactly one occurrence of each duplicated trigram survives
+    all_kept = {doc: " ".join(k) for doc, (_, k) in applied.items()}
+    survivors_b = sum(s.count("b0 b1 b2") for s in all_kept.values())
+    survivors_x = sum(s.count("x0 x1 x2") for s in all_kept.values())
+    assert survivors_b == 1 and survivors_x == 1
+    # the survivor is the globally-first occurrence
+    assert all_kept[0].startswith("b0 b1 b2")
+    assert all_kept[3].startswith("x0 x1 x2")
+
+
+def test_keep_first_marked_subset_of_cut_all(spark, tmp_path, monkeypatch):
+    """keep_first's marked-window mass equals cut-all's minus one
+    window per distinct duplicated string — the policies differ by
+    exactly the surviving occurrences."""
+    monkeypatch.setattr(ql, "SPAN_W", 3)
+    boiler = "b0 b1 b2 b3 b4"
+    rows = [
+        (0, f"u0 u1 {boiler} u2 u3", "en"),
+        (1, f"{boiler} v0 v1 v2 v3", "en"),
+        (2, f"w0 {boiler} w1 w2", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    n_all = sum(r["n_windows"] for r in
+                ql.q_duplicate_spans(spark, d).collect())
+    n_kf = sum(r["n_windows"] for r in
+               ql.q_duplicate_spans_keep_first(spark, d).collect())
+    # 3 duplicated trigrams inside boiler, each with one survivor
+    assert n_all - n_kf == 3
+    # the surviving doc is doc 0? no -- doc 1 holds the globally
+    # smallest (doc_id, pos) only when its pos is irrelevant: order is
+    # lexicographic on (doc_id, pos), so doc 0's occurrences win
+    kf_docs = {r["doc_id"] for r in
+               ql.q_duplicate_spans_keep_first(spark, d).collect()}
+    assert 0 not in kf_docs and kf_docs == {1, 2}
