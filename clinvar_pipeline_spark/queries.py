@@ -991,9 +991,24 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is the map-only profiling pass every corpus gets,
     and fusing the four profiles means text is tokenized once, not
     four times. (_spread: the single-split local input would otherwise
-    run every regex on one core.)"""
-    d = _spread(_t(spark, sf_dir, "documents"))
-    toks = normalized_tokens(F.col("text"))
+    run every regex on one core.)
+
+    The token array is PROJECTED once (`_tk`) before the profile
+    columns read it: six consumers (counts, distinct, stop filter,
+    four language filters) reference `toks`, and because the
+    stop/language consumers are higher-order ArrayFilter lambdas,
+    whole-stage codegen's common-subexpression elimination does NOT
+    dedupe the shared tokenize across them — inline, the
+    split+regexp_replace tokenizer ran per consumer. Materializing it
+    as a column halves the query's warm wall (r7 bisect at sf0.1:
+    ~1.50 s -> ~0.80 s warm; the r6 BIGINT casts measured ~0.03 s and
+    stay for oracle type alignment). CollapseProject leaves the
+    projection in place precisely because the alias is referenced
+    many times by non-cheap expressions."""
+    d = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", normalized_tokens(F.col("text")).alias("_tk")
+    )
+    toks = F.col("_tk")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
 
     def hits(lang: str):
