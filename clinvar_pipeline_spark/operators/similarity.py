@@ -676,6 +676,8 @@ def ann_topk_pq(
     ivf: bool = False,
     num_cells: int | None = None,
     n_probe_cells: int | None = None,
+    codebooks: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Product-quantization ANN — the SERVE path: a bounded query set
     (collected driver-side, ``max_queries`` guard — query batches are
@@ -703,15 +705,24 @@ def ann_topk_pq(
     probed cells (per-chunk boolean mask). With ``n_probe_cells ==
     num_cells`` the mask is all-true and results are identical to the
     pure scan — pinned by test; smaller probes trade recall for scan
-    fraction exactly like ann_topk_ivf."""
+    fraction exactly like ann_topk_ivf.
+
+    ``codebooks`` (and, with ``ivf=True``, ``centroids``) serve a
+    PRE-TRAINED index instead of training (save_pq_codebooks /
+    load_pq_codebooks + save_centroids/load_centroids — the full
+    IndexIVFPQ state round-trips across sessions; the CLI's
+    --corpusPrep lands both as out/pq_index + out/ivf_index)."""
     from pyspark.sql.functions import pandas_udf
 
     if rerank is None:
         rerank = max(4 * k, 16)
-    B = _train_pq_codebooks(
-        corpus, vec_col, n_subspaces, pq_k, train_sample, lloyd_iters,
-        seed, id_col=id_col, memo_key=memo_key,
-    )
+    if codebooks is not None:
+        B = np.asarray(codebooks, dtype=np.float64)
+    else:
+        B = _train_pq_codebooks(
+            corpus, vec_col, n_subspaces, pq_k, train_sample, lloyd_iters,
+            seed, id_col=id_col, memo_key=memo_key,
+        )
     M, K, dsub = B.shape
 
     q_rows = (
@@ -747,12 +758,17 @@ def ann_topk_pq(
     probe_mask = None
     probed_union: list[int] = []
     if ivf:
-        if num_cells is None:
-            num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
-        C = _train_centroids(
-            corpus, vec_col, num_cells, train_sample, lloyd_iters,
-            seed, id_col=id_col, memo_key=memo_key,
-        )
+        if centroids is not None:
+            C = np.asarray(centroids, dtype=np.float64)
+        else:
+            if num_cells is None:
+                num_cells = _derived_num_cells(
+                    _corpus_count(corpus, memo_key)
+                )
+            C = _train_centroids(
+                corpus, vec_col, num_cells, train_sample, lloyd_iters,
+                seed, id_col=id_col, memo_key=memo_key,
+            )
         npr = n_probe_cells if n_probe_cells else max(4, len(C) // 4)
         npr = min(npr, len(C))
         sims = Q @ C.T

@@ -414,6 +414,43 @@ def test_cli_corpus_prep(spark, tmp_path):
     C = load_centroids(spark, str(tmp_path / "prep" / "ivf_index"))
     assert counters["ivf_index"] == len(C)
     assert C.shape[1] > 0
+    # ...and the PQ codebooks next to it (r7: the FULL IndexIVFPQ
+    # state round-trips, not just the coarse quantizer)
+    from clinvar_pipeline_spark.operators.similarity import (
+        load_pq_codebooks,
+    )
+
+    B = load_pq_codebooks(spark, str(tmp_path / "prep" / "pq_index"))
+    assert counters["pq_index"] == B.shape[0] * B.shape[1]
+    # cross-session serve: the in-session IVF-PQ search and a search
+    # served purely from the landed artifacts (memo wiped = fresh
+    # driver) must return identical rows, with no training job on the
+    # serve path
+    from clinvar_pipeline_spark.caching import clear_memo, release_cached
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+    from clinvar_pipeline_spark.queries import queries as _reg
+
+    in_session = {
+        tuple(r) for r in _reg()["ann_topk_ivfpq"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    release_cached()
+    clear_memo()  # a fresh session has no trained corpus state
+    from clinvar_pipeline_spark.queries_domain import _spread, _t
+
+    emb = _spread(_t(spark, "/root/testdata/sf0.001", "embeddings"), parts=8)
+    served = {
+        tuple(r) for r in ann_topk_pq(
+            emb, emb, k=5, ivf=True,
+            codebooks=load_pq_codebooks(
+                spark, str(tmp_path / "prep" / "pq_index")
+            ),
+            centroids=C,
+        ).collect()
+    }
+    assert served == in_session and len(served) > 0
+    release_cached()
 
 
 def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
