@@ -379,22 +379,31 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
 
 
 def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
-    """--corpusPrep --stream: the stateless corpus-prep stages (PII
-    scrub, repetition gates, model quality scoring, benchmark
-    decontamination) as ONE Structured Streaming ingest over the
-    document source — each stage
-    a map-only/append-safe writeStream to parquet, so documents are
-    scrubbed/gated/checked as they arrive instead of in a nightly
-    batch. availableNow triggers drain whatever is present and stop
+    """--corpusPrep --stream: the streaming-servable corpus-prep
+    stages (PII scrub, repetition gates, model quality scoring,
+    benchmark decontamination — map-only/append-safe writeStreams —
+    plus the incremental near-dup flagger, a foreachBatch
+    stream-static join against the frozen corpus shingle index) as
+    ONE Structured Streaming ingest over the document source, so
+    documents are scrubbed/gated/checked/dup-screened as they arrive
+    instead of in a nightly batch. availableNow triggers drain whatever is present and stop
     (the CLI contract: a run terminates), but checkpoints persist, so
     re-running against a growing directory processes only new files —
-    the incremental-ingest story at scale. The stateful/global stages
-    (dedup, stratified rates, packing) stay in the batch chain by
-    nature (documented in streaming/corpus.py); output parquet for
-    the streamed stages is identical to their batch twins on a given
+    the incremental-ingest story at scale. The corpus-GLOBAL stages
+    (dedup pair generation/clusters, stratified rates, packing) stay
+    in the batch chain by
+    nature (documented in streaming/corpus.py); the near-dup flagger
+    is their incremental early-warning — per micro-batch it scores
+    arrivals' shingle containment against the frozen corpus index,
+    and its flags are a monotone SUBSET of the nightly batch pass's
+    verdicts (new-vs-new duplicates wait for that pass; pinned by
+    tests/test_streaming_corpus.py). Output parquet for
+    the map-only streamed stages is identical to their batch twins on
+    a given
     corpus, pinned by tests/test_cli.py. Run-scoped corpus state —
-    the quality model (_quality_model) and the decontamination eval
-    shingle set (_eval_shingles) — is FROZEN at the first run, so
+    the quality model (_quality_model), the decontamination eval
+    shingle set (_eval_shingles), and the corpus shingle index
+    (_corpus_shingles) — is FROZEN at the first run, so
     incremental reruns stay arrival-order independent; the batch
     chain rebuilds per run — after the corpus grows, rebuild
     batch-side (or delete the artifacts + checkpoints) to rescore
@@ -416,11 +425,14 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         DECONTAM_K,
     )
     from clinvar_pipeline_spark.streaming.corpus import (
+        _artifact_exists,
+        corpus_shingle_index,
         decontaminate_stream,
         eval_shingle_hashes,
         gates_stream,
         load_eval_hashes,
         load_quality_model,
+        neardup_stream,
         quality_stream,
         read_document_stream,
         read_document_stream_jsonl,
@@ -463,6 +475,17 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         save_quality_model(spark, qw, qwu, model_path)
     else:
         qw, qwu = loaded
+    # the dedup family's incremental state: the corpus shingle index
+    # (h, n_docs, min_doc) — CORPUS-sized, so it lands via an
+    # ordinary distributed write and serves through a
+    # per-micro-batch stream-static join (never collected); frozen
+    # at first run like the model and eval set
+    idx_path = f"{args.out}/_corpus_shingles"
+    if not _artifact_exists(spark, idx_path):
+        corpus_shingle_index(batch_docs, k=DECONTAM_K).write.parquet(
+            idx_path
+        )
+    shingle_idx = spark.read.parquet(idx_path)
 
     def stage(name: str, df: DataFrame):
         return (
@@ -487,6 +510,18 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
                 flag=DECONTAM_FLAG,
             ),
         ),
+        # incremental near-dup flagging: new-docs-vs-frozen-corpus
+        # shingle containment per micro-batch (foreachBatch
+        # stream-static join) — flags likely-dup arrivals before the
+        # nightly batch dedup pass; flags are a monotone subset of
+        # the batch verdicts (streaming/corpus.neardup_flag_batch)
+        neardup_stream(
+            docs,
+            shingle_idx,
+            f"{args.out}/neardup_flags",
+            f"{args.out}/_ckpt/neardup_flags",
+            k=DECONTAM_K,
+        ),
     ]
     for q in queries:
         q.awaitTermination()
@@ -496,6 +531,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "repetition_gates",
         "quality_classifier",
         "decontaminate",
+        "neardup_flags",
     ):
         n = spark.read.parquet(f"{args.out}/{name}").count()
         counters.append((name, n))

@@ -496,7 +496,13 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "repetition_gates",
         "quality_classifier",
         "decontaminate",
+        "neardup_flags",
     }
+    # the incremental flagger landed a verdict for every document
+    # (self-matches excluded via the index's (n_docs, min_doc) — a
+    # whole-corpus-at-once drop scores each doc vs the REST)
+    nf = spark.read.parquet(str(tmp_path / "sprep" / "neardup_flags"))
+    assert counters["neardup_flags"] == nf.count() > 0
     assert counters["pii_scrub"] == spark.read.parquet(
         str(tmp_path / "sprep" / "pii_scrub")
     ).count()

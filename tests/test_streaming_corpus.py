@@ -216,3 +216,88 @@ def test_streaming_quality_serve_equals_batch_query(
     by_id = {r["doc_id"]: r for r in got.collect()}
     assert by_id[2]["keep_flag"] == 1
     assert by_id[3]["keep_flag"] == 0
+
+
+# ---------------------------------------------------------------------
+# incremental near-dup flagging (r7): two-batch drop, monotone subset
+# ---------------------------------------------------------------------
+
+def test_neardup_stream_subset_of_batch_verdicts(spark, tmp_path):
+    """The incremental contract on a two-batch drop: batch 1 is the
+    frozen corpus; batch 2 brings (a) a verbatim copy of a frozen doc
+    -> flagged incrementally AND by the nightly batch pass, (b) a
+    unique doc -> flagged by neither, (c) a new-vs-new duplicate pair
+    -> INVISIBLE to the incremental flagger (neither side is in the
+    frozen index) but flagged by the batch pass. Incremental flags
+    must be a strict, consistent subset of the batch verdicts."""
+    from clinvar_pipeline_spark.streaming.corpus import (
+        DOCUMENT_SCHEMA,
+        corpus_shingle_index,
+        neardup_flag_batch,
+        neardup_stream,
+        read_document_stream,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows1 = [
+        (1, base_text, "en", "s", len(base_text)),
+        (2, "completely different content about spark and parquet io",
+         "en", "s", 55),
+    ]
+    new_dup_text = "fresh duplicated arrival text that repeats exactly"
+    rows2 = [
+        (3, base_text, "en", "s", len(base_text)),        # copy of 1
+        (4, "entirely novel singleton document nothing shared here",
+         "en", "s", 53),                                   # unique
+        (5, new_dup_text, "en", "s", len(new_dup_text)),   # new-vs-new
+        (6, new_dup_text, "en", "s", len(new_dup_text)),   # new-vs-new
+    ]
+    drop = tmp_path / "docs"
+    spark.createDataFrame(rows1, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(drop))
+    # freeze the corpus index on the batch-1 state (first run)
+    frozen = corpus_shingle_index(spark.read.parquet(str(drop)))
+    frozen.write.parquet(str(tmp_path / "_corpus_shingles"))
+    idx = spark.read.parquet(str(tmp_path / "_corpus_shingles"))
+    # batch 2 arrives after the freeze
+    spark.createDataFrame(rows2, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(drop))
+
+    q = neardup_stream(
+        read_document_stream(spark, str(drop)),
+        idx,
+        str(tmp_path / "neardup_flags"),
+        str(tmp_path / "ckpt_neardup"),
+    )
+    q.awaitTermination(120)
+    inc = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(
+            str(tmp_path / "neardup_flags")
+        ).collect()
+    }
+    assert set(inc) == {1, 2, 3, 4, 5, 6}  # a verdict per arrival
+    inc_flagged = {d for d, r in inc.items() if r["flag_neardup"] == 1}
+    # the copy is caught on arrival; the frozen docs self-exclude
+    assert inc[3]["containment"] == 1.0
+    assert inc_flagged == {3}
+
+    # the nightly batch pass: same containment statistic on the FULL
+    # corpus index (self-excluded)
+    full = spark.read.parquet(str(drop))
+    batch = {
+        r["doc_id"]: r
+        for r in neardup_flag_batch(
+            full, corpus_shingle_index(full)
+        ).collect()
+    }
+    batch_flagged = {d for d, r in batch.items() if r["flag_neardup"] == 1}
+    # monotone subset: every incremental flag is a batch flag...
+    assert inc_flagged <= batch_flagged
+    # ...and strictly: the new-vs-new pair only the batch pass sees
+    assert batch_flagged == {1, 3, 5, 6}
+    # per-doc monotonicity of the statistic itself
+    for d in inc:
+        assert inc[d]["containment"] <= batch[d]["containment"]
