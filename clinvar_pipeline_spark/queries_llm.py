@@ -820,9 +820,15 @@ def _window_hash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(_t(spark, sf_dir, "documents"))
     toks = normalized_tokens(F.col("text"))
-    base = d.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= SPAN_W
-    )
+    # no size pre-filter: the kernel emits an empty hash array for
+    # sub-window docs and posexplode drops it. A filter on the
+    # aliased array would be pushdown-substituted below the
+    # projection and run the tokenizer a SECOND time per row (the
+    # text_profile CSE lesson, r7) — and unlike the explode-of-toks
+    # frames, no equivalent filter gets re-inferred here because the
+    # generator input is the kernel's output, so the whole window
+    # pass now tokenizes exactly once.
+    base = d.select("doc_id", toks.alias("toks"))
     roll = rolling_window_hashes_batch(SPAN_W)
     th = F.expr("transform(toks, t -> xxhash64(t))")
     return base.select(
@@ -1724,11 +1730,13 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4-decimal round is ~12 orders of magnitude coarser, so hashes
     are stable (same discipline as every double-emitting query)."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    tok = (
-        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") > 0)
-        .select("doc_id", F.explode("toks").alias("t"))
-    )
+    # no explicit size pre-filter: explode drops empty arrays itself
+    # (Catalyst's InferFiltersFromGenerate re-infers an equivalent
+    # pushed filter regardless, so the explicit one was pure
+    # duplication)
+    tok = d.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.explode("toks").alias("t"))
     tok = _persist(tok)  # freq build + score join both read it
     total = tok.count()  # bounded scalar off the persisted frame
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1947,12 +1955,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_tokens(d: DataFrame) -> DataFrame:
     """(doc_id, t) exploded normalized tokens, zero-token docs
-    dropped — the shared trainer/scorer input."""
-    return (
-        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") > 0)
-        .select("doc_id", F.explode("toks").alias("t"))
-    )
+    dropped (by the explode itself; Catalyst's
+    InferFiltersFromGenerate re-infers the pushed size filter, so an
+    explicit one was pure duplication) — the shared trainer/scorer
+    input."""
+    return d.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).select("doc_id", F.explode("toks").alias("t"))
 
 
 def quality_weight_frame(tok: DataFrame) -> tuple[DataFrame, float]:
@@ -2329,13 +2338,11 @@ def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocab-sized frequency join, one bounded scalar collect (the
     lm_quality discipline)."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    tok = (
-        d.select(
-            "doc_id", "lang", normalized_tokens(F.col("text")).alias("toks")
-        )
-        .filter(F.size("toks") > 0)
-        .select("doc_id", "lang", F.explode("toks").alias("t"))
-    )
+    # no explicit size pre-filter: explode drops empty arrays itself
+    # (InferFiltersFromGenerate re-infers the pushed filter anyway)
+    tok = d.select(
+        "doc_id", "lang", normalized_tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "lang", F.explode("toks").alias("t"))
     tok = _persist(tok)
     total = tok.count()  # bounded scalar
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
