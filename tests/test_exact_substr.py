@@ -160,3 +160,52 @@ def test_rolling_matches_legacy_at_sf0001(spark):
             n += 1
         expect.add((doc, start, prev + ql.SPAN_W, n))
     assert spans == expect
+
+
+# ---------------------------------------------------------------------
+# rolling-hash property: window equality == subsequence equality
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _roll_py(t, w):
+    """Driver-side reference of the kernel's closed form — the same
+    wraparound mod-2^64 arithmetic in pure Python ints."""
+    n = len(t)
+    mask = (1 << 64) - 1
+    P = [0]
+    for j, x in enumerate(t):
+        P.append((P[-1] + (x & mask) * pow(ROLL_BASE_INV, j, 1 << 64)) & mask)
+    return [
+        ((P[i + w] - P[i]) * pow(ROLL_BASE, i, 1 << 64)) & mask
+        for i in range(n - w + 1)
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0, max_size=40,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_rolling_hash_kernel_matches_python_reference(spark, toks, w):
+    """The numpy kernel equals the pure-Python closed form on
+    arbitrary int64 token-hash streams, and equal subsequences always
+    collide (no false negatives — the property the dedup semantics
+    rely on; false positives are the documented 2^-64 residual)."""
+    import numpy as np
+    import pandas as pd
+
+    f = rolling_window_hashes_batch(w).func
+    got = [int(x) & ((1 << 64) - 1) for x in
+           f(pd.Series([np.asarray(toks, dtype=np.int64)]))[0]]
+    want = _roll_py(toks, w) if len(toks) >= w else []
+    assert got == want
+    # no false negatives: every repeated subsequence shares a hash
+    for i in range(len(got)):
+        for j in range(i + 1, len(got)):
+            if toks[i:i + w] == toks[j:j + w]:
+                assert got[i] == got[j]
