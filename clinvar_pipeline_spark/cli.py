@@ -348,6 +348,7 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
             _derived_num_cells,
             _train_centroids,
             _train_pq_codebooks,
+            pq_subspaces_for_dim,
             save_centroids,
             save_pq_codebooks,
         )
@@ -365,9 +366,14 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
         # PQ half of the index lifecycle (r6 judge ask #6): land the
         # codebooks too, so the full IndexIVFPQ state — coarse
         # quantizer + codebooks — round-trips across sessions
-        # (ann_topk_pq(codebooks=..., centroids=...) serves both)
+        # (ann_topk_pq(codebooks=..., centroids=...) serves both).
+        # m adapts to the corpus dim (largest divisor <= 8): the CLI
+        # indexes whatever embedding width the layout ships, and a
+        # non-multiple-of-8 dim must train a narrower codebook, not
+        # crash (the 1-row head() is the bounded W4-discipline peek)
+        dim = len(emb.select("embedding").head()["embedding"])
         B = _train_pq_codebooks(
-            emb, "embedding", 8, 256, 10000, 5, 42,
+            emb, "embedding", pq_subspaces_for_dim(dim), 256, 10000, 5, 42,
             id_col="vec_id", memo_key=key,
         )
         save_pq_codebooks(spark, B, f"{args.out}/pq_index")

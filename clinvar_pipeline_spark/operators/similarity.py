@@ -550,6 +550,20 @@ def semantic_dedup(
     )
 
 
+def pq_subspaces_for_dim(dim: int, max_subspaces: int = 8) -> int:
+    """Largest divisor of ``dim`` that is <= ``max_subspaces`` — the
+    widest PQ split the vector admits (subspaces must tile the vector
+    exactly; Jégou et al. use m=8 for d=64/128). Callers that don't
+    control the corpus dim (the CLI's --corpusPrep, which indexes
+    whatever embedding column the layout ships) use this instead of a
+    hardcoded m so a dim-4 or dim-6 corpus trains a valid (narrower)
+    codebook rather than raising."""
+    for m in range(min(max_subspaces, dim), 0, -1):
+        if dim % m == 0:
+            return m
+    return 1
+
+
 def _train_pq_codebooks(
     corpus: DataFrame,
     vec_col: str,

@@ -317,3 +317,24 @@ def test_resize_images_contract(spark, docs):
     assert {(r["id"], bytes(r["resized"])) for r in out} == {
         (r["id"], bytes(r["resized"])) for r in again
     }
+
+
+def test_pq_subspaces_for_dim():
+    """The CLI's adaptive PQ split: largest divisor of dim <= 8, so
+    any corpus dim trains a valid codebook (a dim-4 fixture crashed
+    --corpusPrep when m was hardcoded to 8)."""
+    from clinvar_pipeline_spark.operators.similarity import (
+        pq_subspaces_for_dim,
+    )
+
+    assert pq_subspaces_for_dim(64) == 8   # the testdata layout
+    assert pq_subspaces_for_dim(128) == 8
+    assert pq_subspaces_for_dim(4) == 4    # the CLI story fixture
+    assert pq_subspaces_for_dim(6) == 6
+    assert pq_subspaces_for_dim(10) == 5
+    assert pq_subspaces_for_dim(7) == 7
+    assert pq_subspaces_for_dim(13) == 1   # prime > 8: no split
+    assert pq_subspaces_for_dim(3, max_subspaces=2) == 1
+    for d in range(1, 130):
+        m = pq_subspaces_for_dim(d)
+        assert d % m == 0 and 1 <= m <= 8
