@@ -33,6 +33,12 @@ WAIVERS: dict[str, set[str]] = {
     # delete set — the distributed form of the driver-side threshold
     # branch (W4); a 1-row broadcast cross join is the intended plan
     "threshold_guard": {"nested-loop-join"},
+    # scoring fans the ONE-ROW-PER-DOC count frame out against the
+    # L-row per-language default frame (docs x n_languages) — the
+    # intended broadcast nested loop; the trigram stream itself only
+    # ever equi-joins the charset^3-bounded weight table
+    "langid": {"nested-loop-join"},
+    "langid_report": {"nested-loop-join"},
 }
 
 

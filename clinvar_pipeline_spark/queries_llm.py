@@ -2690,3 +2690,228 @@ def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Round 7 additions: language identification — the classic n-gram
+# text-analysis stage (Cavnar-Trenkle 1994 profiles, the closed-form
+# Naive-Bayes variant fastText's langid models converge to on char
+# n-gram features).
+# ---------------------------------------------------------------------
+
+# Every LID_MOD-th document is the held-out evaluation slice; the rest
+# are the labeled training corpus (the labeled-slice idiom of
+# quality_classifier — production swaps the residue predicate for a
+# real labeled seed set, identical plan shape).
+LID_MOD = 5
+LID_TEST_RES = 0
+
+# char trigrams of the space-joined normalized token stream (reusing
+# the shared tokenizer keeps both engines' normalization identical)
+_LID_TRI_SQL = (
+    "list_transform(range(1, greatest(length(s) - 2, 0) + 1),"
+    " i -> substr(s, i, 3))"
+)
+
+# The full langid chain as shared CTEs (the _QC_MODEL_CTES idiom —
+# one definition, two consumers: the per-doc prediction query and the
+# held-out confusion report). Ends with lpred(doc_id, lang, cand,
+# score, rk).
+_LID_CTES = f"""ldoc AS (
+        SELECT doc_id, lang,
+               array_to_string({_TOKENIZE_SQL.format(col='text')}, ' ') AS s
+        FROM documents),
+    ltri AS (
+        SELECT doc_id, lang, unnest({_LID_TRI_SQL}) AS t FROM ldoc),
+    ldt AS (
+        SELECT doc_id, lang, t, count(*) AS cnt
+        FROM ltri GROUP BY doc_id, lang, t),
+    lcnt AS (
+        SELECT lang AS cand, t, CAST(count(*) AS DOUBLE) AS c
+        FROM ltri WHERE doc_id % {LID_MOD} <> {LID_TEST_RES}
+        GROUP BY lang, t),
+    lv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM lcnt),
+    ltot AS (
+        SELECT cand, CAST(sum(c) AS DOUBLE) AS tot FROM lcnt GROUP BY cand),
+    lw AS (
+        SELECT cand, t, ln((c + 1) / (tot + v)) AS w
+        FROM lcnt JOIN ltot USING (cand) CROSS JOIN lv),
+    lwu AS (SELECT cand, ln(1 / (tot + v)) AS wu FROM ltot CROSS JOIN lv),
+    lsc AS (
+        SELECT d.doc_id, d.lang, u.cand,
+               round(sum(d.cnt * coalesce(w.w, u.wu)), 4) + 0 AS score
+        FROM ldt d
+        CROSS JOIN lwu u
+        LEFT JOIN lw w ON w.cand = u.cand AND w.t = d.t
+        GROUP BY d.doc_id, d.lang, u.cand),
+    lpred AS (
+        SELECT doc_id, lang, cand, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand DESC) AS rk
+        FROM lsc)"""
+
+
+def _lid_trigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, t) exploded char trigrams of the space-joined
+    normalized tokens; docs shorter than one trigram vanish (empty
+    array explode), matching the oracle's empty range(). The join
+    string is materialized in its own projection first (the
+    shingles_of_tokens lambda-re-evaluation lesson)."""
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", normalized_tokens(F.col("text"))).alias("s"),
+    )
+    tri = F.when(
+        F.length("s") >= 3,
+        F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return s.select("doc_id", "lang", F.explode(tri).alias("t"))
+
+
+def langid_model(tri: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the char-trigram language model from the labeled slice
+    inside `tri`: returns (weight frame [cand, t, w], per-language
+    unseen-default frame [cand, wu]) where w is the add-one-smoothed
+    per-language trigram log-probability ln((c+1)/(tot_l+V)) and
+    wu_l = ln(1/(tot_l+V)).
+
+    Scale: one groupBy over the slice's trigram stream to a frame
+    bounded by charset^3 x n_languages (~100k x L rows — trigram
+    vocabulary is CHARSET-bounded, unlike word vocab, so it
+    broadcasts at any corpus size). V is a bounded 1-row scalar
+    collect off the persisted count frame (the W4 discipline)."""
+    cnt = _persist(
+        tri.filter(F.col("doc_id") % LID_MOD != LID_TEST_RES)
+        .groupBy(F.col("lang").alias("cand"), "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    v = float(cnt.select(F.countDistinct("t")).collect()[0][0] or 0)
+    ltot = cnt.groupBy("cand").agg(F.sum("c").alias("tot"))
+    lw = cnt.join(F.broadcast(ltot), "cand").select(
+        "cand",
+        "t",
+        F.log((F.col("c") + 1) / (F.col("tot") + F.lit(v))).alias("w"),
+    )
+    lwu = ltot.select(
+        "cand", F.log(F.lit(1.0) / (F.col("tot") + F.lit(v))).alias("wu")
+    )
+    return lw, lwu
+
+
+@register(
+    "langid",
+    f"""
+    WITH {_LID_CTES}
+    SELECT doc_id, lang, cand AS pred_lang, score,
+           CASE WHEN cand = lang THEN 1 ELSE 0 END AS is_correct
+    FROM lpred WHERE rk = 1
+    """,
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language identification: a per-language char-trigram
+    Naive-Bayes model is TRAINED IN-ENGINE from the labeled slice
+    (docs outside the held-out residue class), then EVERY document is
+    scored against every language and assigned the argmax — the
+    language-ID stage every multilingual corpus pipeline runs before
+    per-language processing (CCNet's fastText step; Cavnar-Trenkle
+    n-gram profiles). Output: (doc_id, true lang, predicted lang,
+    rounded log-likelihood of the winner, correctness flag — the flag
+    is meaningful on the held-out slice, which langid_report reads).
+
+    Scale shape — the score is computed in the DECOMPOSED form
+    score_l = n·wu_l + Σ_seen cnt·(w_l(t) − wu_l), so the only
+    corpus-sized exchanges are the per-doc trigram pre-aggregation
+    and one doc-keyed shuffle of (doc, seen-language) partials; the
+    doc×L fan-out happens on the DOC-count-sized frame (one row per
+    doc, broadcast-nested-loop against the L-row default frame), not
+    on the trigram stream. The model frames are charset^3-bounded
+    and broadcast. The oracle computes the direct form
+    Σ cnt·coalesce(w, wu) — algebraically identical; round(.,4)
+    absorbs the last-ulp regrouping difference (the
+    quality_classifier precedent). Argmax is a per-doc L-row window,
+    rounded-score ties broken by language code descending in both
+    engines."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    tri = _persist(_lid_trigrams(d))  # trainer + scorer both read it
+    lw, lwu = langid_model(tri)
+    dt = tri.groupBy("doc_id", "lang", "t").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # seen-part: only (trigram, language) pairs the model knows emit
+    # rows; dw = w - wu folds the unseen default out of the join
+    adj = lw.join(F.broadcast(lwu), "cand").select(
+        "cand", "t", (F.col("w") - F.col("wu")).alias("dw")
+    )
+    seen = (
+        dt.join(F.broadcast(adj), "t")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum(F.col("cnt") * F.col("dw")).alias("s_seen"))
+    )
+    ndoc = dt.groupBy("doc_id", "lang").agg(F.sum("cnt").alias("n"))
+    scored = (
+        ndoc.crossJoin(F.broadcast(lwu))
+        .join(seen, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            (
+                F.round(
+                    F.col("n") * F.col("wu")
+                    + F.coalesce(F.col("s_seen"), F.lit(0.0)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").desc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand").alias("pred_lang"),
+            "score",
+            F.when(F.col("cand") == F.col("lang"), 1)
+            .otherwise(0)
+            .alias("is_correct"),
+        )
+    )
+
+
+@register(
+    "langid_report",
+    f"""
+    WITH {_LID_CTES}
+    SELECT lang AS true_lang, cand AS pred_lang, count(*) AS n
+    FROM lpred
+    WHERE rk = 1 AND doc_id % {LID_MOD} = {LID_TEST_RES}
+    GROUP BY lang, cand
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def q_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix for the langid model: (true language,
+    predicted language, count) over the evaluation residue slice only
+    — the accuracy view a pipeline reads before trusting per-language
+    routing (the synthetic corpus's text is language-independent by
+    construction, so this matrix SHOWS near-chance accuracy; the
+    point is the deterministic evaluation plumbing, not the score).
+
+    Scale: reuses the full langid prediction plan, then one groupBy
+    to an L×L-sized output."""
+    pred = q_langid(spark, sf_dir)
+    return (
+        pred.filter(F.col("doc_id") % LID_MOD == LID_TEST_RES)
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
