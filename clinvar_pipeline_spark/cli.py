@@ -23,9 +23,10 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 27 landed stages: 26 registry
+        (LLM corpus-prep chain — 29 landed stages: 28 registry
         queries + the raw-text PII scrub, plus SemDeDup + the
-        IVF/PQ index artifacts when embeddings exist: profile,
+        IVF/PQ index artifacts when embeddings exist: language ID +
+        its held-out confusion report, profile,
         repetition gates,
         lm_quality, quality-classifier scores, perplexity bands
         (z-score + percentile-true),
@@ -223,6 +224,11 @@ def cmd_qc_duplicate_terms(
 CORPUS_PREP_STAGES = [
     # registry queries composing the corpus-prep chain; each takes
     # (spark, sf_dir) and returns a DataFrame
+    # r7: language identification runs FIRST (the CCNet order —
+    # everything downstream is per-language), with its held-out
+    # confusion report
+    "langid",
+    "langid_report",
     "text_profile",
     "repetition_gates",
     "lm_quality",
