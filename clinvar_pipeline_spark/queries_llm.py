@@ -2915,3 +2915,66 @@ def q_langid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "cluster_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_NGRAM_CC_CTES},
+    qtok AS (
+        SELECT doc_id, unnest(toks) AS t
+        FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)
+        WHERE len(toks) > 0),
+    {_QC_MODEL_CTES},
+    qsc AS (
+        SELECT doc_id, round(avg(coalesce(w, wu)), 4) + 0 AS score
+        FROM qtok LEFT JOIN qw USING (t) CROSS JOIN qunseen
+        GROUP BY doc_id),
+    brk AS (
+        SELECT c.node AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.score DESC, c.node ASC) AS rk
+        FROM comp c JOIN qsc s ON s.doc_id = c.node),
+    bdrops AS (SELECT doc_id FROM brk WHERE rk <> 1)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN bdrops USING (doc_id)
+    WHERE bdrops.doc_id IS NULL
+    """,
+)
+def q_cluster_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-canonical cluster dedup: within every transitive
+    near-dup cluster the member with the BEST model quality score
+    survives (quality_classifier's in-engine-trained log-odds, the
+    same frame the filter funnel screens on), rounded-score ties
+    broken by smallest doc_id; unclustered documents pass through.
+    This is the production upgrade over cluster_dedup_apply's min-id
+    pick: when a boilerplate-wrapped scrape and a clean mirror of the
+    same article share a cluster, the pipeline should keep the clean
+    copy, not the one with the smaller crawl id (the keep-longest /
+    keep-best policies of SlimPajama-style dedup).
+
+    Scale: composes two memoized corpus-state jobs — the connected
+    components labeling (_cc_over_ngram_pairs) and the quality score
+    (one broadcast-join scan) — then one row_number window
+    partitioned BY CLUSTER (cluster-sized partitions, no global
+    sort) and one anti-join against the losers. Every clustered doc
+    has a score by construction (clustering requires >= 3 tokens,
+    scoring requires >= 1), so the inner join drops nothing."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    cc = _cc_over_ngram_pairs(spark, sf_dir)
+    qc = q_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    scored = cc.join(qc, cc["node"] == qc["doc_id"]).select(
+        F.col("node"), F.col("component"), F.col("score")
+    )
+    rk = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), F.col("node").asc()
+    )
+    bdrops = (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") != 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    return d.join(bdrops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

@@ -124,3 +124,50 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
     kept = {r["doc_id"] for r in ql.q_cluster_dedup_apply(spark, d).collect()}
     release_cached()
     assert kept == {1, 4}
+
+
+def test_cluster_dedup_keep_best_invariants(spark, sf_dir):
+    """Keep-best apply on the real sf0.001 corpus: exactly one
+    survivor per near-dup cluster, the survivor is the cluster's
+    quality-score argmax (ties -> min doc_id), unclustered docs all
+    pass through."""
+    import clinvar_pipeline_spark.queries_llm as ql
+    from clinvar_pipeline_spark.caching import release_cached
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in ql.q_dedup_clusters(spark, sf_dir).collect()
+    }
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in ql.q_quality_classifier(spark, sf_dir).collect()
+    }
+    kept = {
+        r["doc_id"]
+        for r in ql.q_cluster_dedup_keep_best(spark, sf_dir).collect()
+    }
+    release_cached()
+    all_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").collect()
+    }
+    assert clusters, "fixture corpus should contain near-dup clusters"
+    # unclustered docs pass through untouched
+    assert (all_docs - clusters.keys()) <= kept
+    by_cluster: dict[int, list[int]] = {}
+    for doc, cid in clusters.items():
+        by_cluster.setdefault(cid, []).append(doc)
+    for cid, members in by_cluster.items():
+        best = min(members, key=lambda d: (-scores[d], d))
+        assert set(members) & kept == {best}, (cid, members, best)
+    # and the pick genuinely differs from min-id somewhere, or the
+    # corpus can't distinguish the policies (keep the test honest)
+    min_id_picks = {min(m) for m in by_cluster.values()}
+    best_picks = {
+        min(m, key=lambda d: (-scores[d], d)) for m in by_cluster.values()
+    }
+    assert min_id_picks != best_picks, (
+        "every cluster's best copy is also its min-id copy — fixture "
+        "cannot distinguish keep-best from keep-first"
+    )
