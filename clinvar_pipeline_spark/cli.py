@@ -442,13 +442,17 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         decontaminate_stream,
         eval_shingle_hashes,
         gates_stream,
+        langid_stream,
         load_eval_hashes,
+        load_langid_model,
         load_quality_model,
         neardup_stream,
         quality_stream,
         read_document_stream,
         read_document_stream_jsonl,
+        train_langid_model,
         save_eval_hashes,
+        save_langid_model,
         save_quality_model,
         scrub_stream,
         train_quality_weights,
@@ -487,6 +491,14 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         save_quality_model(spark, qw, qwu, model_path)
     else:
         qw, qwu = loaded
+    # the langid model follows the same frozen-at-first-run lifecycle
+    lid_path = f"{args.out}/_langid_model"
+    lid = load_langid_model(spark, lid_path)
+    if lid is None:
+        lm, lwu = train_langid_model(batch_docs)
+        save_langid_model(spark, lm, lwu, lid_path)
+    else:
+        lm, lwu = lid
     # the dedup family's incremental state: the corpus shingle index
     # (h, n_docs, min_doc) — CORPUS-sized, so it lands via an
     # ordinary distributed write and serves through a
@@ -513,6 +525,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         stage("pii_scrub", scrub_stream(docs)),
         stage("repetition_gates", gates_stream(docs)),
         stage("quality_classifier", quality_stream(docs, qw, qwu)),
+        stage("langid", langid_stream(docs, lm, lwu)),
         stage(
             "decontaminate",
             decontaminate_stream(
@@ -542,6 +555,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "pii_scrub",
         "repetition_gates",
         "quality_classifier",
+        "langid",
         "decontaminate",
         "neardup_flags",
     ):
@@ -603,7 +617,8 @@ def main(argv: list[str] | None = None) -> None:
         "--stream",
         action="store_true",
         help="--corpusPrep: run the stateless stages (scrub, gates,"
-        " decontaminate) as Structured Streaming availableNow jobs",
+        " quality + language-ID serving, decontaminate) as Structured"
+        " Streaming availableNow jobs",
     )
     p.add_argument("--out")
     args = p.parse_args(argv)

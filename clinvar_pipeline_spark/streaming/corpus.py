@@ -314,6 +314,145 @@ def load_quality_model(
     return weights, wu
 
 
+def train_langid_model(
+    batch_docs: DataFrame,
+) -> tuple[dict[str, dict[str, float]], dict[str, float]]:
+    """Batch-train the char-trigram language-ID model
+    (queries_llm.langid_model — same slices, smoothing, and
+    log-probability closed form as the batch langid query) and
+    collect it driver-side: ({lang: {trigram: w}}, {lang: wu}). The
+    collect is charset^3 x n_languages bounded (trigram vocabulary is
+    CHARSET-limited, unlike word vocab), so it rides to executors via
+    closure capture like the quality model — corpus state trained
+    once in batch, served to every arriving micro-batch."""
+    from clinvar_pipeline_spark.queries_llm import (
+        _lid_trigrams,
+        langid_model,
+    )
+
+    lw, lwu = langid_model(_lid_trigrams(batch_docs))
+    models: dict[str, dict[str, float]] = {}
+    for r in lw.collect():
+        models.setdefault(r["cand"], {})[r["t"]] = r["w"]
+    wu = {r["cand"]: r["wu"] for r in lwu.collect()}
+    return models, wu
+
+
+def _round4_half_up(x: float) -> float:
+    """Spark's round(col, 4): BigDecimal(x).setScale(4, HALF_UP) on
+    the double's exact binary value — the decimal module reproduces
+    it bit-for-bit, so the served score equals the batch twin's
+    without leaning on floats near the boundary."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def langid_stream(
+    docs: DataFrame,
+    models: dict[str, dict[str, float]],
+    wu: dict[str, float],
+) -> DataFrame:
+    """Language-ID serving on a (possibly streaming) frame: per
+    document, score every language under the captured model and emit
+    the argmax — the serving half of the batch langid query (same
+    normalization, trigrams, rounding, and tie rule; pinned equal by
+    test). Map-only / append-safe: a document's prediction is a pure
+    function of its own row plus the broadcast-captured model — the
+    argmax happens INSIDE the kernel, so no (streaming-illegal)
+    per-doc window is needed.
+
+    The kernel scores with math.fsum over per-trigram-instance terms
+    (the exactly-rounded direct sum — summation-order independent,
+    the quality_stream discipline) and rounds with the exact
+    BigDecimal HALF_UP twin, then breaks rounded-score ties by max
+    language code, matching the batch query's ORDER BY score DESC,
+    cand DESC in both engines."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+
+    langs = sorted(wu)
+
+    @pandas_udf("pred_lang string, score double")
+    def predict(s: pd.Series) -> pd.DataFrame:
+        preds, scores = [], []
+        for txt in s:
+            tris = [txt[i : i + 3] for i in range(len(txt) - 2)]
+            best = None
+            for lang in langs:
+                m, d = models.get(lang, {}), wu[lang]
+                sc = _round4_half_up(
+                    math.fsum(m.get(t, d) for t in tris)
+                ) + 0.0  # fold -0.0 (the batch signed-zero discipline)
+                if best is None or (sc, lang) > best:
+                    best = (sc, lang)
+            scores.append(best[0])
+            preds.append(best[1])
+        return pd.DataFrame({"pred_lang": preds, "score": scores})
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", normalized_tokens(F.col("text"))).alias("_s"),
+    ).filter(F.length("_s") >= 3)  # < 1 trigram: absent, as in batch
+    return base.withColumn("_p", predict(F.col("_s"))).select(
+        "doc_id",
+        "lang",
+        F.col("_p.pred_lang").alias("pred_lang"),
+        F.col("_p.score").alias("score"),
+        F.when(F.col("_p.pred_lang") == F.col("lang"), 1)
+        .otherwise(0)
+        .alias("is_correct"),
+    )
+
+
+def save_langid_model(
+    spark: SparkSession,
+    models: dict[str, dict[str, float]],
+    wu: dict[str, float],
+    path: str,
+) -> None:
+    """Land the trained langid model as a parquet run artifact (the
+    quality-model lifecycle): one (cand, t, w) row per language x
+    trigram plus a NULL-trigram row per language holding its unseen
+    default. Frozen at first run for the same arrival-order-
+    independence reason."""
+    rows = [
+        (lang, t, float(w))
+        for lang, m in models.items()
+        for t, w in m.items()
+    ]
+    rows += [(lang, None, float(v)) for lang, v in wu.items()]
+    spark.createDataFrame(
+        rows, "cand string, t string, w double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_langid_model(
+    spark: SparkSession, path: str
+) -> tuple[dict[str, dict[str, float]], dict[str, float]] | None:
+    """Load a frozen langid model saved by save_langid_model; None
+    ONLY if never landed (read failures on an existing artifact
+    propagate — the load_quality_model contract)."""
+    if not _artifact_exists(spark, path):
+        return None
+    models: dict[str, dict[str, float]] = {}
+    wu: dict[str, float] = {}
+    for r in spark.read.parquet(path).collect():
+        if r["t"] is None:
+            wu[r["cand"]] = r["w"]
+        else:
+            models.setdefault(r["cand"], {})[r["t"]] = r["w"]
+    return models, wu
+
+
 def save_eval_hashes(spark: SparkSession, hashes: set, path: str) -> None:
     """Freeze the decontamination benchmark's shingle-hash set as a
     run artifact — the same lifecycle as the quality model: ALL

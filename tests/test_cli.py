@@ -482,6 +482,7 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "pii_scrub",
         "repetition_gates",
         "quality_classifier",
+        "langid",
         "decontaminate",
     ):
         assert rows("sprep", stage) == rows("bprep", stage), stage
@@ -495,6 +496,7 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "pii_scrub",
         "repetition_gates",
         "quality_classifier",
+        "langid",
         "decontaminate",
         "neardup_flags",
     }

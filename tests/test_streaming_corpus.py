@@ -301,3 +301,68 @@ def test_neardup_stream_subset_of_batch_verdicts(spark, tmp_path):
     # per-doc monotonicity of the statistic itself
     for d in inc:
         assert inc[d]["containment"] <= batch[d]["containment"]
+
+
+def test_streaming_langid_serve_equals_batch_query(
+    spark, tmp_path_factory, tmp_path
+):
+    """Batch-train the langid model, serve it on a two-micro-batch
+    stream: predictions, scores, rounding, and tie rule equal the
+    batch langid query on the same corpus."""
+    import clinvar_pipeline_spark.queries_llm as ql
+    from clinvar_pipeline_spark.streaming.corpus import (
+        langid_stream,
+        load_langid_model,
+        save_langid_model,
+        train_langid_model,
+    )
+
+    d = tmp_path_factory.mktemp("lidserve")
+    # disjoint charsets -> the model separates; doc 8 is two chars
+    # (no trigram: must be absent); docs 4/9 land in the held-out
+    # residue class (doc_id % 5 == 0 is held out for training only —
+    # they are still served)
+    rows1 = [
+        (1, "abba baab abab aabb", "aa", "s", 19),
+        (2, "kppk pkkp kpkp kkpp", "kk", "s", 19),
+        (6, "abab aabb abba babb", "aa", "s", 19),
+        (8, "ab", "aa", "s", 2),
+    ]
+    rows2 = [
+        (3, "kpkp kkpp pkpp kppk", "kk", "s", 19),
+        (5, "baab abba abab aabb", "aa", "s", 19),
+        (10, "pkkp kppk kpkp pkpk", "kk", "s", 19),
+    ]
+    for rows in (rows1, rows2):  # two drops = two micro-batches
+        spark.createDataFrame(rows, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d / "documents.parquet"))
+
+    batch_docs = spark.read.parquet(str(d / "documents.parquet"))
+    models, wu = train_langid_model(batch_docs)
+    assert set(models) == {"aa", "kk"} == set(wu)
+
+    got = _run(
+        spark,
+        langid_stream(
+            read_document_stream(spark, str(d / "documents.parquet")),
+            models,
+            wu,
+        ),
+        tmp_path,
+        "langid_out",
+    )
+    want = ql.q_langid(spark, str(d))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    by_id = {r["doc_id"]: r for r in got.collect()}
+    assert 8 not in by_id  # no trigram -> absent, as in batch
+    # held-out docs are served and separable-fixture-correct
+    assert by_id[10]["pred_lang"] == "kk" and by_id[10]["is_correct"] == 1
+
+    # model artifact round-trip (the frozen-at-first-run lifecycle)
+    save_langid_model(spark, models, wu, str(tmp_path / "_lid"))
+    m2, wu2 = load_langid_model(spark, str(tmp_path / "_lid"))
+    assert m2 == models and wu2 == wu
+    assert load_langid_model(spark, str(tmp_path / "_never")) is None
