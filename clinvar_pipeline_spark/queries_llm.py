@@ -2978,3 +2978,125 @@ def q_cluster_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(bdrops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "novelty_score",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS s
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   ) AS sh_list
+            FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+                  FROM documents))),
+    dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS novelty,
+           round(avg(CAST(df AS DOUBLE)), 4) AS mean_df
+    FROM sh JOIN dfc USING (s)
+    GROUP BY doc_id
+    """,
+)
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty profile: the fraction of a document's
+    distinct 3-gram shingles that occur NOWHERE else in the corpus
+    (df == 1), plus the mean corpus df of its shingles — the
+    curation signal that separates boilerplate-heavy pages (novelty
+    near 0, high mean_df) from genuinely fresh text, used for
+    sampling weights and dedup triage between the binary verdicts of
+    exact/near-dup detection and the quality model's seed-likeness.
+
+    Scale: one shingle explode, one shingle-keyed groupBy for the df
+    table (the inverted-index shape of ngram_jaccard_pairs, but
+    aggregated — no pair fan-out and so no df cap needed: a
+    boilerplate shingle contributes one narrow (s, df) row however
+    many docs carry it), one join back on the shingle key, and one
+    doc-keyed aggregate. Documents with zero shingles (< 3 tokens)
+    are absent, as everywhere in the suite."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(shingles_of_tokens(F.col("toks"), k=3)).alias("s"),
+    )
+    sh = _persist(sh)  # df table + per-doc join both read it
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            F.round(
+                uniq.cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty"),
+            F.round(F.avg(F.col("df").cast("double")), 4).alias("mean_df"),
+        )
+    )
+
+
+@register(
+    "embedding_int8",
+    """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings),
+    sc AS (
+        SELECT vec_id, xs,
+               list_max(list_transform(xs, x -> abs(x))) AS amax
+        FROM v)
+    SELECT vec_id,
+           CAST(i - 1 AS INTEGER) AS i,
+           CAST(CASE WHEN amax = 0 THEN 0
+                     ELSE round(xs[i] * (127.0 / amax), 0) END
+                AS INTEGER) AS q,
+           round(CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END, 6)
+             AS scale
+    FROM sc CROSS JOIN unnest(range(1, len(xs) + 1)) AS t(i)
+    """,
+)
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (absmax scaling — the
+    standard vector-store / on-disk-index export step): each vector
+    is scaled by 127/max|x_i| and rounded, so the re-scaled codes
+    reconstruct the vector to ~0.4% of its largest component while
+    cutting memory 4x vs float32 (the same budget arithmetic as the
+    PQ path, without codebook training — exact per-dim semantics, so
+    fully oracle-checkable). Output is the exploded (vec_id, dim,
+    code, scale) form; an all-zero vector quantizes to zeros with
+    scale 0.
+
+    Scale: map-only — per-vector amax, scale, and the posexplode are
+    all row-local expressions; no shuffle anywhere. Both engines
+    compute the identical double expression x*(127/amax) with
+    away-from-zero rounding at .5."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("xs")
+    ).withColumn(
+        "amax", F.array_max(F.transform("xs", lambda x: F.abs(x)))
+    )
+    scale = F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(
+        F.lit(127.0) / F.col("amax")
+    )
+    return v.select(
+        "vec_id",
+        F.posexplode("xs").alias("i", "x"),
+        scale.alias("_scale"),
+    ).select(
+        "vec_id",
+        F.col("i").cast("int").alias("i"),
+        F.round(F.col("x") * F.col("_scale"), 0).cast("int").alias("q"),
+        F.round(F.col("_scale"), 6).alias("scale"),
+    )

@@ -129,3 +129,71 @@ def test_langid_trigrams_match_python_reference(spark, tmp_path):
         s = " ".join(toks)
         want += [(i, s[j : j + 3]) for j in range(max(len(s) - 2, 0))]
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------
+# novelty_score / embedding_int8 (round 7)
+# ---------------------------------------------------------------------
+
+
+def test_novelty_score_extremes(spark, tmp_path):
+    """Two identical docs share every shingle (novelty 0); a doc with
+    corpus-unique shingles scores 1."""
+    from clinvar_pipeline_spark.queries_llm import q_novelty_score
+
+    rows = [
+        (1, "alpha bravo charlie delta echo", "en", "s", 30),
+        (2, "alpha bravo charlie delta echo", "en", "s", 30),
+        (3, "zulu yankee xray whiskey victor", "en", "s", 31),
+        (4, "xy", "en", "s", 2),  # < 3 tokens: absent
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           q_novelty_score(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[1]["mean_df"] == 2.0
+    assert out[3]["novelty"] == 1.0 and out[3]["mean_df"] == 1.0
+    assert out[3]["n_shingles"] == out[3]["n_unique"] == 3
+
+
+def test_embedding_int8_codes_and_reconstruction(spark, tmp_path):
+    """Known vectors quantize to the expected codes; on real data the
+    reconstruction error is bounded by half a quantization step."""
+    from clinvar_pipeline_spark.queries_llm import q_embedding_int8
+
+    vecs = [
+        (1, [1.0, -0.5, 0.0, 0.25], 0),
+        (2, [0.0, 0.0, 0.0, 0.0], 0),  # all-zero: codes 0, scale 0
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {(r["vec_id"], r["i"]): r for r in
+           q_embedding_int8(spark, str(tmp_path)).collect()}
+    assert [out[(1, i)]["q"] for i in range(4)] == [127, -64, 0, 32]
+    assert all(out[(2, i)]["q"] == 0 for i in range(4))
+    assert out[(2, 0)]["scale"] == 0.0
+    # round-trip bound: |q/scale - x| <= 0.5/scale (+ scale rounding)
+    s = out[(1, 0)]["scale"]
+    for i, x in enumerate([1.0, -0.5, 0.0, 0.25]):
+        assert abs(out[(1, i)]["q"] / s - x) <= 0.5 / s + 1e-6
+
+
+def test_embedding_int8_real_corpus_bound(spark, sf_dir):
+    from clinvar_pipeline_spark.queries_llm import q_embedding_int8
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(50).collect()
+    }
+    rows = q_embedding_int8(spark, sf_dir).collect()
+    for r in rows:
+        if r["vec_id"] not in emb or r["scale"] == 0:
+            continue
+        x = emb[r["vec_id"]][r["i"]]
+        assert abs(r["q"] / r["scale"] - x) <= 0.5 / r["scale"] + 1e-5
