@@ -23,19 +23,20 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 29 landed stages: 28 registry
+        (LLM corpus-prep chain — 32 landed stages: 31 registry
         queries + the raw-text PII scrub, plus SemDeDup + the
         IVF/PQ index artifacts when embeddings exist: language ID +
         its held-out confusion report, profile,
         repetition gates,
         lm_quality, quality-classifier scores, perplexity bands
-        (z-score + percentile-true),
-        TF-IDF keywords,
+        (z-score + percentile-true), DSIR importance weights +
+        selection, TF-IDF keywords,
         near-dup pairs + applies, dedup clusters, passage dedup,
         exact-substring span cut list + apply, CDC chunks,
         decontamination + eval-leak report, mixing plan + applied
         mix, stratified sample, packing
-        manifest, token histogram, filter funnel, split report +
+        manifest, token histogram, HLL distinct sketch, filter
+        funnel, split report +
         leakage gate, shuffle order, PII scrub, SemDeDup — one
         parquet dir per stage + counters; --jsonl ingests the corpus
         from JSONL with corrupt lines counted)
@@ -242,6 +243,11 @@ CORPUS_PREP_STAGES = [
     # statistics via two-pass histogram) — the paper's semantics; the
     # z-score variant above stays as the cheap comparison path
     "perplexity_bands_pct",
+    # r7: DSIR importance weights + the top-K selection (Xie et al.
+    # 2023) — target-likeness scoring over hashed n-gram buckets,
+    # the fixed-feature-dim complement to the vocab-sized classifier
+    "dsir_weights",
+    "dsir_select",
     "tfidf_top_terms",
     "minhash_lsh_pairs",
     "dedup_apply",
@@ -266,6 +272,9 @@ CORPUS_PREP_STAGES = [
     "sequence_packing",
     # r6: corpus Zipf head + the per-document keep manifest capstone
     "token_histogram",
+    # r7: per-language distinct-token estimate via the mergeable
+    # engine-portable HLL register sketch
+    "hll_distinct",
     "filter_funnel",
     # late r6: the training-run boundary — deterministic train/val/test
     # assignment with its shape audit, the cross-split duplicate
@@ -393,9 +402,11 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
 def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     """--corpusPrep --stream: the streaming-servable corpus-prep
     stages (PII scrub, repetition gates, model quality scoring,
-    benchmark decontamination — map-only/append-safe writeStreams —
-    plus the incremental near-dup flagger, a foreachBatch
-    stream-static join against the frozen corpus shingle index) as
+    language ID, benchmark decontamination — map-only/append-safe
+    writeStreams — plus the incremental near-dup flagger, a
+    foreachBatch stream-static join against the frozen corpus shingle
+    index, and the running HLL distinct-token sketch, a foreachBatch
+    register-max merge into bounded persistent state) as
     ONE Structured Streaming ingest over the document source, so
     documents are scrubbed/gated/checked/dup-screened as they arrive
     instead of in a nightly batch. availableNow triggers drain whatever is present and stop
@@ -442,6 +453,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         decontaminate_stream,
         eval_shingle_hashes,
         gates_stream,
+        hll_stream,
         langid_stream,
         load_eval_hashes,
         load_langid_model,
@@ -547,6 +559,16 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
             f"{args.out}/_ckpt/neardup_flags",
             k=DECONTAM_K,
         ),
+        # running distinct-token estimate: per micro-batch the HLL
+        # register frame max-merges into |langs| x 256 rows of
+        # persistent state; the landed snapshot equals the batch
+        # hll_distinct on everything drained so far
+        hll_stream(
+            docs,
+            f"{args.out}/_hll_registers",
+            f"{args.out}/hll_distinct",
+            f"{args.out}/_ckpt/hll_distinct",
+        ),
     ]
     for q in queries:
         q.awaitTermination()
@@ -558,6 +580,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "langid",
         "decontaminate",
         "neardup_flags",
+        "hll_distinct",
     ):
         n = spark.read.parquet(f"{args.out}/{name}").count()
         counters.append((name, n))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinvar_pipeline_spark.functions.hashes import (
+    hex64,
     normalized_tokens,
     shingles_of_tokens,
 )
@@ -3099,4 +3100,308 @@ def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("int").alias("i"),
         F.round(F.col("x") * F.col("_scale"), 0).cast("int").alias("q"),
         F.round(F.col("_scale"), 6).alias("scale"),
+    )
+
+
+# ---------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------
+
+DSIR_B = 4096  # hashed n-gram feature buckets (fixed dim, not vocab)
+DSIR_K = 200  # selection budget for dsir_select
+
+# Shared oracle CTE chain (the _SPANS_CTES one-definition idiom):
+# tokenize -> unigram+bigram feature stream -> hashed bucket ->
+# per-bucket class counts -> smoothed per-bucket log-likelihood ratio.
+# Target distribution = the doc_id % 97 == 0 slice (the same
+# benchmark-stand-in convention decontaminate uses); raw = the rest.
+_DSIR_CTES = f"""tok AS (
+        SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+        FROM documents),
+    feat AS (
+        SELECT doc_id, doc_id % 97 = 0 AS is_t,
+               unnest(list_concat(toks,
+                   CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 1), ' '))
+                   ELSE [] END)) AS f
+        FROM tok WHERE len(toks) > 0),
+    fb AS (
+        SELECT doc_id, is_t,
+               CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT)
+                 % {DSIR_B} AS b
+        FROM feat),
+    bc AS (
+        SELECT b,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS tc,
+               CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS DOUBLE) AS rc
+        FROM fb GROUP BY b),
+    tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM bc),
+    w AS (
+        SELECT b, ln((tc + 1) / (tt + {DSIR_B}))
+                  - ln((rc + 1) / (rt + {DSIR_B})) AS llr
+        FROM bc, tot),
+    dw AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               round(sum(llr), 4) AS log_weight
+        FROM fb JOIN w USING (b)
+        WHERE NOT is_t
+        GROUP BY doc_id)"""
+
+
+def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared DSIR plan: hashed-feature stream (persisted once —
+    the bucket-count build and the scoring join both read it), bucket
+    class counts, smoothed log-likelihood-ratio table, per-doc sum."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    toks = normalized_tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fb = base.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_t"),
+        F.explode(F.concat(F.col("toks"), bi)).alias("f"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.pmod(hex64(F.col("f")), F.lit(DSIR_B)).alias("b"),
+    )
+    fb = _persist(fb)  # class counts + scoring join share it
+    bc = fb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+        .cast("double")
+        .alias("tc"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1))
+        .cast("double")
+        .alias("rc"),
+    )
+    # totals via a window over the bucket frame — it is <= DSIR_B rows
+    # (fixed feature dim), so the single window task is trivial at any
+    # corpus size (the stratified_sample idiom)
+    tot = Window.partitionBy(F.lit(1))
+    tt = F.sum("tc").over(tot)
+    rt = F.sum("rc").over(tot)
+    llr = F.log((F.col("tc") + 1) / (tt + DSIR_B)) - F.log(
+        (F.col("rc") + 1) / (rt + DSIR_B)
+    )
+    wtab = bc.select("b", llr.alias("llr"))
+    return (
+        fb.filter(~F.col("is_t"))
+        .join(F.broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("llr"), 4).alias("log_weight"),
+        )
+    )
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_feats, log_weight FROM dw
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is. Features
+    are unigrams + bigrams hashed into a FIXED {DSIR_B}-bucket space
+    (the paper's trick: the feature dim is constant at any corpus
+    size, unlike the observed-vocab quality_classifier); per bucket,
+    a Laplace-smoothed log-likelihood ratio between the target slice
+    (doc_id % 97 == 0, the decontaminate benchmark-stand-in) and the
+    raw rest; per raw document, the importance weight is the SUM of
+    its features' ratios — documents whose n-gram mass concentrates
+    in target-heavy buckets score high.
+
+    Scale: one explode over the corpus into (doc_id, bucket) rows
+    (8-byte buckets, persisted once — the class-count build and the
+    scoring join share it); the bucket table is {DSIR_B} rows by
+    construction, so its totals-window is trivial and the scoring
+    join is a broadcast. No vocab-sized shuffle anywhere — that is
+    the operational difference from lm_quality/quality_classifier,
+    whose weight tables grow with the vocabulary."""
+    return _dsir_weight_frame(spark, sf_dir)
+
+
+@register(
+    "dsir_select",
+    f"""
+    WITH {_DSIR_CTES},
+    sel AS (
+        SELECT doc_id, log_weight FROM dw
+        ORDER BY log_weight DESC, doc_id LIMIT {DSIR_K})
+    SELECT doc_id, log_weight,
+           CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id)
+                AS BIGINT) AS sel_rank
+    FROM sel
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step: keep the top-{DSIR_K} raw documents by
+    importance weight (the deterministic variant of the paper's
+    Gumbel-noise resampling — ranking on the ROUNDED weight with a
+    doc_id tiebreak makes the cut reproducible across runs, engines,
+    and partitionings, the property an auditable data mix needs; the
+    noisy variant is one extra hash-seeded Gumbel column on top).
+
+    Scale: ordering the per-doc weight frame with a LIMIT compiles to
+    TakeOrderedAndProject — per-partition top-{DSIR_K} heaps then one
+    {DSIR_K}-row merge at the driver, no global sort, no
+    single-partition shuffle of the corpus. The rank window runs over
+    the {DSIR_K}-row result, which is budget-sized by construction."""
+    w = _dsir_weight_frame(spark, sf_dir)
+    sel = (
+        w.select("doc_id", "log_weight")
+        .orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+        .limit(DSIR_K)
+    )
+    rank_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("log_weight").desc(), F.col("doc_id")
+    )
+    return sel.select(
+        "doc_id",
+        "log_weight",
+        F.row_number().over(rank_w).cast("long").alias("sel_rank"),
+    )
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog distinct sketch — engine-portable register arithmetic
+# ---------------------------------------------------------------------
+
+HLL_REGS = 256  # 2^8 registers -> ~1.04/sqrt(256) = 6.5% rel. std. err
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_REGS)  # Flajolet et al. 2007
+HLL_RHO_CAP = 62  # keep 2^rho inside double-exact integer range
+
+# rho (position of the leftmost 1-bit, 1-based) over the 30 hex chars
+# after the register byte, via string ops BOTH engines compute
+# identically: leading-zero hex chars + the leading-zero bits of the
+# first nonzero nibble. The all-zero tail (p ~ 16^-30) caps at the
+# same value as the rho cap.
+_HLL_RHO_SQL = f"""CASE WHEN st = '' THEN {HLL_RHO_CAP}
+           ELSE least(4 * (30 - len(st)) +
+                CASE WHEN substr(st, 1, 1) IN
+                          ('8','9','a','b','c','d','e','f') THEN 0
+                     WHEN substr(st, 1, 1) IN ('4','5','6','7') THEN 1
+                     WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+                     ELSE 3 END + 1, {HLL_RHO_CAP}) END"""
+
+
+@register(
+    "hll_distinct",
+    f"""
+    WITH tok AS (
+        SELECT lang, unnest({_TOKENIZE_SQL.format(col='text')}) AS t
+        FROM documents),
+    r AS (
+        SELECT lang,
+               CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS reg,
+               regexp_replace(substr(hx, 3, 30), '^0+', '') AS st
+        FROM (SELECT lang, md5(t) AS hx FROM tok)),
+    mx AS (
+        SELECT lang, reg, max({_HLL_RHO_SQL}) AS m
+        FROM r GROUP BY lang, reg),
+    agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_registers,
+               sum(power(2.0, -m)) AS sp
+        FROM mx GROUP BY lang),
+    est AS (
+        SELECT lang, n_registers,
+               CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_REGS * HLL_REGS}.0
+                 / (sp + ({HLL_REGS} - n_registers)) AS e
+        FROM agg)
+    SELECT lang, n_registers,
+           round(CASE WHEN e <= {2.5 * HLL_REGS}
+                       AND n_registers < {HLL_REGS}
+                      THEN {HLL_REGS}.0
+                           * ln({HLL_REGS}.0 / ({HLL_REGS} - n_registers))
+                      ELSE e END, 4) AS est_distinct
+    FROM est
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per language (Flajolet et
+    al. 2007), computed with an ENGINE-PORTABLE register layout so the
+    DuckDB oracle reproduces every register bit-for-bit (Spark's
+    approx_count_distinct and DuckDB's approx sketches use different
+    internals, so the builtins can never hash-match): the md5 hex of
+    each token supplies the register index (first byte, {HLL_REGS}
+    registers) and rho = leading-zero bits + 1 of the next 120 bits,
+    derived with pure string ops identical in both engines. Estimator
+    is the standard alpha*m^2 harmonic mean with the small-range
+    linear-counting correction.
+
+    Scale: THE map-side-combinable distinct count — registers
+    max-combine, so the shuffle is at most |lang| x {HLL_REGS} rows of
+    (lang, reg, m) regardless of corpus size, vs count(DISTINCT)'s
+    shuffle of every distinct token. No dedup pass is needed at all
+    (max over the token multiset equals max over the set). The same
+    register frame also merges across corpus shards/days by the same
+    max — the mergeability that makes sketches the 100 TB shape.
+    Accuracy contract (1.04/sqrt(m) ~ 6.5% typical) and register
+    mergeability are pinned in tests/test_dsir.py."""
+    mx = hll_register_frame(_t(spark, sf_dir, "documents"))
+    return hll_estimate(mx)
+
+
+def hll_register_frame(docs: DataFrame) -> DataFrame:
+    """(lang, reg, m) HLL register frame over a documents frame — the
+    MERGEABLE sketch state: register frames from disjoint shards/days
+    combine by groupBy(lang, reg).max(m) into the union's frame (the
+    property tests/test_dsir.py pins), so incremental corpus builds
+    never rescan history."""
+    hx = F.md5(F.col("t"))
+    r = docs.select(
+        "lang", F.explode(normalized_tokens(F.col("text"))).alias("t")
+    ).select(
+        "lang",
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.regexp_replace(F.substring(hx, 3, 30), "^0+", "").alias("st"),
+    )
+    c = F.substring(F.col("st"), 1, 1)
+    nib = (
+        F.when(c.isin(*"89abcdef"), 0)
+        .when(c.isin(*"4567"), 1)
+        .when(c.isin(*"23"), 2)
+        .otherwise(3)
+    )
+    rho = F.when(F.col("st") == "", F.lit(HLL_RHO_CAP)).otherwise(
+        F.least(
+            4 * (30 - F.length("st")) + nib + 1, F.lit(HLL_RHO_CAP)
+        )
+    )
+    return r.groupBy("lang", "reg").agg(F.max(rho).alias("m"))
+
+
+def hll_estimate(mx: DataFrame) -> DataFrame:
+    """Collapse a (lang, reg, m) register frame into per-language
+    estimates: alpha*m^2 harmonic mean with the small-range
+    linear-counting correction (Flajolet et al. 2007)."""
+    agg = mx.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sp"),
+    )
+    e = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_REGS * HLL_REGS))
+        / (F.col("sp") + (HLL_REGS - F.col("n_registers")))
+    )
+    est = F.when(
+        (e <= 2.5 * HLL_REGS) & (F.col("n_registers") < HLL_REGS),
+        F.lit(float(HLL_REGS))
+        * F.log(F.lit(float(HLL_REGS)) / (HLL_REGS - F.col("n_registers"))),
+    ).otherwise(e)
+    return agg.select(
+        "lang", "n_registers", F.round(est, 4).alias("est_distinct")
     )

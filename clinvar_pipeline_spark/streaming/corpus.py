@@ -597,3 +597,65 @@ def neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_merge_batch(
+    batch_docs: DataFrame, state_path: str
+) -> DataFrame:
+    """Merge one (micro-)batch's HLL register frame into the
+    persistent register state at ``state_path`` and return the merged
+    frame. The merge is groupBy(lang, reg).max(m) — commutative,
+    associative, and IDEMPOTENT, so at-least-once micro-batch
+    delivery (foreachBatch's contract) cannot corrupt the state:
+    re-processing a batch re-maxes the same registers.
+
+    The register state is bounded at |langs| x 256 rows regardless of
+    corpus size (the sketch's point), so it is collected to break the
+    read-then-overwrite cycle on ``state_path`` — a bounded, documented
+    driver hop, same class as the quality model's weight table."""
+    from clinvar_pipeline_spark.queries_llm import hll_register_frame
+
+    spark = batch_docs.sparkSession
+    fresh = hll_register_frame(batch_docs)
+    if _artifact_exists(spark, state_path):
+        fresh = (
+            fresh.unionByName(spark.read.parquet(state_path))
+            .groupBy("lang", "reg")
+            .agg(F.max("m").alias("m"))
+        )
+    schema = fresh.schema
+    rows = fresh.collect()  # bounded: |langs| x 256
+    merged = spark.createDataFrame(rows, schema)
+    merged.write.mode("overwrite").parquet(state_path)
+    return spark.read.parquet(state_path)
+
+
+def hll_stream(
+    docs: DataFrame, state_path: str, out_path: str, checkpoint: str
+):
+    """Streaming distinct-token counting: each micro-batch max-merges
+    its HLL register frame into the persistent state (hll_merge_batch)
+    and overwrites ``out_path`` with the per-language estimate
+    SNAPSHOT under the merged state — after an availableNow drain the
+    snapshot equals the whole-corpus batch hll_distinct exactly
+    (pinned by tests/test_streaming_corpus.py; the register-merge
+    equality itself by tests/test_dsir.py). This is the mergeability
+    dividend: a running distinct count over an ingest stream with
+    bounded state and NO dedup shuffle, where the batch-exact answer
+    would need the full distinct token set as streaming state.
+
+    Unlike the append-mode stages the estimate is a snapshot (current
+    corpus-wide value, not per-arrival verdicts), so the sink
+    overwrites per batch."""
+    from clinvar_pipeline_spark.queries_llm import hll_estimate
+
+    def _do(batch_df: DataFrame, _epoch: int) -> None:
+        merged = hll_merge_batch(batch_df, state_path)
+        hll_estimate(merged).write.mode("overwrite").parquet(out_path)
+
+    return (
+        docs.writeStream.foreachBatch(_do)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -499,12 +499,21 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "langid",
         "decontaminate",
         "neardup_flags",
+        "hll_distinct",
     }
     # the incremental flagger landed a verdict for every document
     # (self-matches excluded via the index's (n_docs, min_doc) — a
     # whole-corpus-at-once drop scores each doc vs the REST)
     nf = spark.read.parquet(str(tmp_path / "sprep" / "neardup_flags"))
     assert counters["neardup_flags"] == nf.count() > 0
+    # the streamed HLL snapshot equals the batch query on the corpus
+    from clinvar_pipeline_spark.queries import queries as _qreg
+
+    hs = spark.read.parquet(str(tmp_path / "sprep" / "hll_distinct"))
+    got = sorted(map(tuple, hs.collect()))
+    want = sorted(map(tuple, _qreg()["hll_distinct"](
+        spark, "/root/testdata/sf0.001").collect()))
+    assert got == want
     assert counters["pii_scrub"] == spark.read.parquet(
         str(tmp_path / "sprep" / "pii_scrub")
     ).count()

@@ -1,0 +1,197 @@
+"""DSIR importance resampling + the HLL distinct sketch: directional
+and selection contracts on handcrafted fixtures (the oracle check
+pins engine-exactness; these pin the semantics the hash can't see),
+and the sketch's accuracy bound on the real testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import clinvar_pipeline_spark.queries_llm as ql
+from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+
+
+def _write_docs(spark, path, rows, parts=2):
+    """rows: [(doc_id, text, lang)] -> a documents.parquet table dir."""
+    spark.createDataFrame(
+        [(i, t, lg, "s", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).repartition(parts).write.mode("overwrite").parquet(
+        str(path / "documents.parquet")
+    )
+    return str(path)
+
+
+# ---------------------------------------------------------------------
+# dsir_weights: direction, feature accounting, target exclusion
+# ---------------------------------------------------------------------
+
+def test_dsir_target_like_raw_docs_outscore(spark, tmp_path):
+    """A raw document sharing the target slice's n-gram profile must
+    carry a strictly higher importance weight than one that shares
+    nothing with it."""
+    rows = [
+        # doc 0 is the target slice (0 % 97 == 0)
+        (0, "quantum flux capacitor resonance field", "en"),
+        # raw doc with the target's vocabulary (bigrams included)
+        (1, "quantum flux capacitor resonance", "en"),
+        # raw doc fully disjoint from the target
+        (2, "banana smoothie recipe blender", "en"),
+        # raw doc mixing both
+        (3, "quantum flux banana smoothie", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    w = {r["doc_id"]: r["log_weight"]
+         for r in ql.q_dsir_weights(spark, d).collect()}
+    assert set(w) == {1, 2, 3}  # target doc 0 never appears
+    assert w[1] > w[3] > w[2]
+
+
+def test_dsir_n_feats_is_unigrams_plus_bigrams(spark, tmp_path):
+    rows = [
+        (0, "t1 t2 t3", "en"),
+        (1, "a b c d", "en"),   # 4 unigrams + 3 bigrams
+        (2, "solo", "en"),      # 1 unigram, no bigram
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    nf = {r["doc_id"]: r["n_feats"]
+          for r in ql.q_dsir_weights(spark, d).collect()}
+    assert nf == {1: 7, 2: 1}
+
+
+# ---------------------------------------------------------------------
+# dsir_select: top-K cut, rank order, deterministic tiebreak
+# ---------------------------------------------------------------------
+
+def test_dsir_select_takes_top_k_by_weight(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(ql, "DSIR_K", 2)
+    rows = [
+        (0, "alpha beta gamma delta", "en"),
+        (1, "alpha beta gamma delta", "en"),  # identical to target
+        (2, "alpha beta unrelated words", "en"),
+        (3, "totally disjoint vocabulary here", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    sel = ql.q_dsir_select(spark, d).orderBy("sel_rank").collect()
+    assert [r["doc_id"] for r in sel] == [1, 2]
+    assert [r["sel_rank"] for r in sel] == [1, 2]
+    w = {r["doc_id"]: r["log_weight"]
+         for r in ql.q_dsir_weights(spark, d).collect()}
+    assert sel[0]["log_weight"] == w[1] and sel[1]["log_weight"] == w[2]
+
+
+def test_dsir_select_tie_breaks_on_doc_id(spark, tmp_path, monkeypatch):
+    """Identical raw docs carry identical (rounded) weights; the cut
+    inside the tie must fall deterministically on the smaller id."""
+    monkeypatch.setattr(ql, "DSIR_K", 1)
+    rows = [
+        (0, "alpha beta gamma", "en"),
+        (2, "alpha beta gamma", "en"),
+        (1, "alpha beta gamma", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    sel = ql.q_dsir_select(spark, d).collect()
+    assert [(r["doc_id"], r["sel_rank"]) for r in sel] == [(1, 1)]
+
+
+# ---------------------------------------------------------------------
+# hll_distinct: accuracy vs exact on the real testdata + determinism
+# ---------------------------------------------------------------------
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=256 gives ~6.5% relative standard error; assert every
+    language's estimate lands within 4 sigma (26%) of the exact
+    distinct-token count at sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    est = {r["lang"]: r["est_distinct"]
+           for r in ql.q_hll_distinct(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.select(
+            "lang", F.explode(normalized_tokens(F.col("text"))).alias("t")
+        ).groupBy("lang").agg(F.countDistinct("t").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) / n < 0.26, (lang, est[lang], n)
+
+
+def test_hll_register_merge_equals_whole_corpus(spark, tmp_path):
+    """Mergeability — THE sketch property: max-combining two disjoint
+    shards' register frames must reproduce the whole corpus's
+    estimates exactly, so incremental/sharded corpus builds never
+    rescan history."""
+    rows = [(i, f"w{i} w{i + 1} w{i + 2} common", "en") for i in range(1, 41)]
+    tmp_path.mkdir(exist_ok=True)
+    d_all = (tmp_path / "all"); d_all.mkdir()
+    d_a = (tmp_path / "a"); d_a.mkdir()
+    d_b = (tmp_path / "b"); d_b.mkdir()
+    docs_all = spark.read.parquet(
+        f"{_write_docs(spark, d_all, rows)}/documents.parquet")
+    docs_a = spark.read.parquet(
+        f"{_write_docs(spark, d_a, rows[:20])}/documents.parquet")
+    docs_b = spark.read.parquet(
+        f"{_write_docs(spark, d_b, rows[20:])}/documents.parquet")
+
+    merged = (
+        ql.hll_register_frame(docs_a)
+        .unionByName(ql.hll_register_frame(docs_b))
+        .groupBy("lang", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    got = sorted(map(tuple, ql.hll_estimate(merged).collect()))
+    want = sorted(map(tuple, ql.hll_estimate(
+        ql.hll_register_frame(docs_all)).collect()))
+    assert got == want
+
+
+def test_hll_deterministic_across_runs(spark):
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, ql.q_hll_distinct(spark, sf).collect()))
+    b = sorted(map(tuple, ql.q_hll_distinct(spark, sf).collect()))
+    assert a == b
+
+
+def test_hll_stream_snapshot_equals_batch(spark, tmp_path):
+    """The streamed register-merge drained over a two-batch drop must
+    land the SAME per-language estimates as the batch query on the
+    whole corpus — the mergeability contract, through the actual
+    Structured Streaming plumbing."""
+    from clinvar_pipeline_spark.streaming.corpus import (
+        DOCUMENT_SCHEMA,
+        hll_stream,
+        read_document_stream,
+    )
+
+    rows1 = [(i, f"alpha w{i} w{i + 1} shared", "en", "s", 20)
+             for i in range(1, 11)]
+    rows2 = [(i, f"beta w{i} w{i + 3} shared", "de" if i % 2 else "en",
+              "s", 20) for i in range(11, 21)]
+    drop = tmp_path / "docs"
+
+    def drain():
+        q = hll_stream(
+            read_document_stream(spark, str(drop)),
+            str(tmp_path / "_hll_registers"),
+            str(tmp_path / "hll_distinct"),
+            str(tmp_path / "ckpt_hll"),
+        )
+        q.awaitTermination(120)
+
+    # two sequential availableNow drains over a shared checkpoint so
+    # the second provably runs the merge-with-prior-state path (one
+    # drain over both files could land them in a single micro-batch)
+    spark.createDataFrame(rows1, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(drop))
+    drain()
+    spark.createDataFrame(rows2, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(str(drop))
+    drain()
+    got = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "hll_distinct")).collect()))
+
+    want = sorted(map(tuple, ql.hll_estimate(ql.hll_register_frame(
+        spark.read.parquet(str(drop)))).collect()))
+    assert got == want

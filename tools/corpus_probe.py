@@ -28,6 +28,11 @@ invariants under load:
   duplicated, so each >=W-token doc must collapse to exactly ONE
   full-coverage span — the gaps-and-islands merge under total
   duplication.
+- dsir_weights (r7): the importance weight is a pure function of
+  document content + the corpus bucket table, so verbatim raw
+  replicas must score identically at 10x.
+- hll_distinct (r7): register max ignores multiplicity, so every
+  language's estimate at 10x must EQUAL the base corpus's.
 
 Usage: python tools/corpus_probe.py [--sf DIR] [--factor 10]
 Prints one JSON line; paste numbers into README's probe table.
@@ -289,6 +294,43 @@ def main() -> None:
     ).fetchall()))
     out["leakage_groups"] = len(got)
     out["leakage_oracle_match"] = bool(got == want)
+    release_cached()
+
+    # --- dsir_weights: weight is a pure function of content ----------
+    # replicas are verbatim copies, so every raw replica of the same
+    # base doc must carry the SAME (n_feats, log_weight) — the weight
+    # depends only on the document's hashed-feature profile and the
+    # corpus-level bucket table, never on ids or partitioning. (The
+    # bucket table itself stays <= DSIR_B rows at ANY factor — the
+    # fixed-feature-dim claim — checked via the registered query's
+    # own broadcast-sized weight join succeeding at 10x.)
+    t0 = time.time()
+    dsir = reg["dsir_weights"](spark, probe_dir).persist()
+    out["dsir_rows"] = dsir.count()
+    out["dsir_wall_s"] = round(time.time() - t0, 1)
+    dgrp = dsir.select(
+        F.pmod(F.col("doc_id"), F.lit(ID_OFFSET)).alias("base"),
+        "n_feats",
+        "log_weight",
+    ).groupBy("base").agg(
+        F.countDistinct("n_feats", "log_weight").alias("nv")
+    )
+    out["dsir_raw_groups"] = dgrp.count()
+    out["dsir_groups_inconsistent"] = dgrp.filter(F.col("nv") > 1).count()
+    dsir.unpersist()
+    release_cached()
+
+    # --- hll_distinct: multiplicity-invariance at 10x ----------------
+    # replicas add occurrences, never new tokens, so the register
+    # frame — and therefore every language's estimate — must be
+    # IDENTICAL to the base corpus's (max over a multiset ignores
+    # multiplicity); the sketch's whole point at 100 TB
+    t0 = time.time()
+    hll10 = sorted(map(tuple, reg["hll_distinct"](spark, probe_dir).collect()))
+    out["hll_wall_s"] = round(time.time() - t0, 1)
+    hll1 = sorted(map(tuple, reg["hll_distinct"](spark, args.sf).collect()))
+    out["hll_langs"] = len(hll10)
+    out["hll_multiplicity_invariant"] = bool(hll10 == hll1)
     release_cached()
 
     print(json.dumps(out))
