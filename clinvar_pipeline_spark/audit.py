@@ -39,6 +39,11 @@ WAIVERS: dict[str, set[str]] = {
     # ever equi-joins the charset^3-bounded weight table
     "langid": {"nested-loop-join"},
     "langid_report": {"nested-loop-join"},
+    # the pair expansion (lang < lang cross, lang IN (la, lb)) runs
+    # over the HLL REGISTER frames — |langs| and |langs| x 256 rows
+    # by construction at any corpus size; the corpus-sized work
+    # (register build) is one equi-keyed groupBy upstream
+    "hll_overlap": {"nested-loop-join"},
 }
 
 

@@ -23,7 +23,7 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 32 landed stages: 31 registry
+        (LLM corpus-prep chain — 33 landed stages: 32 registry
         queries + the raw-text PII scrub, plus SemDeDup + the
         IVF/PQ index artifacts when embeddings exist: language ID +
         its held-out confusion report, profile,
@@ -35,7 +35,8 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         exact-substring span cut list + apply, CDC chunks,
         decontamination + eval-leak report, mixing plan + applied
         mix, stratified sample, packing
-        manifest, token histogram, HLL distinct sketch, filter
+        manifest, token histogram, HLL distinct sketch + pairwise
+        vocabulary overlap, filter
         funnel, split report +
         leakage gate, shuffle order, PII scrub, SemDeDup — one
         parquet dir per stage + counters; --jsonl ingests the corpus
@@ -273,8 +274,10 @@ CORPUS_PREP_STAGES = [
     # r6: corpus Zipf head + the per-document keep manifest capstone
     "token_histogram",
     # r7: per-language distinct-token estimate via the mergeable
-    # engine-portable HLL register sketch
+    # engine-portable HLL register sketch + pairwise vocabulary
+    # overlap by inclusion-exclusion over the same registers
     "hll_distinct",
+    "hll_overlap",
     "filter_funnel",
     # late r6: the training-run boundary — deterministic train/val/test
     # assignment with its shape audit, the cross-split duplicate

@@ -3298,10 +3298,9 @@ _HLL_RHO_SQL = f"""CASE WHEN st = '' THEN {HLL_RHO_CAP}
                      ELSE 3 END + 1, {HLL_RHO_CAP}) END"""
 
 
-@register(
-    "hll_distinct",
-    f"""
-    WITH tok AS (
+# shared register-build CTE chain (tok -> md5 split -> per-(lang, reg)
+# max rank) for the hll_distinct and hll_overlap oracles
+_HLL_MX_CTES = f"""tok AS (
         SELECT lang, unnest({_TOKENIZE_SQL.format(col='text')}) AS t
         FROM documents),
     r AS (
@@ -3311,23 +3310,38 @@ _HLL_RHO_SQL = f"""CASE WHEN st = '' THEN {HLL_RHO_CAP}
         FROM (SELECT lang, md5(t) AS hx FROM tok)),
     mx AS (
         SELECT lang, reg, max({_HLL_RHO_SQL}) AS m
-        FROM r GROUP BY lang, reg),
-    agg AS (
-        SELECT lang, CAST(count(*) AS BIGINT) AS n_registers,
-               sum(power(2.0, -m)) AS sp
-        FROM mx GROUP BY lang),
-    est AS (
-        SELECT lang, n_registers,
-               CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_REGS * HLL_REGS}.0
-                 / (sp + ({HLL_REGS} - n_registers)) AS e
-        FROM agg)
-    SELECT lang, n_registers,
-           round(CASE WHEN e <= {2.5 * HLL_REGS}
-                       AND n_registers < {HLL_REGS}
-                      THEN {HLL_REGS}.0
-                           * ln({HLL_REGS}.0 / ({HLL_REGS} - n_registers))
-                      ELSE e END, 4) AS est_distinct
-    FROM est
+        FROM r GROUP BY lang, reg)"""
+
+
+def _hll_est_sql(src: str, keys: str, out: str) -> str:
+    """The estimator CTE text (alpha*m^2 harmonic mean + small-range
+    linear counting) over a register relation ``src`` grouped by
+    ``keys`` — one definition for the single-group and pair-union
+    oracles."""
+    return f"""
+        SELECT {keys}, n_registers,
+               round(CASE WHEN e <= {2.5 * HLL_REGS}
+                           AND n_registers < {HLL_REGS}
+                          THEN {HLL_REGS}.0
+                               * ln({HLL_REGS}.0
+                                    / ({HLL_REGS} - n_registers))
+                          ELSE e END, 4) AS {out}
+        FROM (
+            SELECT {keys}, n_registers,
+                   CAST({HLL_ALPHA!r} AS DOUBLE)
+                     * {HLL_REGS * HLL_REGS}.0
+                     / (sp + ({HLL_REGS} - n_registers)) AS e
+            FROM (
+                SELECT {keys}, CAST(count(*) AS BIGINT) AS n_registers,
+                       sum(power(2.0, -m)) AS sp
+                FROM {src} GROUP BY {keys}))"""
+
+
+@register(
+    "hll_distinct",
+    f"""
+    WITH {_HLL_MX_CTES}
+    {_hll_est_sql('mx', 'lang', 'est_distinct')}
     """,
 )
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3404,4 +3418,168 @@ def hll_estimate(mx: DataFrame) -> DataFrame:
     ).otherwise(e)
     return agg.select(
         "lang", "n_registers", F.round(est, 4).alias("est_distinct")
+    )
+
+
+@register(
+    "dsir_resample",
+    f"""
+    WITH {_DSIR_CTES},
+    keyed AS (
+        SELECT doc_id, log_weight,
+               round(log_weight - ln(-ln(
+                   (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 1000000 + 0.5)
+                   / 1000000.0)), 4) AS gumbel_key
+        FROM dw),
+    sel AS (
+        SELECT doc_id, log_weight, gumbel_key FROM keyed
+        ORDER BY gumbel_key DESC, doc_id LIMIT {DSIR_K})
+    SELECT doc_id, log_weight, gumbel_key,
+           CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+                AS BIGINT) AS sel_rank
+    FROM sel
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual sampler: Gumbel-top-K resampling. Perturbing each
+    log-weight with an independent Gumbel(0,1) draw and taking the
+    top-{DSIR_K} samples WITHOUT replacement with probability
+    proportional to exp(log_weight) — the Gumbel-max trick, exactly
+    the paper's importance resampling (dsir_select is the
+    noise-free argmax variant). The draw is HASH-SEEDED, not rand():
+    u = (md5-prefix(doc_id) per-million bucket + 0.5) / 1e6, so the
+    sample is a pure function of the corpus — reproducible across
+    runs, engines, and partitionings (the stratified_sample
+    discipline), while distributing as uniform(0,1) quantized to 1e6
+    levels. gumbel = -ln(-ln(u)); the perturbed key is rounded to 4
+    decimals BEFORE ranking so the cross-engine order is total
+    (doc_id breaks residual ties).
+
+    Scale: one map-only expression over the weight frame, then the
+    same TakeOrderedAndProject top-K as dsir_select — per-partition
+    heaps, no global sort, driver sees {DSIR_K} rows."""
+    w = _dsir_weight_frame(spark, sf_dir)
+    u = (
+        F.pmod(hex64(F.col("doc_id").cast("string")), F.lit(1_000_000))
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 4)
+    sel = (
+        w.select("doc_id", "log_weight", key.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), F.col("doc_id"))
+        .limit(DSIR_K)
+    )
+    rank_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("gumbel_key").desc(), F.col("doc_id")
+    )
+    return sel.select(
+        "doc_id",
+        "log_weight",
+        "gumbel_key",
+        F.row_number().over(rank_w).cast("long").alias("sel_rank"),
+    )
+
+
+@register(
+    "hll_overlap",
+    f"""
+    WITH {_HLL_MX_CTES},
+    langs AS (SELECT DISTINCT lang FROM mx),
+    pairs AS (
+        SELECT a.lang AS la, b.lang AS lb
+        FROM langs a JOIN langs b ON a.lang < b.lang),
+    pu AS (
+        SELECT p.la, p.lb, m.reg, max(m.m) AS m
+        FROM pairs p JOIN mx m ON m.lang IN (p.la, p.lb)
+        GROUP BY p.la, p.lb, m.reg),
+    eu AS ({_hll_est_sql('pu', 'la, lb', 'est_union')}),
+    es AS ({_hll_est_sql('mx', 'lang', 'est_distinct')})
+    SELECT eu.la AS lang_a, eu.lb AS lang_b,
+           ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+           eu.est_union,
+           round(greatest(0.0,
+               ea.est_distinct + eb.est_distinct - eu.est_union), 4)
+             AS est_overlap
+    FROM eu
+    JOIN es ea ON ea.lang = eu.la
+    JOIN es eb ON eb.lang = eu.lb
+    """,
+)
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA: estimated distinct-token overlap between every
+    language pair by inclusion-exclusion over HLL sketches —
+    |A∩B| ≈ est(A) + est(B) - est(A∪B), where the union estimate
+    comes for free from the register max-merge (the same merge the
+    shard/stream paths use; union of sets == max of registers,
+    exactly). This is the cross-corpus/cross-source audit a curation
+    run wants ("how much vocabulary do these slices share?") at
+    sketch cost: no token set ever materializes, no distinct shuffle,
+    no pairwise token join.
+
+    Scale: everything downstream of the register build operates on
+    |langs| x {HLL_REGS}-row frames — the pair expansion is
+    group-cardinality-squared over REGISTERS, never over tokens, so
+    a 100 TB corpus pays exactly the hll_distinct build plus sketch
+    arithmetic. Inclusion-exclusion inherits both sketches' error
+    (small relative overlaps can clamp to 0 — documented estimator
+    property, pinned directionally in tests/test_dsir.py)."""
+    mx = hll_register_frame(_t(spark, sf_dir, "documents"))
+    mx = _persist(mx)  # single + pair-union estimates share it
+    langs = mx.select("lang").distinct()
+    a, b = langs.alias("a"), langs.alias("b")
+    pairs = a.join(
+        b, F.col("a.lang") < F.col("b.lang")
+    ).select(F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"))
+    pu = (
+        F.broadcast(pairs)
+        .join(mx, mx["lang"].isin(F.col("la"), F.col("lb")))
+        .groupBy("la", "lb", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+
+    def est(frame: DataFrame, keys: list, out: str) -> DataFrame:
+        agg = frame.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_registers"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sp"),
+        )
+        e = (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_REGS * HLL_REGS))
+            / (F.col("sp") + (HLL_REGS - F.col("n_registers")))
+        )
+        v = F.when(
+            (e <= 2.5 * HLL_REGS) & (F.col("n_registers") < HLL_REGS),
+            F.lit(float(HLL_REGS))
+            * F.log(
+                F.lit(float(HLL_REGS)) / (HLL_REGS - F.col("n_registers"))
+            ),
+        ).otherwise(e)
+        return agg.select(*keys, F.round(v, 4).alias(out))
+
+    eu = est(pu, ["la", "lb"], "est_union")
+    es = est(mx, ["lang"], "est_distinct")
+    ea = es.select(
+        F.col("lang").alias("la"), F.col("est_distinct").alias("est_a")
+    )
+    eb = es.select(
+        F.col("lang").alias("lb"), F.col("est_distinct").alias("est_b")
+    )
+    return (
+        eu.join(ea, "la")
+        .join(eb, "lb")
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                ),
+                4,
+            ).alias("est_overlap"),
+        )
     )

@@ -195,3 +195,73 @@ def test_hll_stream_snapshot_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, ql.hll_estimate(ql.hll_register_frame(
         spark.read.parquet(str(drop)))).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# dsir_resample: the Gumbel keys are exactly the documented function
+# ---------------------------------------------------------------------
+
+def test_dsir_resample_keys_match_python_reference(spark, tmp_path,
+                                                   monkeypatch):
+    """gumbel_key must equal round(log_weight - ln(-ln(u)), 4) with
+    u = (md5-prefix(doc_id)%1e6 + 0.5)/1e6 — recomputed independently
+    in pure Python — and the top-K cut must order by that key."""
+    import hashlib
+    import math
+
+    monkeypatch.setattr(ql, "DSIR_K", 3)
+    rows = [
+        (0, "alpha beta gamma delta", "en"),
+        (1, "alpha beta gamma delta", "en"),
+        (2, "alpha beta unrelated words", "en"),
+        (3, "totally disjoint vocabulary here", "en"),
+        (4, "alpha gamma mixed disjoint", "en"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    w = {r["doc_id"]: r["log_weight"]
+         for r in ql.q_dsir_weights(spark, d).collect()}
+
+    def key(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000 + 0.5) / 1_000_000.0
+        return round(w[doc_id] - math.log(-math.log(u)), 4)
+
+    want = sorted(
+        ((key(i), i) for i in w), key=lambda t: (-t[0], t[1])
+    )[:3]
+    got = ql.q_dsir_resample(spark, d).orderBy("sel_rank").collect()
+    assert [(r["gumbel_key"], r["doc_id"]) for r in got] == want
+    assert [r["sel_rank"] for r in got] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------
+# hll_overlap: inclusion-exclusion directional contracts
+# ---------------------------------------------------------------------
+
+def test_hll_overlap_identical_vocab_equals_single_estimate(spark,
+                                                            tmp_path):
+    """Two languages with IDENTICAL token sets have identical register
+    frames, so est_union == est_a == est_b and the overlap estimate
+    equals the single-language estimate exactly."""
+    text = "red green blue cyan magenta yellow umber teal"
+    rows = [(i, text, "en" if i % 2 else "de") for i in range(1, 21)]
+    d = _write_docs(spark, tmp_path, rows)
+    r = ql.q_hll_overlap(spark, d).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["lang_a"], row["lang_b"]) == ("de", "en")
+    assert row["est_a"] == row["est_b"] == row["est_union"]
+    assert row["est_overlap"] == row["est_a"]
+
+
+def test_hll_overlap_disjoint_vocab_near_zero(spark, tmp_path):
+    """Disjoint vocabularies: the union estimate absorbs both sides,
+    so inclusion-exclusion leaves only sketch noise — bounded well
+    below either side's estimate."""
+    rows = [(i, " ".join(f"en{i}w{j}" for j in range(6)), "en")
+            for i in range(1, 41)]
+    rows += [(i, " ".join(f"de{i}w{j}" for j in range(6)), "de")
+             for i in range(41, 81)]
+    d = _write_docs(spark, tmp_path, rows)
+    row = ql.q_hll_overlap(spark, d).collect()[0]
+    assert row["est_overlap"] <= 0.25 * min(row["est_a"], row["est_b"])
