@@ -7,8 +7,9 @@ thing is implementable in-container: parse the RIFF chunk list for
 payload), and window the PCM stream by *time*, not bytes
 (``operators/multimodal.sample_frames`` uses :func:`wav_window` to
 emit evenly spaced fixed-duration windows — the seek+slice semantics
-an audio feature extractor has). Compressed audio (MP3/AAC) stays at
-the documented fake tier.
+an audio feature extractor has). MP3 parses at the header tier
+(functions/mp3.py frame walk); remaining compressed audio (AAC)
+stays at the documented fake tier.
 
 All reads are length-checked; malformed input raises ValueError (the
 ladder's uniform failure boundary).

@@ -239,8 +239,12 @@ AUDIO_META_SCHEMA = (
 
 def _decode_audio(raw: bytes) -> tuple:
     """(sample_rate, channels, bits, n_samples, duration_s, tier):
-    real RIFF/PCM parse (functions/wav.py — tier 'pure') or the
-    deterministic fake for compressed/unrecognizable audio."""
+    real RIFF/PCM parse (functions/wav.py — tier 'pure'), MPEG-audio
+    frame-header walk (functions/mp3.py — tier 'header': true rate/
+    channels/duration, payload undecoded, bits=0 since entropy-coded
+    audio has no PCM depth), or the deterministic fake for other
+    compressed/unrecognizable audio."""
+    from clinvar_pipeline_spark.functions import mp3 as _mp3
     from clinvar_pipeline_spark.functions import wav as _wav
 
     if raw[:4] == _wav.WAV_MAGIC and raw[8:12] == b"WAVE":
@@ -252,6 +256,19 @@ def _decode_audio(raw: bytes) -> tuple:
             )
         except ValueError:
             pass  # malformed/non-PCM -> fake tier, never a task crash
+    if raw[:3] == b"ID3" or (
+        len(raw) >= 2
+        and raw[0] == _mp3.MP3_SYNC_BYTE
+        and (raw[1] & 0xE0) == 0xE0
+    ):
+        try:
+            i = _mp3.mp3_info(raw)
+            return (
+                i["sample_rate"], i["channels"], 0,
+                i["n_samples"], i["duration_s"], TIER_HEADER,
+            )
+        except ValueError:
+            pass  # truncated/garbage-tailed -> fake tier
     n = len(raw)
     # unrounded: n/8000.0 is the same IEEE double in Python and
     # DuckDB, while round() half-even vs half-up diverge on ties
@@ -261,8 +278,10 @@ def _decode_audio(raw: bytes) -> tuple:
 def extract_audio_meta(binaries: DataFrame) -> DataFrame:
     """(id, content) -> per-asset audio manifest row: the audio twin
     of extract_image_meta/extract_video_meta. PCM WAV parses for real
-    (sample rate / channels / depth / duration); compressed audio
-    (MP3/AAC) is honestly fake-tier — entropy decode needs a codec
+    (sample rate / channels / depth / duration); MP3 parses at the
+    header tier (functions/mp3.py frame walk — true rate/channels/
+    sample count/duration, payload undecoded); remaining compressed
+    audio (AAC) is honestly fake-tier — entropy decode needs a codec
     library this container lacks."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
