@@ -239,11 +239,15 @@ AUDIO_META_SCHEMA = (
 
 def _decode_audio(raw: bytes) -> tuple:
     """(sample_rate, channels, bits, n_samples, duration_s, tier):
-    real RIFF/PCM parse (functions/wav.py — tier 'pure'), MPEG-audio
-    frame-header walk (functions/mp3.py — tier 'header': true rate/
-    channels/duration, payload undecoded, bits=0 since entropy-coded
-    audio has no PCM depth), or the deterministic fake for other
-    compressed/unrecognizable audio."""
+    real RIFF/PCM parse (functions/wav.py — tier 'pure'), ADTS/AAC or
+    MPEG-audio frame-header walk (functions/aac.py, functions/mp3.py
+    — tier 'header': true rate/channels/duration, payload undecoded,
+    bits=0 since entropy-coded audio has no PCM depth), or the
+    deterministic fake for unrecognizable audio. The two header
+    families share the 0xFF sync byte but disambiguate on the layer
+    bits (ADTS requires 00, MPEG audio forbids it), so the stricter
+    ADTS walk runs first and falls through cleanly."""
+    from clinvar_pipeline_spark.functions import aac as _aac
     from clinvar_pipeline_spark.functions import mp3 as _mp3
     from clinvar_pipeline_spark.functions import wav as _wav
 
@@ -256,6 +260,17 @@ def _decode_audio(raw: bytes) -> tuple:
             )
         except ValueError:
             pass  # malformed/non-PCM -> fake tier, never a task crash
+    if len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xF0) == 0xF0:
+        # ADTS sync (0xFFF) is a subset of the MPEG-audio sync
+        # (0xFFE): try the stricter frame walk first
+        try:
+            i = _aac.aac_info(raw)
+            return (
+                i["sample_rate"], i["channels"], 0,
+                i["n_samples"], i["duration_s"], TIER_HEADER,
+            )
+        except ValueError:
+            pass
     if raw[:3] == b"ID3" or (
         len(raw) >= 2
         and raw[0] == _mp3.MP3_SYNC_BYTE
@@ -278,11 +293,12 @@ def _decode_audio(raw: bytes) -> tuple:
 def extract_audio_meta(binaries: DataFrame) -> DataFrame:
     """(id, content) -> per-asset audio manifest row: the audio twin
     of extract_image_meta/extract_video_meta. PCM WAV parses for real
-    (sample rate / channels / depth / duration); MP3 parses at the
-    header tier (functions/mp3.py frame walk — true rate/channels/
-    sample count/duration, payload undecoded); remaining compressed
-    audio (AAC) is honestly fake-tier — entropy decode needs a codec
-    library this container lacks."""
+    (sample rate / channels / depth / duration); MP3 and ADTS/AAC
+    parse at the header tier (functions/mp3.py, functions/aac.py
+    frame walks — true rate/channels/sample count/duration, payload
+    undecoded); only non-self-framing payloads (raw AAC outside its
+    MP4 container, bare H.264) remain honestly fake-tier — entropy
+    decode needs a codec library this container lacks."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
