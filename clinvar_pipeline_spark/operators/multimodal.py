@@ -176,6 +176,7 @@ def _decode_video(raw: bytes) -> tuple:
     tier) via the video ladder: Y4M full parse (frame-accurate — tier
     'pure') → ISO-BMFF box walk (duration/tracks/codecs without media
     decode — tier 'header') → deterministic fake."""
+    from clinvar_pipeline_spark.functions import h264 as _h264
     from clinvar_pipeline_spark.functions import mp4 as _mp4
     from clinvar_pipeline_spark.functions import y4m as _y4m
 
@@ -191,6 +192,12 @@ def _decode_video(raw: bytes) -> tuple:
                 m["container"], 0, 0, 0.0, 0,
                 m.get("duration_s", 0.0), m["n_tracks"],
                 "|".join(m["codecs"]), TIER_HEADER,
+            )
+        if raw.startswith(_h264.ANNEXB_PREFIXES):
+            i = _h264.h264_info(raw)
+            return (
+                "h264", i["width"], i["height"], i["fps"],
+                i["n_frames"], i["duration_s"], 1, "avc1", TIER_HEADER,
             )
     except ValueError:
         pass  # malformed container -> fake tier, never a task crash
