@@ -47,6 +47,7 @@ def _walk(raw: bytes, lo: int, hi: int, out: dict, budget: list[int]) -> None:
             _read_mvhd(raw, body, end, out)
         elif btype == b"tkhd":
             out["n_tracks"] = out.get("n_tracks", 0) + 1
+            _read_tkhd_dims(raw, body, end, out)
         elif btype == b"hdlr":
             if end - body >= 12:
                 out.setdefault("handlers", []).append(
@@ -75,6 +76,22 @@ def _read_mvhd(raw: bytes, body: int, end: int, out: dict) -> None:
     out["duration"] = duration
 
 
+def _read_tkhd_dims(raw: bytes, body: int, end: int, out: dict) -> None:
+    """Presentation width/height from the track header — 16.16 fixed
+    point at the end of the tkhd body (offset 76 in v0, 88 in v1
+    where creation/modification/duration widen to 64-bit). The first
+    track with nonzero dims wins (audio tracks carry zeros)."""
+    if end - body < 4:
+        return
+    off = body + (88 if raw[body] == 1 else 76)
+    if off + 8 > end:
+        return
+    w = struct.unpack_from(">I", raw, off)[0] >> 16
+    h = struct.unpack_from(">I", raw, off + 4)[0] >> 16
+    if w and h and "width" not in out:
+        out["width"], out["height"] = w, h
+
+
 def _read_stsd(raw: bytes, body: int, end: int, out: dict) -> None:
     # full box: version/flags (4) + entry_count (4), then sample entries
     if end - body < 8:
@@ -95,8 +112,9 @@ def _read_stsd(raw: bytes, body: int, end: int, out: dict) -> None:
 
 def mp4_info(raw: bytes) -> dict:
     """Parse container metadata: ``{container, duration_s, timescale,
-    n_tracks, handlers, codecs}``. Requires an ftyp box (the MP4
-    signature); raises ValueError otherwise."""
+    n_tracks, handlers, codecs}`` plus ``width``/``height`` when a
+    track header carries nonzero presentation dims. Requires an ftyp
+    box (the MP4 signature); raises ValueError otherwise."""
     if len(raw) < 12 or raw[4:8] != b"ftyp":
         raise ValueError("mp4: no ftyp signature")
     out: dict = {"container": raw[8:12].decode("latin1").strip()}

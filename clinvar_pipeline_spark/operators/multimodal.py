@@ -189,7 +189,8 @@ def _decode_video(raw: bytes) -> tuple:
         if len(raw) >= 12 and raw[4:8] == b"ftyp":
             m = _mp4.mp4_info(raw)
             return (
-                m["container"], 0, 0, 0.0, 0,
+                m["container"], m.get("width", 0), m.get("height", 0),
+                0.0, 0,
                 m.get("duration_s", 0.0), m["n_tracks"],
                 "|".join(m["codecs"]), TIER_HEADER,
             )

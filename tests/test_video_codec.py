@@ -222,3 +222,22 @@ def test_y4m_444_roundtrip_bounded_error(w, h, n, rnd):
     # round-trip error bound is a few code values per sample
     for fin, fout in zip(frames, out):
         assert all(abs(a - b) <= 6 for a, b in zip(fin, fout))
+
+
+def test_mp4_tkhd_dims_surface():
+    """A tkhd with nonzero 16.16 presentation dims lands width/height
+    in mp4_info; the all-zero fixture keeps reporting none (audio
+    tracks carry zeros, so zero never wins)."""
+    tkhd = (
+        b"\x00" * 76
+        + struct.pack(">I", 640 << 16)
+        + struct.pack(">I", 360 << 16)
+    )
+    trak = _box(b"trak", _box(b"tkhd", tkhd))
+    raw = (
+        _box(b"ftyp", b"isom" + b"\x00" * 4)
+        + _box(b"moov", trak)
+    )
+    m = mp4_info(raw)
+    assert (m["width"], m["height"]) == (640, 360)
+    assert "width" not in mp4_info(_minimal_mp4())
