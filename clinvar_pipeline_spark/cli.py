@@ -408,8 +408,9 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     language ID, benchmark decontamination — map-only/append-safe
     writeStreams — plus the incremental near-dup flagger, a
     foreachBatch stream-static join against the frozen corpus shingle
-    index, and the running HLL distinct-token sketch, a foreachBatch
-    register-max merge into bounded persistent state) as
+    index, the running HLL distinct-token sketch, a foreachBatch
+    register-max merge into bounded persistent state, and DSIR
+    importance scoring under a frozen 4096-bucket table) as
     ONE Structured Streaming ingest over the document source, so
     documents are scrubbed/gated/checked/dup-screened as they arrive
     instead of in a nightly batch. availableNow triggers drain whatever is present and stop
@@ -454,14 +455,17 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         _artifact_exists,
         corpus_shingle_index,
         decontaminate_stream,
+        dsir_stream,
         eval_shingle_hashes,
         gates_stream,
         hll_stream,
         langid_stream,
         load_eval_hashes,
+        load_dsir_model,
         load_langid_model,
         load_quality_model,
         neardup_stream,
+        save_dsir_model,
         quality_stream,
         read_document_stream,
         read_document_stream_jsonl,
@@ -470,6 +474,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         save_langid_model,
         save_quality_model,
         scrub_stream,
+        train_dsir_weights,
         train_quality_weights,
     )
 
@@ -514,6 +519,15 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         save_langid_model(spark, lm, lwu, lid_path)
     else:
         lm, lwu = lid
+    # the DSIR bucket table too — and unlike the vocab-sized quality
+    # model it is <= DSIR_B rows at any corpus size
+    dsir_path = f"{args.out}/_dsir_model"
+    dsm = load_dsir_model(spark, dsir_path)
+    if dsm is None:
+        dw, dwu = train_dsir_weights(batch_docs)
+        save_dsir_model(spark, dw, dwu, dsir_path)
+    else:
+        dw, dwu = dsm
     # the dedup family's incremental state: the corpus shingle index
     # (h, n_docs, min_doc) — CORPUS-sized, so it lands via an
     # ordinary distributed write and serves through a
@@ -541,6 +555,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         stage("repetition_gates", gates_stream(docs)),
         stage("quality_classifier", quality_stream(docs, qw, qwu)),
         stage("langid", langid_stream(docs, lm, lwu)),
+        stage("dsir_weights", dsir_stream(docs, dw, dwu)),
         stage(
             "decontaminate",
             decontaminate_stream(
@@ -584,6 +599,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "decontaminate",
         "neardup_flags",
         "hll_distinct",
+        "dsir_weights",
     ):
         n = spark.read.parquet(f"{args.out}/{name}").count()
         counters.append((name, n))

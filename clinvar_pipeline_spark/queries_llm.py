@@ -3150,13 +3150,14 @@ _DSIR_CTES = f"""tok AS (
         GROUP BY doc_id)"""
 
 
-def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared DSIR plan: hashed-feature stream (persisted once —
-    the bucket-count build and the scoring join both read it), bucket
-    class counts, smoothed log-likelihood-ratio table, per-doc sum."""
-    d = _spread(_t(spark, sf_dir, "documents"))
+def dsir_feature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_t, b): the hashed unigram+bigram feature stream —
+    the shared base of the batch DSIR queries and the stream trainer.
+    is_t marks the target slice (doc_id % 97 == 0)."""
     toks = normalized_tokens(F.col("text"))
-    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
     n = F.size("toks")
     bi = F.when(
         n >= 2,
@@ -3165,7 +3166,7 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    fb = base.select(
+    return base.select(
         "doc_id",
         (F.col("doc_id") % 97 == 0).alias("is_t"),
         F.explode(F.concat(F.col("toks"), bi)).alias("f"),
@@ -3174,7 +3175,11 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_t",
         F.pmod(hex64(F.col("f")), F.lit(DSIR_B)).alias("b"),
     )
-    fb = _persist(fb)  # class counts + scoring join share it
+
+
+def dsir_bucket_weights(fb: DataFrame) -> DataFrame:
+    """(b, llr): the Laplace-smoothed per-bucket log-likelihood-ratio
+    table from a feature frame — <= DSIR_B rows by construction."""
     bc = fb.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0))
         .cast("double")
@@ -3192,7 +3197,17 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     llr = F.log((F.col("tc") + 1) / (tt + DSIR_B)) - F.log(
         (F.col("rc") + 1) / (rt + DSIR_B)
     )
-    wtab = bc.select("b", llr.alias("llr"))
+    return bc.select("b", llr.alias("llr"), "tc", "rc")
+
+
+def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared DSIR plan: hashed-feature stream (persisted once —
+    the bucket-count build and the scoring join both read it), bucket
+    class counts, smoothed log-likelihood-ratio table, per-doc sum."""
+    fb = _persist(
+        dsir_feature_frame(_spread(_t(spark, sf_dir, "documents")))
+    )  # class counts + scoring join share it
+    wtab = dsir_bucket_weights(fb).select("b", "llr")
     return (
         fb.filter(~F.col("is_t"))
         .join(F.broadcast(wtab), "b")

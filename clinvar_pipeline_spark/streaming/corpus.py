@@ -659,3 +659,113 @@ def hll_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def train_dsir_weights(batch_docs: DataFrame) -> tuple[dict, float]:
+    """Batch-train the DSIR bucket table (queries_llm.
+    dsir_feature_frame -> dsir_bucket_weights — same hashing,
+    smoothing, and log-ratio closed form as the batch dsir_weights
+    query) and collect it driver-side: <= DSIR_B (4096) rows at ANY
+    corpus size — the fixed-feature-dim property is exactly what
+    makes DSIR the servable importance model (the quality model's
+    vocab grows with the corpus; this table never does). Returns
+    (bucket -> llr, llr_unseen) where the unseen default is the
+    smoothed ratio of a zero-count bucket, ln((rt+B)/(tt+B)) — only
+    reachable by post-training arrivals whose features hash to a
+    bucket no training doc touched."""
+    import math
+
+    from clinvar_pipeline_spark.queries_llm import (
+        DSIR_B,
+        dsir_bucket_weights,
+        dsir_feature_frame,
+    )
+
+    rows = dsir_bucket_weights(dsir_feature_frame(batch_docs)).collect()
+    tt = sum(r["tc"] for r in rows)
+    rt = sum(r["rc"] for r in rows)
+    unseen = math.log((rt + DSIR_B) / (tt + DSIR_B))
+    return {r["b"]: r["llr"] for r in rows}, unseen
+
+
+def dsir_stream(
+    docs: DataFrame, weights: dict, llr_unseen: float
+) -> DataFrame:
+    """DSIR importance scoring on a (possibly streaming) frame: per
+    raw document, the sum of its hashed unigram+bigram features'
+    bucket log-likelihood ratios under the captured table — the
+    serving half of the batch dsir_weights query (same tokenizer,
+    same md5-prefix bucketing, same rounding; pinned equal by test).
+    Map-only / append-safe: a document's weight is a pure function of
+    its own row plus the broadcast-captured 4096-entry table.
+
+    math.fsum keeps the served sum summation-order independent (the
+    quality_stream discipline), so stream/batch equality does not
+    hinge on round(.,4) absorbing association drift."""
+    import hashlib
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+    from clinvar_pipeline_spark.queries_llm import DSIR_B
+
+    @pandas_udf("double")
+    def weight_sum(toks: pd.Series) -> pd.Series:
+        def bucket(f: str) -> int:
+            # first 15 md5 hex chars as int — hashes.hex64's value,
+            # recomputed in Python (pinned by test_dsir equality)
+            return int(
+                hashlib.md5(f.encode("utf-8")).hexdigest()[:15], 16
+            ) % DSIR_B
+
+        out = []
+        for arr in toks:
+            feats = list(arr) + [
+                f"{a} {b}" for a, b in zip(arr, arr[1:])
+            ]
+            out.append(
+                math.fsum(
+                    weights.get(bucket(f), llr_unseen) for f in feats
+                )
+            )
+        return pd.Series(out, dtype="float64")
+
+    base = docs.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("_toks")
+    ).filter((F.size("_toks") > 0) & (F.col("doc_id") % 97 != 0))
+    n = F.size("_toks")
+    return base.select(
+        "doc_id",
+        (n + n - 1).cast("long").alias("n_feats"),
+        F.round(weight_sum(F.col("_toks")), 4).alias("log_weight"),
+    )
+
+
+def save_dsir_model(
+    spark: SparkSession, weights: dict, llr_unseen: float, path: str
+) -> None:
+    """Land the trained DSIR bucket table as a parquet run artifact
+    (the quality-model lifecycle): one (b, llr) row per bucket plus a
+    NULL-bucket row holding the unseen default. Frozen at first run —
+    rescoring arrivals under a retrained table would break
+    arrival-order independence."""
+    rows = [(int(b), float(w)) for b, w in weights.items()]
+    rows.append((None, float(llr_unseen)))
+    spark.createDataFrame(rows, "b bigint, llr double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_dsir_model(
+    spark: SparkSession, path: str
+) -> tuple[dict, float] | None:
+    """Load a frozen DSIR bucket table; None only if never landed.
+    Read failures on an existing artifact propagate (the
+    load_quality_model contract)."""
+    if not _artifact_exists(spark, path):
+        return None
+    rows = spark.read.parquet(path).collect()
+    weights = {r["b"]: r["llr"] for r in rows if r["b"] is not None}
+    unseen = next(r["llr"] for r in rows if r["b"] is None)
+    return weights, unseen

@@ -483,6 +483,7 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "repetition_gates",
         "quality_classifier",
         "langid",
+        "dsir_weights",
         "decontaminate",
     ):
         assert rows("sprep", stage) == rows("bprep", stage), stage
@@ -500,6 +501,7 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "decontaminate",
         "neardup_flags",
         "hll_distinct",
+        "dsir_weights",
     }
     # the incremental flagger landed a verdict for every document
     # (self-matches excluded via the index's (n_docs, min_doc) — a

@@ -265,3 +265,86 @@ def test_hll_overlap_disjoint_vocab_near_zero(spark, tmp_path):
     d = _write_docs(spark, tmp_path, rows)
     row = ql.q_hll_overlap(spark, d).collect()[0]
     assert row["est_overlap"] <= 0.25 * min(row["est_a"], row["est_b"])
+
+
+# ---------------------------------------------------------------------
+# dsir_stream: the served weights equal the batch query
+# ---------------------------------------------------------------------
+
+def test_dsir_stream_equals_batch_query(spark, tmp_path):
+    """Served DSIR scores over a file stream must hash-equal the
+    batch dsir_weights query on the same corpus (same tokenizer,
+    bucketing, rounding), through a frozen saved/loaded model."""
+    from clinvar_pipeline_spark.streaming.corpus import (
+        dsir_stream,
+        load_dsir_model,
+        read_document_stream,
+        save_dsir_model,
+        train_dsir_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w, wu = train_dsir_weights(docs)
+    assert len(w) <= ql.DSIR_B
+    save_dsir_model(spark, w, wu, str(tmp_path / "_dsir_model"))
+    w2, wu2 = load_dsir_model(spark, str(tmp_path / "_dsir_model"))
+    assert w2 == w and wu2 == wu
+
+    q = (
+        dsir_stream(
+            read_document_stream(spark, f"{sf}/documents.parquet"),
+            w2, wu2,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "out")).collect()))
+    want = sorted(map(tuple, ql.q_dsir_weights(spark, sf).collect()))
+    assert got == want
+
+
+def test_dsir_unseen_bucket_default(spark, tmp_path):
+    """A post-training arrival whose features hash to buckets no
+    training doc touched scores with the smoothed zero-count default,
+    not a join dropout."""
+    import math
+
+    from clinvar_pipeline_spark.streaming.corpus import (
+        dsir_stream,
+        train_dsir_weights,
+    )
+
+    rows = [(0, "seed target text", "en"), (1, "plain raw text", "en")]
+    d = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    w, wu = train_dsir_weights(docs)
+    new = spark.createDataFrame(
+        [(5, "zzqx9 vvkm7 qqpl3", "en", "s", 17)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = dsir_stream(new, w, wu).collect()
+    assert len(out) == 1
+    # 3 unigrams + 2 bigrams; every bucket may be seen or unseen, but
+    # if all five are unseen the weight is exactly 5 * wu
+    r = out[0]
+    assert r["n_feats"] == 5
+    seen = [b for b in w]  # sanity: tiny corpus -> sparse table
+    assert len(seen) < 50
+    # recompute expected in Python via the kernel's own hash rule
+    import hashlib
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % ql.DSIR_B
+
+    toks = "zzqx9 vvkm7 qqpl3".split()
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    want = round(math.fsum(w.get(bucket(f), wu) for f in feats), 4)
+    assert r["log_weight"] == want
