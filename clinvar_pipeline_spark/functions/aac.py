@@ -57,6 +57,25 @@ def parse_adts_header(raw: bytes, pos: int):
     return flen, _ADTS_RATES[sridx], channels, 1024 * n_blocks
 
 
+def aac_frames(raw: bytes) -> list:
+    """[(offset, length)] of every ADTS frame — the seek table for
+    frame-accurate temporal sampling (mp3.mp3_frames's twin)."""
+    pos, end = 0, len(raw)
+    out = []
+    while pos < end:
+        hdr = parse_adts_header(raw, pos)
+        if hdr is None:
+            raise ValueError(f"aac: invalid ADTS header at {pos}")
+        flen = hdr[0]
+        if pos + flen > end:
+            raise ValueError("aac: frame overruns file")
+        out.append((pos, flen))
+        pos += flen
+    if len(out) < 2:
+        raise ValueError("aac: fewer than two frames")
+    return out
+
+
 def aac_info(raw: bytes) -> dict:
     """``{sample_rate, channels, n_frames, n_samples, duration_s}``
     from a full ADTS frame walk. Strict: frames end-to-end from byte

@@ -92,6 +92,30 @@ def parse_frame_header(raw: bytes, pos: int):
     return flen, sr, channels, spf
 
 
+def mp3_frames(raw: bytes) -> list:
+    """[(offset, length)] of every MPEG audio frame — the seek table
+    frame-accurate temporal sampling uses (each entry is one complete
+    compressed frame, self-describing via its own header). Same
+    strictness as mp3_info: ValueError on malformed streams."""
+    pos = _id3v2_size(raw)
+    end = len(raw)
+    out = []
+    while pos < end:
+        if end - pos == 128 and raw[pos: pos + 3] == b"TAG":
+            break
+        hdr = parse_frame_header(raw, pos)
+        if hdr is None:
+            raise ValueError(f"mp3: invalid frame header at {pos}")
+        flen = hdr[0]
+        if pos + flen > end:
+            raise ValueError("mp3: frame overruns file")
+        out.append((pos, flen))
+        pos += flen
+    if len(out) < 2:
+        raise ValueError("mp3: fewer than two frames")
+    return out
+
+
 def mp3_info(raw: bytes) -> dict:
     """``{sample_rate, channels, n_frames, n_samples, duration_s}``
     from a full frame walk. Strict: the stream must be frames

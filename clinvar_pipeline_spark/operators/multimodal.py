@@ -410,6 +410,42 @@ def sample_frames(
                 return out
             except ValueError:
                 return None  # malformed/non-PCM -> byte-slice tier
+        # MP3/ADTS compressed audio: REAL temporal frames — the
+        # header walk yields exact frame boundaries, so each sampled
+        # "frame" is one complete compressed frame unit at an evenly
+        # spaced frame index (what a codec-feeding feature extractor
+        # wants: self-describing units, not arbitrary byte slices).
+        # Same 0xFF-sync disambiguation as _decode_audio.
+        if len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0:
+            from clinvar_pipeline_spark.functions import aac as _aac
+            from clinvar_pipeline_spark.functions import mp3 as _mp3
+
+            for walker in (_aac.aac_frames, _mp3.mp3_frames):
+                try:
+                    tbl = walker(raw)
+                except ValueError:
+                    continue
+                n = min(n_frames, len(tbl))
+                return [
+                    raw[o: o + ln]
+                    for o, ln in (
+                        tbl[fi * len(tbl) // n] for fi in range(n)
+                    )
+                ]
+        if raw[:3] == b"ID3":
+            from clinvar_pipeline_spark.functions import mp3 as _mp3
+
+            try:
+                tbl = _mp3.mp3_frames(raw)
+                n = min(n_frames, len(tbl))
+                return [
+                    raw[o: o + ln]
+                    for o, ln in (
+                        tbl[fi * len(tbl) // n] for fi in range(n)
+                    )
+                ]
+            except ValueError:
+                pass  # malformed -> byte-slice tier
         # Y4M video: REAL temporal frames — stride to evenly spaced
         # frame offsets (seek), decode only those (functions/y4m.py),
         # emit each as its own decodable PNG

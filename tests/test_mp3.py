@@ -113,3 +113,47 @@ def test_audio_ladder_header_tier(spark):
     assert r1["n_samples"] == 4 * 1152
     assert r1["duration_s"] == 4 * 1152 / 44100
     assert out[2]["decode_tier"] == "fake"
+
+
+def test_sample_frames_mp3_frame_accurate(spark):
+    """Frame sampling over an MP3 payload emits complete compressed
+    frames at evenly spaced frame indices — each sampled unit parses
+    as a standalone frame header of the exact header-implied
+    length."""
+    from clinvar_pipeline_spark.functions.mp3 import mp3_frames
+    from clinvar_pipeline_spark.operators.multimodal import sample_frames
+
+    f, *_ = _frame()
+    stream = f * 10
+    assert len(mp3_frames(stream)) == 10
+    df = spark.createDataFrame([(1, stream)], "id long, content binary")
+    out = sample_frames(
+        df.selectExpr("id", "content"), n_frames=4
+    ).orderBy("frame_idx").collect()
+    assert len(out) == 4
+    for r in out:
+        fb = bytes(r["frame_bytes"])
+        hdr = parse_frame_header(fb, 0)
+        assert hdr is not None and hdr[0] == len(fb) == len(f)
+
+
+def test_sample_frames_adts_frame_accurate(spark):
+    from clinvar_pipeline_spark.functions.aac import (
+        aac_frames,
+        parse_adts_header,
+    )
+    from clinvar_pipeline_spark.operators.multimodal import sample_frames
+    from test_aac import _adts
+
+    stream = b"".join(_adts(flen=64 + 8 * i) for i in range(6))
+    assert [ln for _, ln in aac_frames(stream)] == [64, 72, 80, 88, 96, 104]
+    df = spark.createDataFrame([(1, stream)], "id long, content binary")
+    out = sample_frames(
+        df.selectExpr("id", "content"), n_frames=3
+    ).orderBy("frame_idx").collect()
+    assert len(out) == 3
+    lens = [len(bytes(r["frame_bytes"])) for r in out]
+    assert lens == [64, 80, 96]  # frames 0, 2, 4 of 6
+    for r in out:
+        fb = bytes(r["frame_bytes"])
+        assert parse_adts_header(fb, 0)[0] == len(fb)
