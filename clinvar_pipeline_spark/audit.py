@@ -44,6 +44,12 @@ WAIVERS: dict[str, set[str]] = {
     # by construction at any corpus size; the corpus-sized work
     # (register build) is one equi-keyed groupBy upstream
     "hll_overlap": {"nested-loop-join"},
+    # bounded-anchor exact-kNN baselines: the broadcast anchor set
+    # (16 / 128 rows by constant) fans against the scan with a
+    # non-equi label/self predicate — the intended plan; the
+    # full-corpus variants route through the IVF-PQ index
+    "hard_negatives": {"nested-loop-join"},
+    "knn_label_noise": {"nested-loop-join"},
 }
 
 

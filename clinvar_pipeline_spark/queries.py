@@ -1313,6 +1313,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 from clinvar_pipeline_spark import queries_domain  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_domain2  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_llm  # noqa: E402,F401
+from clinvar_pipeline_spark import queries_curation  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry order IS the attestation surface: the correctness driver

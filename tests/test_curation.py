@@ -1,0 +1,182 @@
+"""Embedding-curation + Count-Min suite (queries_curation.py):
+contract tests against independent numpy / pure-Python twins on the
+real sf0.001 parquet — the oracle-gate twin lives in the registry SQL;
+these pin the SEMANTICS (mining picks true nearest different-label
+vectors, the vote really is the k-NN majority, the centroid really is
+the mean, CM never undercounts)."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+
+import numpy as np
+import pytest
+
+from clinvar_pipeline_spark.queries_curation import (
+    CM_DEPTH,
+    CM_TOPN,
+    CM_WIDTH,
+    K_KNN,
+    K_NEG,
+    N_ANCHORS_KNN,
+    N_ANCHORS_NEG,
+    q_class_centroid_outliers,
+    q_cm_heavy_hitters,
+    q_hard_negatives,
+    q_knn_label_noise,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, labels, vecs
+
+
+def _cosine_matrix(vecs: np.ndarray) -> np.ndarray:
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    return n @ n.T
+
+
+def test_hard_negatives_match_numpy_exact_scan(spark, sf_dir, emb):
+    ids, labels, vecs = emb
+    out = q_hard_negatives(spark, sf_dir).collect()
+    by_anchor = collections.defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["anchor_id"], r["rnk"])):
+        by_anchor[r["anchor_id"]].append(r)
+
+    sims = _cosine_matrix(vecs)
+    anchors = ids[np.argsort(ids)][:N_ANCHORS_NEG]
+    assert sorted(by_anchor) == sorted(anchors.tolist())
+    for aid in anchors:
+        ai = int(np.where(ids == aid)[0][0])
+        mask = labels != labels[ai]
+        order = sorted(
+            np.where(mask)[0], key=lambda j: (-sims[ai, j], ids[j])
+        )[:K_NEG]
+        got = by_anchor[aid]
+        assert [r["vec_id"] for r in got] == [int(ids[j]) for j in order]
+        assert [r["rnk"] for r in got] == list(range(1, K_NEG + 1))
+        for r, j in zip(got, order):
+            # different label by construction; sim matches numpy
+            assert labels[np.where(ids == r["vec_id"])[0][0]] != labels[ai]
+            assert r["sim"] == pytest.approx(sims[ai, j], abs=1e-6)
+
+
+def test_knn_label_noise_is_the_majority_vote(spark, sf_dir, emb):
+    ids, labels, vecs = emb
+    out = {r["vec_id"]: r for r in q_knn_label_noise(spark, sf_dir).collect()}
+    sims = _cosine_matrix(vecs)
+    anchors = np.sort(ids)[:N_ANCHORS_KNN]
+    assert sorted(out) == anchors.tolist()
+    for qid in anchors:
+        qi = int(np.where(ids == qid)[0][0])
+        order = sorted(
+            (j for j in range(len(ids)) if ids[j] != qid),
+            key=lambda j: (-sims[qi, j], ids[j]),
+        )[:K_KNN]
+        votes = collections.Counter(int(labels[j]) for j in order)
+        knn_label, n_votes = sorted(
+            votes.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        r = out[int(qid)]
+        assert r["knn_label"] == knn_label
+        assert r["n_votes"] == n_votes
+        assert r["flagged"] == int(knn_label != labels[qi])
+
+
+def test_centroid_outliers_score_against_the_true_mean(spark, sf_dir, emb):
+    ids, labels, vecs = emb
+    out = {
+        r["vec_id"]: r
+        for r in q_class_centroid_outliers(spark, sf_dir).collect()
+    }
+    assert sorted(out) == sorted(ids.tolist())  # every vector scored
+    for lab in np.unique(labels):
+        c = vecs[labels == lab].mean(axis=0)
+        for i in np.where(labels == lab)[0]:
+            sim = float(
+                vecs[i] @ c / (np.linalg.norm(vecs[i]) * np.linalg.norm(c))
+            )
+            r = out[int(ids[i])]
+            assert r["label"] == lab
+            assert r["centroid_sim"] == pytest.approx(sim, abs=1e-6)
+            assert r["flagged"] == int(sim < 0.0)
+    # the cut is non-vacuous on the synthetic corpus: both sides hit
+    flags = {r["flagged"] for r in out.values()}
+    assert flags == {0, 1}
+
+
+def _py_cm_bucket(j: int, t: str) -> int:
+    h = hashlib.md5(f"cm{j}:{t}".encode()).hexdigest()[:15]
+    return int(h, 16) % CM_WIDTH
+
+
+def test_cm_never_undercounts_and_min_is_the_estimate(spark, sf_dir):
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = [
+        r["t"]
+        for r in docs.select(
+            F.explode(normalized_tokens(F.col("text"))).alias("t")
+        ).collect()
+    ]
+    exact = collections.Counter(toks)
+    sketch = collections.Counter()  # (j, bucket) -> count
+    for t, c in exact.items():
+        for j in range(CM_DEPTH):
+            sketch[(j, _py_cm_bucket(j, t))] += c
+
+    out = q_cm_heavy_hitters(spark, sf_dir).collect()
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CM_TOPN]
+    assert sorted(r["token"] for r in out) == sorted(t for t, _ in top)
+    saw_overcount = False
+    for r in out:
+        t = r["token"]
+        assert r["exact_cnt"] == exact[t]
+        est = min(sketch[(j, _py_cm_bucket(j, t))] for j in range(CM_DEPTH))
+        assert r["cm_est"] == est
+        # the CM guarantee: estimates never undercount
+        assert r["overcount"] == est - exact[t] >= 0
+        saw_overcount = saw_overcount or r["overcount"] > 0
+    # CM_WIDTH sits below the vocabulary on purpose: the collision
+    # path must be exercised, not vacuously all-exact
+    assert saw_overcount
+
+
+def test_cm_sketch_is_mergeable_cellwise(spark, sf_dir):
+    """Counters are linear: the sketch of A ∪ B is the cell-wise sum
+    of the sketches of A and B — the property that makes the groupBy
+    partials THE sketch (no merge logic beyond addition)."""
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = [
+        r["t"]
+        for r in docs.select(
+            F.explode(normalized_tokens(F.col("text"))).alias("t")
+        ).collect()
+    ]
+
+    def build(stream):
+        sk = collections.Counter()
+        for t in stream:
+            for j in range(CM_DEPTH):
+                sk[(j, _py_cm_bucket(j, t))] += 1
+        return sk
+
+    half = len(toks) // 2
+    merged = build(toks[:half])
+    merged.update(build(toks[half:]))
+    assert merged == build(toks)
