@@ -1314,6 +1314,7 @@ from clinvar_pipeline_spark import queries_domain  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_domain2  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_llm  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_curation  # noqa: E402,F401
+from clinvar_pipeline_spark import queries_temporal  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry order IS the attestation surface: the correctness driver

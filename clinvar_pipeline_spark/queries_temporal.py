@@ -1,0 +1,136 @@
+"""Temporal-join suite (round 7): the as-of join and interval range
+join over the events stream — the two classic time-series joins Spark
+has no native operator for, implemented in operators/temporal.py as
+shuffle-native compositions and attested here against DuckDB's own
+native ``ASOF JOIN`` and a plain inequality join (two INDEPENDENT
+formulations of the same semantics — the strongest oracle pairing in
+the registry: the Spark side never expresses a join for asof at all,
+yet must match DuckDB's dedicated operator row-for-row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.operators.temporal import asof_join, range_join
+from clinvar_pipeline_spark.queries import DEC4, _t, register
+
+# attribution window for the range join: purchases within 24h of a
+# click. Bucket = window span -> each click probes exactly 2 buckets.
+CONVERSION_WINDOW_US = 86_400_000_000
+
+
+@register(
+    "asof_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_event_id, user_id, ts FROM events
+          WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts, v.view_event_id,
+           v.ts AS ts_asof,
+           round((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0, 6)
+             AS lag_s
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined as-of to the most
+    recent prior (or simultaneous) 'view' by the same user — the
+    canonical as-of join (pandas merge_asof / kdb+ aj), NULL when the
+    user never viewed before buying. The oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — a dedicated engine operator the Spark side
+    must reproduce with no join in its plan at all.
+
+    Scale: operators/temporal.asof_join unions the two streams and
+    carry-forwards the view columns in one user-keyed window pass —
+    a single shuffle on user_id, cost independent of how many
+    purchases share one view (where a join would fan out)."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(purch, views, on="ts", by=["user_id"])
+    lag = (
+        F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        - F.unix_micros(F.col("ts_asof").cast("timestamp_ltz"))
+    ) / 1000000.0
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "view_event_id",
+        "ts_asof",
+        F.round(lag, 6).alias("lag_s"),
+    )
+
+
+@register(
+    "range_join_conversions",
+    f"""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id,
+           CAST(count(p.ts) AS BIGINT) AS n_conversions,
+           round(CAST(coalesce(sum(CAST(p.value AS DECIMAL(18,4))), 0)
+                      AS DOUBLE), 4) AS conversion_value
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+       AND epoch_us(p.ts) - epoch_us(c.ts) > 0
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= {CONVERSION_WINDOW_US}
+    GROUP BY c.event_id, c.user_id
+    """,
+)
+def q_range_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution by interval join: for each click, the
+    count and value of same-user purchases inside the following 24 h
+    window — every click emitted, zero-filled when nothing converts.
+
+    Scale: the oracle states the semantics as a naive inequality
+    join (which Spark would execute as a nested loop — the trap);
+    operators/temporal.range_join instead buckets purchase times at
+    the window span so candidates come from an EQUI join on
+    (user_id, bucket) with each click probing exactly 2 buckets, and
+    the exact microsecond interval filters candidates. The final
+    zero-fill is a left join from the click spine onto the aggregated
+    matches (purchase side aggregated BEFORE the fill, so the spine
+    join is 1:1)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        clicks,
+        purch,
+        on="ts",
+        by=["user_id"],
+        lower_us=0,
+        upper_us=CONVERSION_WINDOW_US,
+    )
+    agg = pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.col("value").cast(DEC4)).alias("_sum"),
+    )
+    return (
+        clicks.select("event_id", "user_id")
+        .join(agg, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_conversions"), F.lit(0))
+            .cast("long")
+            .alias("n_conversions"),
+            F.round(
+                F.coalesce(F.col("_sum"), F.lit(0).cast(DEC4)).cast("double"),
+                4,
+            ).alias("conversion_value"),
+        )
+    )

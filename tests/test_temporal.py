@@ -1,0 +1,186 @@
+"""operators/temporal.py: as-of join and bucketed range join, pinned
+against pandas.merge_asof and a brute-force pair scan on hand-built
+frames (edge cases the registry oracle's organic data may not hit:
+equal timestamps, tolerance cut-offs, forward direction, bucket
+boundaries, empty right side)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.operators.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _frame(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    left = _frame(
+        spark,
+        [
+            (1, 10, _ts(100.0)),
+            (2, 10, _ts(200.0)),
+            (3, 10, _ts(50.0)),   # before any right row
+            (4, 20, _ts(150.0)),  # user with no right rows at all
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [
+            (10, _ts(90.0), 901),
+            (10, _ts(100.0), 902),   # equal-ts with left event 1
+            (10, _ts(160.0), 903),
+            (30, _ts(0.0), 904),     # key absent on the left
+        ],
+        "user_id long, ts timestamp, r_id long",
+    )
+    return left, right
+
+
+def test_asof_backward_matches_pandas_merge_asof(spark, lr):
+    left, right = lr
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+    }
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    exp = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward"
+    ).set_index("event_id")
+    assert len(out) == len(lp)
+    for eid, e in exp.iterrows():
+        got = out[eid]
+        if pd.isna(e["r_id"]):
+            assert got["r_id"] is None and got["ts_asof"] is None
+        else:
+            assert got["r_id"] == e["r_id"]
+    # equal timestamps are eligible (inclusive, DuckDB ASOF semantics)
+    assert out[1]["r_id"] == 902
+    assert out[3]["r_id"] is None  # nothing at or before
+    assert out[4]["r_id"] is None  # key has no right rows
+
+
+def test_asof_forward_and_tolerance(spark, lr):
+    left, right = lr
+    fwd = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on="ts", by=["user_id"], direction="forward"
+        ).collect()
+    }
+    # nearest at-or-after: 100 -> 100 (inclusive), 200 -> none,
+    # 50 -> 90, user 20 -> none
+    assert fwd[1]["r_id"] == 902
+    assert fwd[2]["r_id"] is None
+    assert fwd[3]["r_id"] == 901
+    assert fwd[4]["r_id"] is None
+
+    tol = {
+        r["event_id"]: r
+        for r in asof_join(
+            left,
+            right,
+            on="ts",
+            by=["user_id"],
+            tolerance_us=15_000_000,  # 15 s
+        ).collect()
+    }
+    assert tol[1]["r_id"] == 902  # lag 0 within tolerance
+    assert tol[2]["r_id"] is None  # nearest is 40 s back: nulled
+    assert tol[3]["r_id"] is None
+
+
+def test_asof_rejects_column_collisions(spark, lr):
+    left, right = lr
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("r_id", "event_id"))
+
+
+def test_range_join_matches_brute_force(spark):
+    left = _frame(
+        spark,
+        [(i, 10, _ts(float(i * 37))) for i in range(30)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [(10, _ts(float(j * 23)), j) for j in range(50)]
+        + [(99, _ts(10.0), 999)],  # key absent on the left
+        "user_id long, ts timestamp, r_id long",
+    )
+    lo, hi = 0, 60_000_000  # (0, 60 s]
+    got = {
+        (r["event_id"], r["r_id"])
+        for r in range_join(
+            left, right, on="ts", by=["user_id"], lower_us=lo, upper_us=hi
+        ).collect()
+    }
+    exp = set()
+    for i in range(30):
+        for j in range(50):
+            off = (j * 23 - i * 37) * 1_000_000
+            if lo < off <= hi:
+                exp.add((i, j))
+    assert got == exp
+    assert exp  # non-vacuous
+    # boundary semantics: exactly +60 s included, 0 excluded
+    l2 = _frame(spark, [(1, 1, _ts(0.0))], "event_id long, user_id long, ts timestamp")
+    r2 = _frame(
+        spark,
+        [(1, _ts(0.0), 0), (1, _ts(60.0), 60), (1, _ts(60.000001), 61)],
+        "user_id long, ts timestamp, r_id long",
+    )
+    ids = {
+        r["r_id"]
+        for r in range_join(l2, r2, lower_us=lo, upper_us=hi).collect()
+    }
+    assert ids == {60}
+
+
+def test_range_join_negative_lower_reaches_back(spark):
+    left = _frame(spark, [(1, 1, _ts(100.0))], "event_id long, user_id long, ts timestamp")
+    right = _frame(
+        spark,
+        [(1, _ts(s), int(s)) for s in (40.0, 60.0, 100.0, 140.0, 161.0)],
+        "user_id long, ts timestamp, r_id long",
+    )
+    got = {
+        r["r_id"]
+        for r in range_join(
+            left, right, lower_us=-60_000_000, upper_us=60_000_000
+        ).collect()
+    }
+    # (-60 s, +60 s]: 40 excluded (off = -60 not > lower), 60/100/140 in,
+    # 161 out
+    assert got == {60, 100, 140}
+
+
+def test_asof_is_join_free_and_range_join_is_equi(spark, lr):
+    """The plans honor the scale contract: asof has NO join operator
+    (union + window only); range_join's join is a hash/sort-merge
+    EQUI join, never a nested loop."""
+    left, right = lr
+    p1 = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p1
+    p2 = (
+        range_join(left, right)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in p2 and "Cartesian" not in p2
+    assert "Join" in p2
