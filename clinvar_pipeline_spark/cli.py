@@ -23,9 +23,10 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 33 landed stages: 32 registry
-        queries + the raw-text PII scrub, plus SemDeDup + the
-        IVF/PQ index artifacts when embeddings exist: language ID +
+        (LLM corpus-prep chain — 34 landed stages: 33 registry
+        queries + the raw-text PII scrub, plus SemDeDup, the
+        embedding-curation screens, and the IVF/PQ index artifacts
+        when embeddings exist: language ID +
         its held-out confusion report, profile,
         repetition gates,
         lm_quality, quality-classifier scores, perplexity bands
@@ -36,9 +37,11 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         decontamination + eval-leak report, mixing plan + applied
         mix, stratified sample, packing
         manifest, token histogram, HLL distinct sketch + pairwise
-        vocabulary overlap, filter
+        vocabulary overlap, Count-Min heavy hitters, filter
         funnel, split report +
-        leakage gate, shuffle order, PII scrub, SemDeDup — one
+        leakage gate, shuffle order, PII scrub; with embeddings also
+        SemDeDup, centroid outliers, k-NN label noise, hard
+        negatives — one
         parquet dir per stage + counters; --jsonl ingests the corpus
         from JSONL with corrupt lines counted)
 
@@ -278,6 +281,9 @@ CORPUS_PREP_STAGES = [
     # overlap by inclusion-exclusion over the same registers
     "hll_distinct",
     "hll_overlap",
+    # r7: the frequency sketch next to the cardinality sketch — a
+    # depth x width Count-Min cell table audited against exact top-N
+    "cm_heavy_hitters",
     "filter_funnel",
     # late r6: the training-run boundary — deterministic train/val/test
     # assignment with its shape audit, the cross-split duplicate
@@ -358,6 +364,16 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
     )
     if os.path.exists(f"{emb_sf}/embeddings.parquet"):
         land("semantic_dedup", reg["semantic_dedup"](spark, emb_sf))
+        # r7 embedding-curation stages (queries_curation.py): the
+        # label-aware screens a fine-tuning/contrastive dataset runs —
+        # prototype-alignment outliers, k-NN label-noise flags, and
+        # the mined hard-negative set
+        land(
+            "class_centroid_outliers",
+            reg["class_centroid_outliers"](spark, emb_sf),
+        )
+        land("knn_label_noise", reg["knn_label_noise"](spark, emb_sf))
+        land("hard_negatives", reg["hard_negatives"](spark, emb_sf))
         # persist the trained coarse quantizer as a build artifact:
         # downstream ANN/serve jobs load it (similarity.load_centroids)
         # instead of re-training — the cross-session index lifecycle

@@ -398,7 +398,13 @@ def test_cli_corpus_prep(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "prep" / "run_counters")).collect()
     }
     # every stage landed, counted, and matches its parquet output
-    for stage in CORPUS_PREP_STAGES + ["pii_scrub", "semantic_dedup"]:
+    for stage in CORPUS_PREP_STAGES + [
+        "pii_scrub",
+        "semantic_dedup",
+        "class_centroid_outliers",
+        "knn_label_noise",
+        "hard_negatives",
+    ]:
         assert counters[stage] == spark.read.parquet(
             str(tmp_path / "prep" / stage)
         ).count()
