@@ -184,3 +184,51 @@ def test_asof_is_join_free_and_range_join_is_equi(spark, lr):
     )
     assert "NestedLoop" not in p2 and "Cartesian" not in p2
     assert "Join" in p2
+
+
+def test_asof_stream_equals_batch_on_two_batch_drop(spark, tmp_path):
+    """Streaming as-of against a frozen right side: purchases arrive
+    in two micro-batches; the appended stream output must equal the
+    batch asof_join over the union of both batches (row-independence
+    of the backward as-of makes this exact, not approximate)."""
+    from clinvar_pipeline_spark.streaming.temporal import asof_stream
+
+    schema = "event_id long, user_id long, ts timestamp"
+    views = spark.createDataFrame(
+        [(10, _ts(90.0), 901), (10, _ts(160.0), 903), (20, _ts(10.0), 904)],
+        "user_id long, ts timestamp, view_id long",
+    )
+    batch1 = [(1, 10, _ts(100.0)), (2, 20, _ts(5.0))]
+    batch2 = [(3, 10, _ts(200.0)), (4, 30, _ts(50.0))]
+    drop = tmp_path / "purchases"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(drop))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .parquet(str(drop))
+    )
+    q = asof_stream(
+        stream, views, str(tmp_path / "attributed"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_id"]: (r["view_id"], r["ts_asof"])
+        for r in spark.read.parquet(str(tmp_path / "attributed")).collect()
+    }
+    exp = {
+        r["event_id"]: (r["view_id"], r["ts_asof"])
+        for r in asof_join(
+            spark.read.parquet(str(drop)), views, on="ts", by=["user_id"]
+        ).collect()
+    }
+    assert got == exp
+    assert got[1][0] == 901  # matched within batch 1
+    assert got[3][0] == 903  # batch-2 arrival sees the full history
+    assert got[2][0] is None and got[4][0] is None  # no prior view
