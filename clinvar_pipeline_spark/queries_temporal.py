@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 from clinvar_pipeline_spark.operators.temporal import asof_join, range_join
 from clinvar_pipeline_spark.queries import DEC4, _t, register
 
-# attribution window for the range join: purchases within 24h of a
-# click. Bucket = window span -> each click probes exactly 2 buckets.
+# attribution window for the range join and each funnel step:
+# purchases within 24h of a click. Bucket = window span -> each click
+# probes exactly 2 buckets.
 CONVERSION_WINDOW_US = 86_400_000_000
 
 
@@ -132,5 +133,116 @@ def q_range_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("_sum"), F.lit(0).cast(DEC4)).cast("double"),
                 4,
             ).alias("conversion_value"),
+        )
+    )
+
+
+@register(
+    "event_funnel",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS view_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS click_ts
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+            AND epoch_us(e.ts) - epoch_us(v.view_ts)
+                <= {CONVERSION_WINDOW_US}
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+            AND epoch_us(e.ts) - epoch_us(c.click_ts)
+                <= {CONVERSION_WINDOW_US}
+          GROUP BY e.user_id)
+    SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                WHEN c.click_ts IS NOT NULL THEN 2
+                WHEN v.view_ts IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (view -> click -> purchase, each step within
+    24 h of the previous): per user, the first view, the nearest
+    click at-or-after it inside the step window, the nearest purchase
+    at-or-after THAT click inside its window, and the deepest stage
+    reached — the funnel report an event-analytics engine computes in
+    one pass.
+
+    The funnel IS two chained forward as-of joins with tolerance
+    (operators/temporal.asof_join): step N's frame — one row per
+    still-converting user — is the left side of step N+1, so the
+    whole funnel costs one groupBy (first view) plus one
+    union+window shuffle per step, each over the per-user frame plus
+    that step's event slice; no inequality joins, no fan-out (each
+    left row carries at most one match forward). The oracle states
+    the same semantics as correlated min() subqueries. Users who
+    never reach a step stay on the spine via the final left joins
+    (the range_join_conversions zero-fill discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    s2 = asof_join(
+        v,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        direction="forward",
+        tolerance_us=CONVERSION_WINDOW_US,
+    )
+    # chain only converted rows: a null click ts must not enter the
+    # next asof's ordering (and the spine restores the non-converted)
+    s2c = s2.filter(F.col("ts_asof").isNotNull()).select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("ts_asof").alias("ts"),
+    )
+    s3 = asof_join(
+        s2c,
+        purch,
+        on="ts",
+        by=["user_id"],
+        direction="forward",
+        tolerance_us=CONVERSION_WINDOW_US,
+    )
+    return (
+        users.join(
+            v.select("user_id", F.col("ts").alias("view_ts")),
+            "user_id",
+            "left",
+        )
+        .join(
+            s2c.select("user_id", F.col("ts").alias("click_ts")),
+            "user_id",
+            "left",
+        )
+        .join(
+            s3.select(
+                "user_id", F.col("ts_asof").alias("purchase_ts")
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .when(F.col("view_ts").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_stage"),
         )
     )
