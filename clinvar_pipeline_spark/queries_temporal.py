@@ -1,11 +1,14 @@
-"""Temporal-join suite (round 7): the as-of join and interval range
-join over the events stream — the two classic time-series joins Spark
-has no native operator for, implemented in operators/temporal.py as
-shuffle-native compositions and attested here against DuckDB's own
-native ``ASOF JOIN`` and a plain inequality join (two INDEPENDENT
-formulations of the same semantics — the strongest oracle pairing in
-the registry: the Spark side never expresses a join for asof at all,
-yet must match DuckDB's dedicated operator row-for-row)."""
+"""Temporal-join + event-analytics suite (round 7): the as-of join
+and interval range join over the events stream — the two classic
+time-series joins Spark has no native operator for, implemented in
+operators/temporal.py as shuffle-native compositions and attested
+here against DuckDB's own native ``ASOF JOIN`` and a plain
+inequality join (two INDEPENDENT formulations of the same semantics
+— the strongest oracle pairing in the registry: the Spark side never
+expresses a join for asof at all, yet must match DuckDB's dedicated
+operator row-for-row) — plus the analytics built on them: the
+conversion funnel (chained forward as-of joins), cohort retention,
+and the per-user event-type pivot."""
 
 from __future__ import annotations
 
@@ -245,4 +248,111 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("funnel_stage"),
         )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    first AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+              FROM p GROUP BY user_id),
+    act AS (SELECT DISTINCT p.user_id, f.cohort_day,
+                   CAST(datediff('day', f.cohort_day, CAST(p.ts AS DATE))
+                        AS BIGINT) AS day_offset
+            FROM p JOIN first f USING (user_id))
+    SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over purchase activity: users cohort by their
+    FIRST purchase day; each later purchase day marks them active at
+    that day offset, and the (cohort_day, day_offset) cell counts
+    distinct active users — the retention matrix behind every
+    product-analytics curve (purchase-based so the synthetic corpus
+    actually decays; all-event cohorts saturate at 100%).
+
+    Scale: one user-keyed groupBy for the cohort frame, one
+    (user, day)-distinct + (cohort, offset) groupBy for the matrix —
+    the cohort frame joins back user-keyed (same partitioning as the
+    purchase slice), and the matrix is cohorts x horizon cells, tiny
+    at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    first = p.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    act = (
+        p.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+             AS n_view,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+             AS n_click,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+             AS n_signup,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+             AS n_error,
+           round(CAST(coalesce(sum(CAST(value AS DECIMAL(18,4)))
+                               FILTER (event_type = 'purchase'), 0)
+                      AS DOUBLE), 4) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot: one row per user, one count column
+    per event type plus the purchase-value total — the wide activity
+    profile feeding churn/LTV features.
+
+    Expressed as CONDITIONAL AGGREGATION rather than the pivot() API
+    on purpose: with a declared value list Spark's pivot compiles to
+    exactly this conditional-agg plan, and writing it explicitly
+    keeps the output column set static (schema-stable under data
+    drift — an unseen event type can't silently add a column) and
+    the oracle identical. One map-side-combined shuffle on user_id;
+    decimal-sum discipline on the value total."""
+    ev = _t(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        cnt("view"),
+        cnt("click"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("error"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast(DEC4),
+                    )
+                ),
+                F.lit(0).cast(DEC4),
+            ).cast("double"),
+            4,
+        ).alias("purchase_value"),
     )
