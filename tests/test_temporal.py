@@ -232,3 +232,71 @@ def test_asof_stream_equals_batch_on_two_batch_drop(spark, tmp_path):
     assert got[1][0] == 901  # matched within batch 1
     assert got[3][0] == 903  # batch-2 arrival sees the full history
     assert got[2][0] is None and got[4][0] is None  # no prior view
+
+
+def test_asof_live_stream_watermark_correct(spark, tmp_path):
+    """Both sides live: a purchase must wait for the watermark before
+    finalizing, so a LATE view (arriving one micro-batch after the
+    purchase, with an earlier event time) still wins the match; a
+    pending purchase for a key with no further arrivals flushes via
+    EventTimeTimeout; a purchase still inside the watermark horizon
+    at drain stays pending (not emitted)."""
+    from clinvar_pipeline_spark.streaming.temporal import asof_live_stream
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    batches = [
+        # batch 1: user 10 views then purchases; user 20 purchases
+        # with no view history
+        [
+            (901, 10, _ts(100.0), "view"),
+            (1, 10, _ts(200.0), "purchase"),
+            (2, 20, _ts(150.0), "purchase"),
+        ],
+        # batch 2: the LATE view (event time 195 < purchase 1's 200,
+        # allowed: watermark is 190) plus a click that only advances
+        # the watermark
+        [
+            (902, 10, _ts(195.0), "view"),
+            (777, 10, _ts(300.0), "click"),
+        ],
+        # batch 3: advance the watermark past 200 -> purchase 1
+        # finalizes; purchase 3 arrives inside the horizon and must
+        # stay pending
+        [
+            (778, 10, _ts(400.0), "click"),
+            (3, 10, _ts(400.0), "purchase"),
+        ],
+    ]
+    drop = tmp_path / "events"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out = asof_live_stream(stream, watermark_delay="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "attributed"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["event_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "attributed")).collect()
+    }
+    # purchase 1: the late view 902 (t=195) beats the early 901
+    assert set(got) == {1, 2}
+    assert got[1]["right_id"] == 902
+    assert got[1]["right_ts_us"] == got[1]["ts_us"] - 5_000_000
+    # purchase 2: flushed by EventTimeTimeout, no view -> nulls
+    assert got[2]["right_id"] is None and got[2]["right_ts_us"] is None
+    # purchase 3: still inside the watermark horizon -> pending
+    assert 3 not in got
