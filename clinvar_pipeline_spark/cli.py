@@ -23,7 +23,7 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 34 landed stages: 33 registry
+        (LLM corpus-prep chain — 35 landed stages: 34 registry
         queries + the raw-text PII scrub, plus SemDeDup, the
         embedding-curation screens, and the IVF/PQ index artifacts
         when embeddings exist: language ID +
@@ -34,7 +34,8 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         selection, TF-IDF keywords,
         near-dup pairs + applies, dedup clusters, passage dedup,
         exact-substring span cut list + apply, CDC chunks,
-        decontamination + eval-leak report, mixing plan + applied
+        decontamination + its bloom-funnel audit + eval-leak report,
+        mixing plan + applied
         mix, stratified sample, packing
         manifest, token histogram, HLL distinct sketch + pairwise
         vocabulary overlap, Count-Min heavy hitters, filter
@@ -266,6 +267,9 @@ CORPUS_PREP_STAGES = [
     "duplicate_spans_apply",
     "cdc_chunks",
     "decontaminate",
+    # r7: the membership-sketch screening funnel — bloom pre-filter
+    # vs exact hits with the false-positive surplus observable
+    "bloom_decontaminate",
     # late r6: the eval-side contamination view (which benchmark rows
     # are compromised regardless of training-side drops)
     "eval_leak_report",

@@ -34,6 +34,7 @@ from clinvar_pipeline_spark.functions.hashes import (
     cosine_similarity,
     hex64,
     normalized_tokens,
+    shingles_of_tokens,
 )
 from clinvar_pipeline_spark.queries import (
     _TOKENIZE_SQL,
@@ -391,5 +392,155 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_cnt",
             "cm_est",
             (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter decontamination audit (membership sketch)
+# ---------------------------------------------------------------------
+
+# depth x bits: sized for the FIXED eval slice below (~300 distinct
+# shingles -> ~44% fill per row, ~0.4-3% false-positive rate) so the
+# FP path is exercised at every SF, not vacuous. Production sizing is
+# m = -n ln(p) / (ln 2)^2, d = m/n ln 2. The eval slice is CAPPED at
+# doc_id < EVAL_ID_CAP because a benchmark is fixed-size — it does
+# not grow with the corpus, so neither does the filter.
+BLOOM_D = 4
+BLOOM_M = 2048
+EVAL_ID_CAP = 500
+_BLOOM_K = 3  # shingle width (tokens), the decontaminate family's k
+
+
+def _bloom_pos(j, s) -> F.Column:
+    """Bit position of shingle s under hash row j: md5-prefix 60-bit
+    hash (hex64) of 'bl{j}:{shingle}', mod BLOOM_M."""
+    return (
+        hex64(F.concat(F.lit("bl"), j.cast("string"), F.lit(":"), s))
+        % BLOOM_M
+    )
+
+
+@register(
+    "bloom_decontaminate",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(toks) - {_BLOOM_K - 1}, 0) + 1),
+            i -> array_to_string(
+                list_slice(toks, i, i + {_BLOOM_K - 1}), ' ')))) AS s
+        FROM (SELECT doc_id, {_TOKENIZE_SQL.format(col='text')} AS toks
+              FROM documents)),
+    ev AS (SELECT DISTINCT s FROM sh
+           WHERE doc_id % 97 = 0 AND doc_id < {EVAL_ID_CAP}),
+    bloom AS (
+        SELECT DISTINCT r.j,
+               CAST(concat('0x', substr(md5(concat('bl', r.j, ':', s)),
+                                        1, 15)) AS BIGINT)
+                 % {BLOOM_M} AS pos
+        FROM ev CROSS JOIN range(0, {BLOOM_D}) r(j)),
+    tr AS (SELECT doc_id, s FROM sh
+           WHERE NOT (doc_id % 97 = 0 AND doc_id < {EVAL_ID_CAP})),
+    cand AS (
+        SELECT t.doc_id, t.s, r.j,
+               CAST(concat('0x', substr(md5(concat('bl', r.j, ':', t.s)),
+                                        1, 15)) AS BIGINT)
+                 % {BLOOM_M} AS pos
+        FROM tr t CROSS JOIN range(0, {BLOOM_D}) r(j)),
+    bh AS (SELECT doc_id, s FROM cand JOIN bloom USING (j, pos)
+           GROUP BY doc_id, s HAVING count(*) = {BLOOM_D}),
+    nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+           FROM bh GROUP BY doc_id),
+    nx AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+           FROM tr t JOIN ev USING (s) GROUP BY t.doc_id),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM tr GROUP BY doc_id)
+    SELECT nb.doc_id, sizes.n_shingles, nb.n_bloom_hits,
+           CAST(coalesce(nx.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+           CAST(nb.n_bloom_hits - coalesce(nx.n_exact_hits, 0) AS BIGINT)
+             AS n_false_pos
+    FROM nb JOIN sizes USING (doc_id)
+         LEFT JOIN nx ON nb.doc_id = nx.doc_id
+    """,
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit — the MEMBERSHIP sketch
+    completing the family (HLL: cardinality; Count-Min: frequency;
+    histogram: order statistics): the fixed-size eval slice's
+    shingles set BLOOM_D bit positions in a BLOOM_M-bit filter; a
+    training shingle "passes" when all its positions are set. Emitted
+    per training document with at least one bloom hit: shingle count,
+    bloom-hit count, exact-hit count (the decontaminate semi-join's
+    truth), and the false-positive surplus — never negative (a Bloom
+    filter has NO false negatives; the contract test pins it), and
+    the observable eps the m/n sizing formula trades against.
+
+    Why it matters at 100 TB: exact decontamination broadcasts the
+    eval shingle SET (decontaminate's plan — fine for one benchmark);
+    screening against MANY benchmarks broadcasts their UNION as one
+    ~m-bit filter (here BLOOM_D x BLOOM_M = 8K cells, a few KB as a
+    bitset) with the exact semi-join run only on the bloom survivors
+    — this query computes both stages so the funnel is auditable. The
+    filter is a DISTINCT (j, pos) cell table here (the
+    oracle-checkable form; both engines derive positions from the
+    md5-prefix hash bit-for-bit); the production deployment packs the
+    same positions into a numpy bitset inside an Arrow kernel — same
+    positions, same verdicts.
+
+    Scale: the filter build touches only the capped eval slice; the
+    probe is one broadcast equi-join on (j, pos) over the exploded
+    training shingles (BLOOM_D rows per shingle, 16 bytes each), one
+    (doc, shingle) groupBy for the all-bits test, and per-doc
+    aggregates off the persisted shingle frame shared with the exact
+    twin."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(shingles_of_tokens(F.col("toks"), k=_BLOOM_K)).alias("s"),
+    )
+    sh = _persist(sh)  # eval build + training probe + sizes share it
+    is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < EVAL_ID_CAP)
+    ev = sh.filter(is_eval).select("s").distinct()
+    tr = sh.filter(~is_eval)
+    js = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_D - 1))).alias("j")
+    bloom = (
+        ev.select("s", js)
+        .select("j", _bloom_pos(F.col("j"), F.col("s")).alias("pos"))
+        .distinct()
+    )
+    cand = tr.select("doc_id", "s", js).select(
+        "doc_id", "s", "j", _bloom_pos(F.col("j"), F.col("s")).alias("pos")
+    )
+    bh = (
+        cand.join(F.broadcast(bloom), ["j", "pos"])
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("_nbits"))
+        .filter(F.col("_nbits") == BLOOM_D)
+    )
+    nb = bh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    nx = (
+        tr.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        nb.join(sizes, "doc_id")
+        .join(nx, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_exact_hits"),
+            (
+                F.col("n_bloom_hits")
+                - F.coalesce(F.col("n_exact_hits"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_false_pos"),
         )
     )
