@@ -196,7 +196,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )
-    s2 = asof_join(
+    step2 = asof_join(
         v,
         clicks,
         on="ts",
@@ -206,13 +206,13 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # chain only converted rows: a null click ts must not enter the
     # next asof's ordering (and the spine restores the non-converted)
-    s2c = s2.filter(F.col("ts_asof").isNotNull()).select(
+    step2c = step2.filter(F.col("ts_asof").isNotNull()).select(
         "user_id",
         F.col("ts").alias("view_ts"),
         F.col("ts_asof").alias("ts"),
     )
-    s3 = asof_join(
-        s2c,
+    step3 = asof_join(
+        step2c,
         purch,
         on="ts",
         by=["user_id"],
@@ -226,12 +226,12 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .join(
-            s2c.select("user_id", F.col("ts").alias("click_ts")),
+            step2c.select("user_id", F.col("ts").alias("click_ts")),
             "user_id",
             "left",
         )
         .join(
-            s3.select(
+            step3.select(
                 "user_id", F.col("ts_asof").alias("purchase_ts")
             ),
             "user_id",
