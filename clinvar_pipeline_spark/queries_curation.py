@@ -36,6 +36,7 @@ from clinvar_pipeline_spark.functions.hashes import (
     normalized_tokens,
     shingles_of_tokens,
 )
+from clinvar_pipeline_spark.operators.topk import partition_topk
 from clinvar_pipeline_spark.queries import (
     _TOKENIZE_SQL,
     _persist,
@@ -106,6 +107,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("label") != F.col("a_label"))
         .select("anchor_id", "vec_id", sim.alias("s"))
     )
+    # map-side partial top-k: the window below now sorts at most
+    # partitions x anchors x K_NEG survivors instead of the full
+    # anchors x corpus candidate set (a pure prune — sims stay the
+    # JVM-computed values, so oracle exactness is untouched)
+    cand = partition_topk(cand, "anchor_id", "s", "vec_id", K_NEG)
     w = Window.partitionBy("anchor_id").orderBy(F.col("s").desc(), "vec_id")
     return (
         cand.select(
@@ -186,6 +192,9 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("s"),
         )
     )
+    # same map-side prune as hard_negatives: the exchange carries
+    # partitions x anchors x K_KNN survivor rows, not anchors x corpus
+    nn = partition_topk(nn, "qid", "s", "vec_id", K_KNN)
     w = Window.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
     k = (
         nn.select("qid", "q_label", "n_label", F.row_number().over(w).alias("rnk"))

@@ -277,3 +277,44 @@ def test_hard_negative_mining_via_pq_is_the_scale_path(spark, sf_dir, emb):
         for a in exact
     ]
     assert sum(recalls) / len(recalls) > 0.4, recalls
+
+
+def test_partition_topk_is_a_pure_exact_prune(spark):
+    """operators/topk.partition_topk: pruning each partition to its
+    local per-key top-k never changes the global per-key top-k (the
+    union-of-locals superset property), across partitionings, with
+    ties broken by the tiebreak column."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clinvar_pipeline_spark.operators.topk import partition_topk
+
+    rng = random.Random(7)
+    rows = [
+        (k, i, rng.choice([0.25, 0.5, 0.75, rng.random()]))  # force ties
+        for k in range(5)
+        for i in range(200)
+    ]
+    K = 4
+
+    def global_topk(df):
+        w = Window.partitionBy("k").orderBy(F.col("s").desc(), "i")
+        return {
+            (r["k"], r["i"], r["s"])
+            for r in df.select(
+                "k", "i", "s", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") <= K)
+            .collect()
+        }
+
+    for n_parts in (1, 3, 16):
+        df = spark.createDataFrame(
+            rows, "k long, i long, s double"
+        ).repartition(n_parts)
+        pruned = partition_topk(df, "k", "s", "i", K)
+        assert global_topk(pruned) == global_topk(df), n_parts
+        # the prune really shrinks: at most n_parts * keys * K rows
+        assert pruned.count() <= n_parts * 5 * K
