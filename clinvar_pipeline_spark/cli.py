@@ -429,7 +429,10 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     writeStreams — plus the incremental near-dup flagger, a
     foreachBatch stream-static join against the frozen corpus shingle
     index, the running HLL distinct-token sketch, a foreachBatch
-    register-max merge into bounded persistent state, and DSIR
+    register-max merge into bounded persistent state, the running
+    Count-Min frequency sketch — epoch-keyed delta dirs summed into
+    a snapshot, the idempotent-sink pattern ADD-merge needs where
+    HLL's max-merge is idempotent by algebra — and DSIR
     importance scoring under a frozen 4096-bucket table) as
     ONE Structured Streaming ingest over the document source, so
     documents are scrubbed/gated/checked/dup-screened as they arrive
@@ -473,6 +476,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     )
     from clinvar_pipeline_spark.streaming.corpus import (
         _artifact_exists,
+        cm_stream,
         corpus_shingle_index,
         decontaminate_stream,
         dsir_stream,
@@ -607,6 +611,16 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
             f"{args.out}/hll_distinct",
             f"{args.out}/_ckpt/hll_distinct",
         ),
+        # running token-frequency sketch: ADD-merged counters are not
+        # idempotent under replay like HLL's max, so each micro-batch
+        # lands an EPOCH-KEYED delta and the snapshot sums the deltas
+        # (exactly-once via the idempotent-sink pattern)
+        cm_stream(
+            docs,
+            f"{args.out}/_cm_deltas",
+            f"{args.out}/cm_sketch",
+            f"{args.out}/_ckpt/cm_sketch",
+        ),
     ]
     for q in queries:
         q.awaitTermination()
@@ -619,6 +633,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "decontaminate",
         "neardup_flags",
         "hll_distinct",
+        "cm_sketch",
         "dsir_weights",
     ):
         n = spark.read.parquet(f"{args.out}/{name}").count()

@@ -322,6 +322,31 @@ def _cm_bucket(j, t) -> F.Column:
     )
 
 
+def cm_sketch_from_tokens(toks: DataFrame) -> DataFrame:
+    """Count-Min sketch of a one-column token frame ``(t)`` as data:
+    (j, b, c) cell rows, <= CM_DEPTH x CM_WIDTH of them regardless of
+    corpus size (one map-side-combined groupBy whose partial state IS
+    the sketch)."""
+    js = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j")
+    return (
+        toks.select("t", js)
+        .select("j", _cm_bucket(F.col("j"), F.col("t")).alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_sketch_frame(docs: DataFrame) -> DataFrame:
+    """The Count-Min sketch of a (doc_id, text) frame. Shared by the
+    batch query below and the streamed per-epoch delta
+    (streaming/corpus.cm_stream) — counters are LINEAR, so sketches
+    of disjoint slices merge by cellwise addition, which is exactly
+    what summing delta frames does."""
+    return cm_sketch_from_tokens(
+        docs.select(F.explode(normalized_tokens(F.col("text"))).alias("t"))
+    )
+
+
 @register(
     "cm_heavy_hitters",
     f"""
@@ -377,12 +402,7 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(normalized_tokens(F.col("text"))).alias("t"))
     toks = _persist(toks)  # sketch build + exact top-N share the scan
     js = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j")
-    sk = (
-        toks.select("t", js)
-        .select("j", _cm_bucket(F.col("j"), F.col("t")).alias("b"))
-        .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    sk = cm_sketch_from_tokens(toks)
     top = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))

@@ -769,3 +769,61 @@ def load_dsir_model(
     weights = {r["b"]: r["llr"] for r in rows if r["b"] is not None}
     unseen = next(r["llr"] for r in rows if r["b"] is None)
     return weights, unseen
+
+
+def cm_delta_batch(
+    batch_docs: DataFrame, epoch_id: int, deltas_path: str
+) -> None:
+    """Land one micro-batch's Count-Min sketch as an EPOCH-KEYED delta
+    dir (``deltas_path/epoch=<id>``). Counter cells merge by
+    ADDITION, so the HLL stages' max-merge idempotency argument does
+    NOT apply here — re-adding a replayed batch would double-count.
+    Replay safety instead comes from keying the landed delta by the
+    foreachBatch epoch id: a replay of epoch N overwrites
+    ``epoch=N`` with the identical frame (the file source re-serves
+    the same files per epoch), so the snapshot sum is exactly-once
+    under at-least-once delivery — the standard idempotent-sink
+    pattern for non-idempotent merges."""
+    from clinvar_pipeline_spark.queries_curation import cm_sketch_frame
+
+    cm_sketch_frame(batch_docs).write.mode("overwrite").parquet(
+        f"{deltas_path}/epoch={int(epoch_id)}"
+    )
+
+
+def cm_snapshot(spark, deltas_path: str) -> DataFrame:
+    """Cellwise sum over every landed epoch delta — the corpus-wide
+    sketch (counters are linear: sum of disjoint slices' sketches IS
+    the union's sketch). Bounded read: each delta is <= depth x width
+    cells."""
+    return (
+        spark.read.parquet(deltas_path)
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cm_stream(
+    docs: DataFrame, deltas_path: str, out_path: str, checkpoint: str
+):
+    """Streaming Count-Min token-frequency sketch: per micro-batch,
+    land the epoch-keyed delta (cm_delta_batch) and overwrite
+    ``out_path`` with the summed SNAPSHOT — after an availableNow
+    drain the snapshot equals the whole-corpus batch cm_sketch_frame
+    cell-for-cell (pinned by tests/test_streaming_corpus.py, replay
+    included). Snapshot semantics like hll_stream: current
+    corpus-wide cells, not per-arrival verdicts, so the sink
+    overwrites per batch."""
+
+    def _do(batch_df: DataFrame, epoch_id: int) -> None:
+        cm_delta_batch(batch_df, epoch_id, deltas_path)
+        cm_snapshot(batch_df.sparkSession, deltas_path).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+
+    return (
+        docs.writeStream.foreachBatch(_do)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -507,8 +507,26 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "decontaminate",
         "neardup_flags",
         "hll_distinct",
+        "cm_sketch",
         "dsir_weights",
     }
+    # the streamed CM snapshot equals the batch sketch cell-for-cell
+    # (the counters-are-linear epoch-delta sum)
+    from clinvar_pipeline_spark.queries_curation import cm_sketch_frame
+
+    snap = {
+        (r["j"], r["b"]): r["c"]
+        for r in spark.read.parquet(
+            str(tmp_path / "sprep" / "cm_sketch")
+        ).collect()
+    }
+    batch_sk = {
+        (r["j"], r["b"]): r["c"]
+        for r in cm_sketch_frame(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ).collect()
+    }
+    assert snap == batch_sk
     # the incremental flagger landed a verdict for every document
     # (self-matches excluded via the index's (n_docs, min_doc) — a
     # whole-corpus-at-once drop scores each doc vs the REST)

@@ -366,3 +366,59 @@ def test_streaming_langid_serve_equals_batch_query(
     m2, wu2 = load_langid_model(spark, str(tmp_path / "_lid"))
     assert m2 == models and wu2 == wu
     assert load_langid_model(spark, str(tmp_path / "_never")) is None
+
+
+def test_cm_stream_snapshot_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streamed Count-Min over a two-batch drop: the landed snapshot
+    must equal the whole-corpus batch sketch CELL-FOR-CELL (counters
+    are linear: epoch-delta sums == union sketch), and replaying an
+    epoch (foreachBatch at-least-once delivery) must NOT
+    double-count — the epoch-keyed delta overwrite is the idempotent
+    sink that makes ADD-merge exactly-once."""
+    from clinvar_pipeline_spark.queries_curation import cm_sketch_frame
+    from clinvar_pipeline_spark.streaming.corpus import (
+        DOCUMENT_SCHEMA,
+        cm_delta_batch,
+        cm_snapshot,
+        cm_stream,
+    )
+
+    rows1 = [
+        (1, "spark join hash row batch scan", "en", "s", 31),
+        (2, "row row row value table part", "en", "s", 29),
+    ]
+    rows2 = [
+        (3, "spark spark merge window group", "en", "s", 30),
+        (4, "table scan filter key sort agg", "en", "s", 30),
+    ]
+    drop = tmp_path / "docs"
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+
+    # maxFilesPerTrigger guarantees >= 2 epochs (one per file)
+    docs = spark.readStream.schema(DOCUMENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(drop))
+    q = cm_stream(
+        docs,
+        str(tmp_path / "_cm_deltas"),
+        str(tmp_path / "cm_sketch"),
+        str(tmp_path / "ckpt_cm"),
+    )
+    q.awaitTermination(120)
+
+    def cells(df):
+        return {(r["j"], r["b"]): r["c"] for r in df.collect()}
+
+    snap = cells(spark.read.parquet(str(tmp_path / "cm_sketch")))
+    batch = cells(cm_sketch_frame(spark.read.parquet(str(drop))))
+    assert snap == batch
+    assert len({k for k in snap}) > 0
+
+    # replay epoch 0: re-landing the same delta must leave the
+    # snapshot sum unchanged (overwrite, not append)
+    b1 = spark.createDataFrame(rows1, DOCUMENT_SCHEMA)
+    cm_delta_batch(b1, 0, str(tmp_path / "_cm_deltas"))
+    assert cells(cm_snapshot(spark, str(tmp_path / "_cm_deltas"))) == batch
