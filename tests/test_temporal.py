@@ -300,3 +300,92 @@ def test_asof_live_stream_watermark_correct(spark, tmp_path):
     assert got[2]["right_id"] is None and got[2]["right_ts_us"] is None
     # purchase 3: still inside the watermark horizon -> pending
     assert 3 not in got
+
+
+# ---------------------------------------------------------------------
+# Property tests: random schedules vs pandas / brute force
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user
+        st.integers(min_value=0, max_value=500),     # seconds
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_events, _events)
+def test_asof_property_matches_merge_asof(spark, lefts, rights):
+    """Random per-user schedules (duplicate left timestamps allowed;
+    right timestamps deduped per user — the operator's documented tie
+    contract): backward asof == pandas merge_asof row-for-row."""
+    rights = list({(u, s): None for u, s in rights})  # dedupe (u, ts)
+    left = spark.createDataFrame(
+        [(i, u, _ts(float(s))) for i, (u, s) in enumerate(lefts)] or
+        [(0, 99, _ts(0.0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(u, _ts(float(s)), 1000 + j) for j, (u, s) in enumerate(rights)] or
+        [(98, _ts(0.0), 999)],
+        "user_id long, ts timestamp, r_id long",
+    )
+    got = {
+        r["event_id"]: r["r_id"]
+        for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+    }
+    lp = left.toPandas().sort_values(["ts", "event_id"])
+    rp = right.toPandas().sort_values(["ts", "r_id"])
+    exp = pd.merge_asof(lp, rp, on="ts", by="user_id")
+    assert len(got) == len(lp)
+    for _, e in exp.iterrows():
+        want = None if pd.isna(e["r_id"]) else int(e["r_id"])
+        assert got[e["event_id"]] == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    _events,
+    _events,
+    st.integers(min_value=1, max_value=120),
+    st.integers(min_value=1, max_value=200),
+)
+def test_range_join_property_matches_brute_force(
+    spark, lefts, rights, span_s, bucket_s
+):
+    """Random schedules, random window span, random (even misaligned)
+    bucket width: the bucketed equi-join plus exact post-filter equals
+    the quadratic definition."""
+    lo, hi = 0, span_s * 1_000_000
+    left = spark.createDataFrame(
+        [(i, u, _ts(float(s))) for i, (u, s) in enumerate(lefts)] or
+        [(0, 99, _ts(0.0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(u, _ts(float(s)), j) for j, (u, s) in enumerate(rights)] or
+        [(98, _ts(0.0), 999)],
+        "user_id long, ts timestamp, r_id long",
+    )
+    got = {
+        (r["event_id"], r["r_id"])
+        for r in range_join(
+            left,
+            right,
+            lower_us=lo,
+            upper_us=hi,
+            bucket_us=bucket_s * 1_000_000,
+        ).collect()
+    }
+    exp = {
+        (i, j)
+        for i, (u, s) in enumerate(lefts or [(99, 0)])
+        for j, (u2, s2) in enumerate(rights or [(98, 0)])
+        if u == u2 and lo < (s2 - s) * 1_000_000 <= hi
+    }
+    assert got == exp
