@@ -356,3 +356,47 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("purchase_value"),
     )
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           round(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                      AS DOUBLE) / count(*), 4) AS avg_k,
+           CAST(count(*) FILTER (json_extract(props, '$.k') IS NULL)
+                AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events table's ``props`` JSON
+    string parsed per row (``get_json_object`` — the engine's
+    schema-on-read path for ragged payloads, no pre-declared struct)
+    and aggregated per event type, with the missing-key count
+    surfaced (silent-null extraction is the classic JSON-pipeline
+    bug; the n_missing column makes it an observable).
+
+    Scale: extraction is a per-row JVM expression inside the scan —
+    no UDF, no second pass — feeding one map-side-combined groupBy
+    over |event_types| groups. For a FIXED schema the production
+    upgrade is from_json with an explicit struct (pushes the parse
+    into one tokenizer pass and nulls malformed rows observably);
+    get_json_object is the right call exactly when keys vary by
+    row."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_k"
+        ),
+        F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+    )
