@@ -79,6 +79,9 @@ def asof_join(
     r_on = f"{on}{suffix}"
     if r_on in left.columns:
         raise ValueError(f"asof_join: {r_on} already exists on left")
+    reserved = {"_side"} & (set(left.columns) | set(rcols))
+    if reserved:
+        raise ValueError(f"asof_join: reserved column name {reserved}")
 
     l2 = left.withColumn("_side", F.lit(1))
     r2 = right.select(
@@ -141,6 +144,10 @@ def range_join(
     r_on = f"{on}_r"
     if upper_us <= lower_us:
         raise ValueError("range_join: need lower_us < upper_us")
+    reserved = {"_bk", "_l_us", "_r_us", r_on} & set(left.columns)
+    reserved |= {"_bk", "_r_us"} & set(rcols)
+    if reserved:
+        raise ValueError(f"range_join: reserved column name {reserved}")
     b = int(bucket_us) if bucket_us else (upper_us - lower_us)
 
     le = _micros(F.col(on))
