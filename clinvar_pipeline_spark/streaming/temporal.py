@@ -231,10 +231,17 @@ def asof_live_stream(
                 }
             )
 
+    # the watermark is declared AFTER the side filter on purpose:
+    # only participating (left/right) rows define the join's event
+    # time. Declaring it before would not survive Catalyst anyway —
+    # the deterministic filter gets pushed below the watermark node,
+    # so batches of non-participating types would silently stop the
+    # clock (observed: timeouts never fired across a restart whose
+    # batches were all filtered out).
     keyed = (
-        events.withWatermark(on, watermark_delay)
+        events.filter(F.col(side_col).isin(left_side, right_side))
+        .withWatermark(on, watermark_delay)
         .withColumn("_us", F.unix_micros(F.col(on).cast("timestamp_ltz")))
-        .filter(F.col(side_col).isin(left_side, right_side))
     )
     return keyed.groupBy(by).applyInPandasWithState(
         _fn,
