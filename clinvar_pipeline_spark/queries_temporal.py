@@ -400,3 +400,35 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(k.isNull(), 1)).alias("n_missing"),
     )
+
+
+@register(
+    "event_cube",
+    """
+    SELECT event_type, dayname(ts) AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS total_value
+    FROM events GROUP BY CUBE (event_type, dayname(ts))
+    """,
+)
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping sets —
+    the full matrix, each margin, and the grand total — in one pass,
+    completing the grouping-set family next to tumbling_rollup's
+    ROLLUP (a hierarchy keeps only prefix sets; a cube report wants
+    every margin).
+
+    Scale: like rollup, partial aggregation applies at every grouping
+    set — one shuffle keyed by (grouping-set id, keys), output
+    cardinality = product of (distinct+1) per dimension, tiny for
+    categorical dimensions at any row count."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.cube(
+        "event_type", F.date_format(F.col("ts"), "EEEE").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast(DEC4)).cast("double"), 4).alias(
+            "total_value"
+        ),
+    )
