@@ -187,8 +187,12 @@ def h264_info(raw: bytes) -> dict:
         if nal_type == 7 and sps is None:
             sps = parse_sps(_strip_emulation(nal[1:]))
         elif nal_type in (1, 5):
-            # first_mb_in_slice: ue(v) right after the 1-byte header
-            if _Bits(_strip_emulation(nal[1:3])).ue() == 0:
+            # first_mb_in_slice: ue(v) right after the 1-byte header.
+            # 8 payload bytes cover any legal value (ue(v) of a
+            # 32-bit code is <= 65 bits; 2 bytes would exhaust the
+            # reader on continuation slices with first_mb >= 255 and
+            # wrongly demote a valid multi-slice stream)
+            if _Bits(_strip_emulation(nal[1:9])).ue() == 0:
                 n_frames += 1
     if sps is None:
         raise ValueError("h264: no SPS in stream")

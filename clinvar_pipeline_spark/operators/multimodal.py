@@ -360,11 +360,18 @@ def sample_frames(
     than ``n_frames`` rows emit one frame per row (fan-out is bounded
     by content, exactly like a short video).
 
-    Other payloads keep the deterministic byte-slice stand-in
+    Self-framing compressed audio (MP3, ADTS/AAC) samples REAL
+    compressed frames: the header walk (functions/mp3.py /
+    functions/aac.py seek tables) yields exact frame boundaries, so
+    each sampled unit is one complete variable-length compressed
+    frame at an evenly spaced frame index — self-describing units a
+    codec-feeding extractor wants, NOT fixed-size byte slices. WAV
+    PCM samples real audio windows.
+
+    Remaining payloads keep the deterministic byte-slice stand-in
     (``frame_size`` bytes at evenly spaced offsets) — the documented
-    fake tier for formats with no in-container codec (compressed
-    video like MP4/H.26x — metadata via extract_video_meta — and
-    audio)."""
+    fake tier for containerless entropy streams (MP4/H.26x video —
+    metadata via extract_video_meta — and malformed audio)."""
     from clinvar_pipeline_spark.functions import gif as _gif
     from clinvar_pipeline_spark.functions import png as _codec
     from clinvar_pipeline_spark.functions import wav as _wav

@@ -73,24 +73,41 @@ def asof_join(
         raise ValueError(f"asof_join: bad direction {direction!r}")
     by = list(by)
     rcols = [c for c in right.columns if c not in by and c != on]
-    clash = set(rcols) & set(left.columns)
+    r_on = f"{on}{suffix}"
+    clash = (set(rcols) | {r_on}) & set(left.columns)
     if clash:
         raise ValueError(f"asof_join: right columns collide with left: {clash}")
-    r_on = f"{on}{suffix}"
-    if r_on in left.columns:
-        raise ValueError(f"asof_join: {r_on} already exists on left")
-    reserved = {"_side"} & (set(left.columns) | set(rcols))
+    if r_on in rcols:
+        raise ValueError(f"asof_join: right already has a {r_on} column")
+    reserved = {"_side", "_r"} & (set(left.columns) | set(rcols))
     if reserved:
         raise ValueError(f"asof_join: reserved column name {reserved}")
 
     l2 = left.withColumn("_side", F.lit(1))
-    r2 = right.select(
-        *by, F.col(on).alias(r_on), *rcols
-    ).withColumn("_side", F.lit(0))
+    # null event times match nothing: a null right ts must not carry
+    # into every left row (asc nulls-first would), and a null left ts
+    # must not adopt the scan's first right row — drop the former,
+    # order the latter before any right row (nulls first in BOTH
+    # directions), so it carries nothing.
+    r2 = (
+        right.filter(F.col(on).isNotNull())
+        .select(
+            *by,
+            # ONE struct, not per-column carries: last(ignorenulls)
+            # per column would stitch fields from DIFFERENT right
+            # rows whenever a matched row holds a null payload field
+            F.struct(F.col(on).alias(r_on), *rcols).alias("_r"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
     u = l2.unionByName(r2, allowMissingColumns=True)
 
-    ordv = F.coalesce(_micros(F.col(on)), _micros(F.col(r_on)))
-    order = [ordv.desc() if direction == "forward" else ordv.asc(), "_side"]
+    ordv = F.coalesce(_micros(F.col(on)), _micros(F.col("_r")[r_on]))
+    order = [
+        ordv.desc_nulls_first() if direction == "forward"
+        else ordv.asc_nulls_first(),
+        "_side",
+    ]
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)
@@ -99,17 +116,22 @@ def asof_join(
     carried = u.select(
         *left.columns,
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in (r_on, *rcols)],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    out = carried.filter(F.col("_side") == 1).drop("_side")
+    keep = F.col("_r").isNotNull()
     if tolerance_us is not None:
-        lag = F.abs(_micros(F.col(on)) - _micros(F.col(r_on)))
-        keep = F.col(r_on).isNotNull() & (lag <= F.lit(tolerance_us))
-        out = out.select(
+        lag = F.abs(_micros(F.col(on)) - _micros(F.col("_r")[r_on]))
+        keep = keep & (lag <= F.lit(tolerance_us))
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
             *left.columns,
-            *[F.when(keep, F.col(c)).alias(c) for c in (r_on, *rcols)],
+            *[
+                F.when(keep, F.col("_r")[c]).alias(c)
+                for c in (r_on, *rcols)
+            ],
         )
-    return out
+    )
 
 
 def range_join(
@@ -145,7 +167,7 @@ def range_join(
     if upper_us <= lower_us:
         raise ValueError("range_join: need lower_us < upper_us")
     reserved = {"_bk", "_l_us", "_r_us", r_on} & set(left.columns)
-    reserved |= {"_bk", "_r_us"} & set(rcols)
+    reserved |= {"_bk", "_r_us", r_on} & set(rcols)
     if reserved:
         raise ValueError(f"range_join: reserved column name {reserved}")
     b = int(bucket_us) if bucket_us else (upper_us - lower_us)

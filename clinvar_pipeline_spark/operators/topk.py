@@ -40,7 +40,13 @@ def partition_topk(
 
     State per task is one (scores, tiebreaks, row-index) triple per
     key capped at k entries — bounded by keys x k, independent of
-    partition size (batches stream through, never accumulate)."""
+    partition size (batches stream through, never accumulate).
+
+    Ordering edge cases match the Spark window it feeds: NaN scores
+    rank LARGEST (Spark DESC semantics) and null keys form their own
+    group. NULL scores are not supported (they would rank last in
+    the window but NaN-first here — keep the score column
+    non-nullable, as a computed similarity is)."""
     cols = list(df.columns)
     schema = df.schema
 
@@ -49,13 +55,20 @@ def partition_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            for key, g in pdf.groupby(key_col, sort=False):
+            # dropna=False: a null key is its own group downstream
+            # (Spark windows partition null keys together) — silently
+            # dropping those rows would change the result
+            for key, g in pdf.groupby(key_col, sort=False, dropna=False):
                 if key in best:
                     g = pd.concat([best[key], g], ignore_index=True)
                 if len(g) > k:
-                    s = g[score_col].to_numpy()
+                    s = g[score_col].to_numpy(dtype="float64")
                     t = g[tiebreak_col].to_numpy()
-                    keep = np.lexsort((t, -s))[:k]
+                    # match Spark's DESC ordering where NaN ranks
+                    # LARGEST (numpy lexsort would put NaN last and
+                    # prune rows the window would keep)
+                    skey = np.where(np.isnan(s), -np.inf, -s)
+                    keep = np.lexsort((t, skey))[:k]
                     g = g.iloc[keep]
                 best[key] = g.reset_index(drop=True)
         if best:

@@ -497,11 +497,14 @@ def corpus_shingle_index(docs: DataFrame, k: int = 3) -> DataFrame:
         shingles_of_tokens,
     )
 
+    # project tokens FIRST: inlining the tokenizer into the shingle
+    # lambda re-evaluates it per shingle (functions/hashes.py
+    # shingles_of_tokens docstring; measured 6x)
     sh = docs.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.explode(
-            shingles_of_tokens(normalized_tokens(F.col("text")), k=k)
-        ).alias("s"),
+        F.explode(shingles_of_tokens(F.col("toks"), k=k)).alias("s"),
     ).select("doc_id", F.xxhash64("s").alias("h")).distinct()
     return sh.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -537,10 +540,10 @@ def neardup_flag_batch(
     )
 
     sh = batch_docs.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.explode(
-            shingles_of_tokens(normalized_tokens(F.col("text")), k=k)
-        ).alias("s"),
+        F.explode(shingles_of_tokens(F.col("toks"), k=k)).alias("s"),
     ).select("doc_id", F.xxhash64("s").alias("h")).distinct()
     hit = sh.join(index, "h").filter(
         (F.col("n_docs") > 1) | (F.col("min_doc") != F.col("doc_id"))

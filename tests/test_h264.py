@@ -161,3 +161,18 @@ def test_video_ladder_header_tier(spark):
     assert (r1["width"], r1["height"]) == (1280, 720)
     assert r1["fps"] == 25.0 and r1["n_frames"] == 2
     assert out[2]["decode_tier"] == "fake"
+
+
+def test_multi_slice_picture_counts_once_with_large_first_mb():
+    """Review regression: a continuation slice with a large
+    first_mb_in_slice (4080 needs 23 bits of Exp-Golomb — more than
+    the 2 payload bytes the counter used to read) must not exhaust
+    the bit reader and demote the stream to the fake tier — it is
+    simply not a picture start, so the picture counts ONCE."""
+    w = _W()
+    w.ue(4080)  # first_mb_in_slice of a 1080p continuation slice
+    w.ue(7)     # slice_type
+    w.ue(0)     # pps id
+    big_cont = b"\x00\x00\x01\x41" + w.out()
+    info = h264_info(_sps(120, 68) + _IDR + big_cont)
+    assert info["n_frames"] == 1

@@ -455,3 +455,60 @@ def test_asof_live_stream_state_survives_restart(spark, tmp_path):
     }
     assert set(got) == {1}
     assert got[1]["right_id"] == 901  # matched from RESTORED state
+
+
+def test_asof_carries_whole_rows_not_stitched_fields(spark):
+    """Review regression: per-column ignorenulls carries would stitch
+    fields from DIFFERENT right rows when the matched row holds a
+    null payload field. The carry must be the whole matched row."""
+    left = _frame(
+        spark,
+        [(1, 10, _ts(300.0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [(10, _ts(100.0), 5, None), (10, _ts(200.0), None, 7)],
+        "user_id long, ts timestamp, a long, b long",
+    )
+    r = asof_join(left, right, on="ts", by=["user_id"]).collect()[0]
+    # nearest row is ts=200 -> (a=NULL, b=7); a=5 would be stitched
+    assert r["a"] is None and r["b"] == 7
+
+    # with tolerance, a stale field must not leak from outside the
+    # window either
+    r = asof_join(
+        left, right, on="ts", by=["user_id"], tolerance_us=150_000_000
+    ).collect()[0]
+    assert r["a"] is None and r["b"] == 7
+
+
+def test_asof_null_event_times_match_nothing(spark):
+    """Review regression: a NULL left ts must not adopt the scan's
+    first right row (forward) and a NULL right ts must not carry into
+    every left row (backward)."""
+    left = _frame(
+        spark,
+        [(1, 10, None), (2, 10, _ts(50.0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = _frame(
+        spark,
+        [(10, _ts(10.0), 901), (10, None, 999)],
+        "user_id long, ts timestamp, r_id long",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r["event_id"]: r["r_id"]
+            for r in asof_join(
+                left, right, on="ts", by=["user_id"], direction=direction
+            ).collect()
+        }
+        assert got[1] is None, direction  # null left ts: no match
+        assert got[2] != 999, direction   # null right ts: never a match
+    # and the non-degenerate row still matches normally
+    got = {
+        r["event_id"]: r["r_id"]
+        for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+    }
+    assert got[2] == 901
