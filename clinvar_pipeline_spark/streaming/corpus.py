@@ -583,16 +583,22 @@ def neardup_stream(
     the frozen index inside ``foreachBatch`` (the join + per-doc
     aggregate are batch-only operations — a streaming aggregation
     would demand watermarks the file-drop source doesn't have) and
-    appends verdicts to ``out_path``. availableNow + checkpoint =
-    the same incremental-rerun contract as the other streamed
-    stages; the index is run-scoped frozen state (the quality-model
-    lifecycle), so reruns score new arrivals under exactly the state
-    already-landed verdicts saw."""
+    lands verdicts under ``out_path`` keyed by epoch. availableNow +
+    checkpoint = the same incremental-rerun contract as the other
+    streamed stages; the index is run-scoped frozen state (the
+    quality-model lifecycle), so reruns score new arrivals under
+    exactly the state already-landed verdicts saw.
 
-    def _do(batch_df: DataFrame, _epoch: int) -> None:
+    Replay safety: a plain append inside foreachBatch would
+    DOUBLE-land a replayed epoch (at-least-once delivery) — verdicts
+    land in an epoch-keyed dir overwritten per epoch instead, the
+    cm_stream idempotent-sink pattern (readers see one extra
+    ``epoch`` partition column)."""
+
+    def _do(batch_df: DataFrame, epoch_id: int) -> None:
         neardup_flag_batch(batch_df, index, k=k, flag=flag).write.mode(
-            "append"
-        ).parquet(out_path)
+            "overwrite"
+        ).parquet(f"{out_path}/epoch={int(epoch_id)}")
 
     return (
         docs.writeStream.foreachBatch(_do)

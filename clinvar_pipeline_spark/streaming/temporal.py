@@ -42,10 +42,15 @@ def asof_stream(
     tolerance_us: int | None = None,
 ):
     """Start the streaming as-of join: each micro-batch of left rows
-    is asof_join'ed against the frozen ``right`` frame and appended
-    to ``out_path``. Returns the StreamingQuery."""
+    is asof_join'ed against the frozen ``right`` frame and landed
+    under ``out_path`` keyed by epoch (idempotent under replay;
+    readers see one extra ``epoch`` partition column). Returns the
+    StreamingQuery."""
 
-    def _do(batch_df: DataFrame, _epoch: int) -> None:
+    def _do(batch_df: DataFrame, epoch_id: int) -> None:
+        # epoch-keyed idempotent sink (the cm_stream pattern): a
+        # plain append would double-land a replayed epoch under
+        # foreachBatch's at-least-once delivery
         asof_join(
             batch_df,
             right,
@@ -53,7 +58,7 @@ def asof_stream(
             by=by,
             direction=direction,
             tolerance_us=tolerance_us,
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(f"{out_path}/epoch={int(epoch_id)}")
 
     return (
         left_stream.writeStream.foreachBatch(_do)
