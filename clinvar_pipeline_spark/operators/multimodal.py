@@ -579,3 +579,90 @@ def resize_images(
             )
 
     return binaries.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = "id long, dim int, value double, feature_tier string"
+FEATURE_DIMS = 14  # [mean x3, std x3, 8-bin histogram]
+FEATURE_BINS = 8
+
+
+def extract_image_features(binaries: DataFrame) -> DataFrame:
+    """(id, content) -> FEATURE_DIMS rows of (id, dim, value,
+    feature_tier): the feature-extraction rung of the multimodal
+    ladder (decode -> features -> resize -> frame-sample), a
+    fixed-width hand-crafted visual descriptor a curation pipeline
+    can cluster / near-dup / outlier-screen like any embedding.
+
+    Decodable images (PNG / baseline JPEG / GIF via the pure
+    codecs) emit PIXEL statistics — per-channel mean and std (RGB,
+    grayscale broadcast) plus an 8-bin luminance histogram, all
+    normalized to [0, 1] — tier 'pixel'. Anything else falls to the
+    DETERMINISTIC byte tier: the same 14 slots computed over the raw
+    byte stream (mean/std broadcast across the three channel slots,
+    8-bin byte histogram), so every payload yields the same feature
+    shape and the column is trainer-ready. A learned NN embedding
+    would slot in as a higher tier; the model is not in this
+    container, so the descriptor stays the honest hand-crafted one
+    (the decode ladder's tier discipline).
+
+    Rows are exploded (one per dimension) rather than an
+    array column so the scalar value path is oracle-hashable.
+
+    Scale: mapInPandas over the binary scan, map-only, fixed
+    FEATURE_DIMS fan-out per row; nothing pixel-sized leaves the
+    task."""
+    import numpy as np
+    import pandas as pd
+
+    def features_of(raw: bytes) -> tuple[list, str]:
+        raw = raw or b"\0"
+        px = _decode_pixels(bytes(raw))
+        if px is not None:
+            w, h, ch, data = px
+            a = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            a = a.reshape(-1, ch)
+            rgb = a[:, :3] if ch >= 3 else np.repeat(a[:, :1], 3, axis=1)
+            mean = rgb.mean(axis=0) / 255.0
+            std = rgb.std(axis=0) / 255.0
+            lum = rgb.mean(axis=1)
+            hist = np.bincount(
+                np.minimum(
+                    (lum / 256.0 * FEATURE_BINS).astype(np.int64),
+                    FEATURE_BINS - 1,
+                ),
+                minlength=FEATURE_BINS,
+            ) / len(lum)
+            return [*mean, *std, *hist], "pixel"
+        b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float64)
+        mean = b.mean() / 255.0
+        std = b.std() / 255.0
+        hist = np.bincount(
+            np.minimum(
+                (b / 256.0 * FEATURE_BINS).astype(np.int64),
+                FEATURE_BINS - 1,
+            ),
+            minlength=FEATURE_BINS,
+        ) / len(b)
+        return [mean, mean, mean, std, std, std, *hist], "byte"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, dims, vals, tiers = [], [], [], []
+            for i, raw in zip(pdf["id"], pdf["content"]):
+                f, tier = features_of(raw)
+                for d, v in enumerate(f):
+                    ids.append(i)
+                    dims.append(d)
+                    vals.append(float(v))
+                    tiers.append(tier)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "dim": dims,
+                        "value": vals,
+                        "feature_tier": tiers,
+                    }
+                )
+
+    return binaries.mapInPandas(kernel, FEATURE_SCHEMA)

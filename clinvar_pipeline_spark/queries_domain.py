@@ -1064,6 +1064,71 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_features",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR text = '' THEN chr(0)
+                    ELSE text END AS payload
+        FROM documents),
+    b AS (SELECT doc_id,
+                 ascii(substr(payload, CAST(i AS INTEGER), 1)) AS c
+          FROM (SELECT doc_id, payload,
+                       unnest(range(1, octet_length(encode(payload)) + 1))
+                         AS i
+                FROM raw)),
+    stats AS (SELECT doc_id, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+              FROM b GROUP BY doc_id),
+    mean_rows AS (
+        SELECT doc_id, CAST(unnest([0, 1, 2]) AS INTEGER) AS dim,
+               CAST(s AS DOUBLE) / n / 255.0 AS value
+        FROM stats),
+    std_rows AS (
+        SELECT doc_id, CAST(unnest([3, 4, 5]) AS INTEGER) AS dim,
+               sqrt(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) ^ 2)
+                 / 255.0 AS value
+        FROM stats),
+    hist AS (SELECT doc_id, c // 32 AS hb, count(*) AS k
+             FROM b GROUP BY doc_id, hb),
+    bins AS (SELECT doc_id, n, unnest(range(0, 8)) AS hb FROM stats),
+    hist_rows AS (
+        SELECT bins.doc_id, CAST(bins.hb + 6 AS INTEGER) AS dim,
+               CAST(coalesce(h.k, 0) AS DOUBLE) / bins.n AS value
+        FROM bins LEFT JOIN hist h
+          ON h.doc_id = bins.doc_id AND h.hb = bins.hb)
+    SELECT doc_id AS id, dim, round(value, 6) AS value,
+           'byte' AS feature_tier
+    FROM (SELECT * FROM mean_rows UNION ALL SELECT * FROM std_rows
+          UNION ALL SELECT * FROM hist_rows)
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction, the remaining multimodal ladder rung
+    (decode -> FEATURES -> resize -> frame-sample): a fixed 14-dim
+    hand-crafted descriptor per payload — per-channel mean/std plus
+    an 8-bin luminance histogram on the PIXEL tier (real PNG/JPEG/GIF
+    decode), the same slots over raw bytes on the deterministic byte
+    tier — exploded to (id, dim, value) rows so the values are
+    oracle-hashable scalars. The text-derived test corpus is all byte
+    tier (which is what DuckDB recomputes); the pixel tier is pinned
+    against numpy on synthetic images in tests/test_curation.py.
+
+    Scale: operators/multimodal.extract_image_features is a map-only
+    Arrow kernel with a fixed 14-row fan-out; integer byte sums make
+    the mean/std engine-exact before the single final round."""
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        extract_image_features,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    feats = extract_image_features(attach_binary(d, "doc_id", "text"))
+    return feats.select(
+        "id", "dim", F.round("value", 6).alias("value"), "feature_tier"
+    )
+
+
 # ---------------------------------------------------------------------
 # ANN: hyperplane-LSH bucketed top-k (scale path for similarity search)
 # ---------------------------------------------------------------------

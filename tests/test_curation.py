@@ -318,3 +318,43 @@ def test_partition_topk_is_a_pure_exact_prune(spark):
         assert global_topk(pruned) == global_topk(df), n_parts
         # the prune really shrinks: at most n_parts * keys * K rows
         assert pruned.count() <= n_parts * 5 * K
+
+
+def test_image_features_pixel_tier_matches_numpy(spark):
+    """The multimodal feature descriptor on a REAL decodable PNG:
+    per-channel mean/std and the 8-bin luminance histogram must match
+    numpy computed on the known pixel array; opaque bytes fall to the
+    byte tier with the same 14-slot shape."""
+    from clinvar_pipeline_spark.functions.png import png_encode
+    from clinvar_pipeline_spark.operators.multimodal import (
+        FEATURE_DIMS,
+        extract_image_features,
+    )
+
+    w, h, ch = 6, 4, 3
+    px = bytes((7 * i) % 256 for i in range(w * h * ch))
+    png = png_encode(w, h, ch, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "id long, content binary",
+    )
+    out = extract_image_features(df).collect()
+    by = collections.defaultdict(dict)
+    tiers = {}
+    for r in out:
+        by[r["id"]][r["dim"]] = r["value"]
+        tiers[r["id"]] = r["feature_tier"]
+    assert tiers == {1: "pixel", 2: "byte"}
+    assert set(by[1]) == set(range(FEATURE_DIMS))
+
+    a = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch).astype(float)
+    for c in range(3):
+        assert by[1][c] == pytest.approx(a[:, c].mean() / 255.0)
+        assert by[1][3 + c] == pytest.approx(a[:, c].std() / 255.0)
+    lum = a.mean(axis=1)
+    hist = np.bincount((lum / 32).astype(int), minlength=8) / len(lum)
+    for b in range(8):
+        assert by[1][6 + b] == pytest.approx(hist[b])
+    # byte tier: mean broadcast across channel slots, histogram sums to 1
+    assert by[2][0] == by[2][1] == by[2][2]
+    assert sum(by[2][6 + b] for b in range(8)) == pytest.approx(1.0)
