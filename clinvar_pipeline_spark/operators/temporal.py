@@ -45,6 +45,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_us: int | None = None,
     suffix: str = "_asof",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """As-of join: left rows, each annotated with the nearest right
     row whose ``on`` is <= (backward) or >= (forward) the left ``on``,
@@ -58,10 +59,13 @@ def asof_join(
 
     Ties: rows are scanned in (ts, side) order with right rows first,
     so an equal-timestamp right row IS eligible (both directions are
-    inclusive, matching DuckDB ``ASOF``); among right rows with the
-    SAME (by, ts) the last in ``on``-then-input order wins — callers
-    needing a total order should pre-dedupe or pre-sort right by a
-    tiebreak column.
+    inclusive, matching DuckDB ``ASOF``). Among right rows with the
+    SAME (by, ts): pass ``tiebreak_col`` (a right column; the
+    MAXIMUM value wins, nulls lose) to make the pick total by
+    construction — identical output across partitionings and input
+    orders. Default ``None`` keeps the historical behavior (last in
+    input order wins — a run-order hazard iff right has duplicate
+    (by, ts) rows with differing payloads; callers pre-dedupe).
 
     Scale: union + one window over ``by`` — a single hash shuffle on
     the key columns; the carry-forward is a running ``last(...,
@@ -108,6 +112,19 @@ def asof_join(
         else ordv.asc_nulls_first(),
         "_side",
     ]
+    if tiebreak_col is not None:
+        tb_field = r_on if tiebreak_col == on else tiebreak_col
+        if tb_field != r_on and tiebreak_col not in rcols:
+            raise ValueError(
+                f"asof_join: tiebreak_col {tiebreak_col!r} not a right column"
+            )
+        # among equal-(by, ts) right rows the LAST scanned is the
+        # carry, so ascending-nulls-first makes the max-tiebreak row
+        # win deterministically regardless of direction (the within-
+        # group order is independent of ordv's sort direction). Left
+        # rows carry a null _r here and already sort after right rows
+        # at the same instant via _side.
+        order.append(F.col("_r")[tb_field].asc_nulls_first())
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)

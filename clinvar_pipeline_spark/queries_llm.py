@@ -990,8 +990,18 @@ def q_duplicate_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     island merge. No new shuffle shape vs duplicate_spans."""
     win = _window_hash_frame(spark, sf_dir)
     win = _persist(win)  # first-pick build + position join share it
-    firsts = win.groupBy("h").agg(
-        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("f")
+    # carry the occurrence count with the first pick so singleton
+    # windows (c == 1, the majority on a mostly-unique corpus) never
+    # ride the join back — they'd only be filtered out afterwards.
+    # Same single h-keyed aggregate, roughly half the join input.
+    firsts = (
+        win.groupBy("h")
+        .agg(
+            F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("f"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") > 1)
+        .drop("c")
     )
     marked = (
         win.join(firsts, "h")
