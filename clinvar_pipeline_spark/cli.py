@@ -488,6 +488,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         load_dsir_model,
         load_langid_model,
         load_quality_model,
+        neardup_snapshot,
         neardup_stream,
         save_dsir_model,
         quality_stream,
@@ -600,6 +601,10 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
             f"{args.out}/neardup_flags",
             f"{args.out}/_ckpt/neardup_flags",
             k=DECONTAM_K,
+            # long-lived ingest: fold verdict epoch dirs into the
+            # manifest-committed base so reader cost stays bounded by
+            # cadence, not stream age (read via neardup_snapshot)
+            compact_every=16,
         ),
         # running distinct-token estimate: per micro-batch the HLL
         # register frame max-merges into |langs| x 256 rows of
@@ -620,6 +625,9 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
             f"{args.out}/_cm_deltas",
             f"{args.out}/cm_sketch",
             f"{args.out}/_ckpt/cm_sketch",
+            # same cadence bound for the ADD-merged delta dirs; the
+            # landed cm_sketch snapshot stays a complete overwrite
+            compact_every=16,
         ),
     ]
     for q in queries:
@@ -636,7 +644,12 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "cm_sketch",
         "dsir_weights",
     ):
-        n = spark.read.parquet(f"{args.out}/{name}").count()
+        if name == "neardup_flags":
+            # compacted sink: the base dir is hidden from raw reads by
+            # design — count through the snapshot reader
+            n = neardup_snapshot(spark, f"{args.out}/{name}").count()
+        else:
+            n = spark.read.parquet(f"{args.out}/{name}").count()
         counters.append((name, n))
         print(f"{name}: {n}")
     spark.createDataFrame(

@@ -1392,7 +1392,8 @@ def _reorder_registry() -> None:
     missing = [n for n in _CHECKED if n not in _REGISTRY]
     if missing and any(
         not hasattr(_m, "__spec__") or getattr(_m.__spec__, "_initializing", False)
-        for _m in (queries_domain, queries_domain2, queries_llm)
+        for _m in (queries_domain, queries_domain2, queries_llm,
+                   queries_curation, queries_temporal)
     ):
         return  # mid-circular-import; re-run when the registry is full
     assert not missing, f"check window names unknown queries: {missing}"

@@ -577,6 +577,7 @@ def neardup_stream(
     checkpoint: str,
     k: int = 3,
     flag: float = 0.5,
+    compact_every: int | None = None,
 ):
     """Start the incremental near-dup flagger over a streaming
     document frame: each micro-batch runs neardup_flag_batch against
@@ -592,13 +593,27 @@ def neardup_stream(
     Replay safety: a plain append inside foreachBatch would
     DOUBLE-land a replayed epoch (at-least-once delivery) — verdicts
     land in an epoch-keyed dir overwritten per epoch instead, the
-    cm_stream idempotent-sink pattern (readers see one extra
-    ``epoch`` partition column)."""
+    cm_stream idempotent-sink pattern. Readers go through
+    :func:`neardup_snapshot` (one extra ``epoch`` column).
+
+    ``compact_every``: whenever more than this many live epoch dirs
+    have accumulated, fold all but the newest (which may replay) into
+    a manifest-committed base (compaction.compact, row-union fold),
+    bounding the reader's dir count for a long-lived ingest."""
 
     def _do(batch_df: DataFrame, epoch_id: int) -> None:
         neardup_flag_batch(batch_df, index, k=k, flag=flag).write.mode(
             "overwrite"
         ).parquet(f"{out_path}/epoch={int(epoch_id)}")
+        if compact_every:
+            from clinvar_pipeline_spark.streaming.compaction import (
+                compact,
+                list_live_epochs,
+            )
+
+            spark = batch_df.sparkSession
+            if len(list_live_epochs(spark, out_path)) > compact_every:
+                compact(spark, out_path, epoch_col="epoch")
 
     return (
         docs.writeStream.foreachBatch(_do)
@@ -606,6 +621,16 @@ def neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_snapshot(spark, out_path: str) -> DataFrame:
+    """All landed near-dup verdicts: committed base + live epoch dirs
+    not folded into it, the landing epoch as an ``epoch`` column —
+    the reader for a neardup_stream sink, exactly-once under replay
+    and mid-compaction interruption (compaction.snapshot_parts)."""
+    from clinvar_pipeline_spark.streaming.compaction import snapshot_parts
+
+    return snapshot_parts(spark, out_path, epoch_col="epoch")
 
 
 def hll_merge_batch(
@@ -800,20 +825,43 @@ def cm_delta_batch(
     )
 
 
+def _cm_fold(df: DataFrame) -> DataFrame:
+    # counters are linear, so the fold is the cellwise sum — the
+    # folded base stays <= depth x width rows at any stream age
+    return df.groupBy("j", "b").agg(F.sum("c").alias("c"))
+
+
 def cm_snapshot(spark, deltas_path: str) -> DataFrame:
-    """Cellwise sum over every landed epoch delta — the corpus-wide
-    sketch (counters are linear: sum of disjoint slices' sketches IS
-    the union's sketch). Bounded read: each delta is <= depth x width
-    cells."""
-    return (
-        spark.read.parquet(deltas_path)
-        .groupBy("j", "b")
-        .agg(F.sum("c").alias("c"))
-    )
+    """Cellwise sum over all landed state — the corpus-wide sketch
+    (counters are linear: sum of disjoint slices' sketches IS the
+    union's sketch). Reads through compaction.snapshot_parts: the
+    committed base generation (if compact() has run) plus every live
+    epoch delta not folded into it, so the read stays bounded by the
+    compaction cadence instead of growing linearly with stream age.
+    Each part is <= depth x width cells."""
+    from clinvar_pipeline_spark.streaming.compaction import snapshot_parts
+
+    return _cm_fold(snapshot_parts(spark, deltas_path))
+
+
+def cm_compact(spark, deltas_path: str, keep_last: int = 1) -> int:
+    """Fold committed Count-Min epoch deltas into one base generation
+    (compaction.compact with the cellwise-sum fold): the snapshot
+    keeps its exactly-once algebra — the fold is linear, the base is
+    manifest-committed, and a replayed epoch that was already folded
+    is excluded by the consumed-set check — while the per-snapshot
+    dir count drops from O(stream age) to O(keep_last)."""
+    from clinvar_pipeline_spark.streaming.compaction import compact
+
+    return compact(spark, deltas_path, keep_last=keep_last, fold=_cm_fold)
 
 
 def cm_stream(
-    docs: DataFrame, deltas_path: str, out_path: str, checkpoint: str
+    docs: DataFrame,
+    deltas_path: str,
+    out_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
 ):
     """Streaming Count-Min token-frequency sketch: per micro-batch,
     land the epoch-keyed delta (cm_delta_batch) and overwrite
@@ -822,11 +870,25 @@ def cm_stream(
     cell-for-cell (pinned by tests/test_streaming_corpus.py, replay
     included). Snapshot semantics like hll_stream: current
     corpus-wide cells, not per-arrival verdicts, so the sink
-    overwrites per batch."""
+    overwrites per batch.
+
+    ``compact_every``: whenever more than this many live epoch dirs
+    have accumulated, fold all but the newest (which may replay) into
+    the committed base (cm_compact), bounding snapshot cost for a
+    long-lived ingest; None keeps the land-only behavior."""
 
     def _do(batch_df: DataFrame, epoch_id: int) -> None:
+        from clinvar_pipeline_spark.streaming.compaction import (
+            list_live_epochs,
+        )
+
+        spark = batch_df.sparkSession
         cm_delta_batch(batch_df, epoch_id, deltas_path)
-        cm_snapshot(batch_df.sparkSession, deltas_path).write.mode(
+        if compact_every and len(
+            list_live_epochs(spark, deltas_path)
+        ) > compact_every:
+            cm_compact(spark, deltas_path)
+        cm_snapshot(spark, deltas_path).write.mode(
             "overwrite"
         ).parquet(out_path)
 

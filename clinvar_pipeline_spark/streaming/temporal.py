@@ -40,12 +40,20 @@ def asof_stream(
     by: Sequence[str] = ("user_id",),
     direction: str = "backward",
     tolerance_us: int | None = None,
+    compact_every: int | None = None,
 ):
     """Start the streaming as-of join: each micro-batch of left rows
     is asof_join'ed against the frozen ``right`` frame and landed
     under ``out_path`` keyed by epoch (idempotent under replay;
-    readers see one extra ``epoch`` partition column). Returns the
-    StreamingQuery."""
+    readers go through :func:`asof_snapshot` and see one extra
+    ``epoch`` column). Returns the StreamingQuery.
+
+    ``compact_every``: whenever more than this many live epoch dirs
+    have accumulated, fold all but the newest (which may replay) into
+    a manifest-committed base dir (compaction.compact, row-union
+    fold — verdicts are per-arrival rows, nothing to re-aggregate),
+    bounding the reader's dir count for a long-lived ingest; None
+    keeps the land-only behavior."""
 
     def _do(batch_df: DataFrame, epoch_id: int) -> None:
         # epoch-keyed idempotent sink (the cm_stream pattern): a
@@ -59,6 +67,15 @@ def asof_stream(
             direction=direction,
             tolerance_us=tolerance_us,
         ).write.mode("overwrite").parquet(f"{out_path}/epoch={int(epoch_id)}")
+        if compact_every:
+            from clinvar_pipeline_spark.streaming.compaction import (
+                compact,
+                list_live_epochs,
+            )
+
+            spark = batch_df.sparkSession
+            if len(list_live_epochs(spark, out_path)) > compact_every:
+                compact(spark, out_path, epoch_col="epoch")
 
     return (
         left_stream.writeStream.foreachBatch(_do)
@@ -66,6 +83,17 @@ def asof_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def asof_snapshot(spark, out_path: str) -> DataFrame:
+    """All landed as-of verdicts: the committed base (if compaction
+    has run) plus every live epoch dir not folded into it, with the
+    landing epoch materialized as an ``epoch`` column — the reader
+    for an asof_stream sink, exactly-once under replay AND under
+    mid-compaction interruption (compaction.snapshot_parts)."""
+    from clinvar_pipeline_spark.streaming.compaction import snapshot_parts
+
+    return snapshot_parts(spark, out_path, epoch_col="epoch")
 
 
 # ---------------------------------------------------------------------
