@@ -586,6 +586,149 @@ FEATURE_DIMS = 14  # [mean x3, std x3, 8-bin histogram]
 FEATURE_BINS = 8
 
 
+def _rgb_feature_slots(data: bytes, ch: int) -> list:
+    """The 14 visual slots over packed interleaved pixel bytes:
+    per-channel mean x3, per-channel std x3, 8-bin luminance
+    histogram (grayscale broadcasts its one channel), all in
+    [0, 1]."""
+    import numpy as np
+
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+    a = a.reshape(-1, ch)
+    rgb = a[:, :3] if ch >= 3 else np.repeat(a[:, :1], 3, axis=1)
+    mean = rgb.mean(axis=0) / 255.0
+    std = rgb.std(axis=0) / 255.0
+    lum = rgb.mean(axis=1)
+    hist = np.bincount(
+        np.minimum(
+            (lum / 256.0 * FEATURE_BINS).astype(np.int64),
+            FEATURE_BINS - 1,
+        ),
+        minlength=FEATURE_BINS,
+    ) / len(lum)
+    return [*mean, *std, *hist]
+
+
+def _byte_feature_slots(raw: bytes) -> list:
+    """The deterministic byte tier: the same 14 slots over the raw
+    byte stream (mean/std broadcast across the three channel slots,
+    8-bin byte histogram) — DuckDB-recomputable, so the registry
+    query stays oracle-exact on non-decodable payloads."""
+    import numpy as np
+
+    b = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+    mean = b.mean() / 255.0
+    std = b.std() / 255.0
+    hist = np.bincount(
+        np.minimum(
+            (b / 256.0 * FEATURE_BINS).astype(np.int64),
+            FEATURE_BINS - 1,
+        ),
+        minlength=FEATURE_BINS,
+    ) / len(b)
+    return [mean, mean, mean, std, std, std, *hist]
+
+
+FEATURE_FRAME_SAMPLE = 4  # video tier: frames pooled per payload
+FEATURE_PCM_WINDOWS = 8   # audio tier: equal sample windows
+
+
+def _video_feature_slots(raw: bytes) -> list | None:
+    """Video tier ('frame'): the visual 14 slots pooled over up to
+    FEATURE_FRAME_SAMPLE evenly-strided Y4M frames decoded to RGB —
+    the image descriptor computed over the sampled frames' pixels
+    jointly, so image and video land in the SAME feature space and
+    the curation screens (centroid outliers, k-NN noise) can mix
+    modalities. None if the payload is not decodable Y4M."""
+    from clinvar_pipeline_spark.functions import y4m as _y4m
+
+    if not raw.startswith(_y4m.Y4M_MAGIC):
+        return None
+    try:
+        _w, _h, _fn, _fd, _chroma, n = _y4m.y4m_info(raw)
+        if n == 0:
+            return None
+        take = min(n, FEATURE_FRAME_SAMPLE)
+        idx = [i * n // take for i in range(take)]
+        _w, _h, frames = _y4m.y4m_frames(raw, idx)
+    except ValueError:
+        return None  # malformed payload -> caller's next rung
+    return _rgb_feature_slots(b"".join(frames), 3)
+
+
+def _pcm_samples(raw: bytes):
+    """Decoded mono float64 samples in [-1, 1] from a RIFF/PCM
+    payload, or None if not decodable WAV. Multi-channel averages to
+    mono; 8-bit PCM is unsigned per the RIFF spec, wider widths are
+    signed little-endian."""
+    import numpy as np
+
+    from clinvar_pipeline_spark.functions import wav as _wav
+
+    if not raw.startswith(_wav.WAV_MAGIC):
+        return None
+    try:
+        info = _wav.wav_info(raw)
+    except ValueError:
+        return None
+    bits, ch = info["bits"], info["channels"]
+    n = info["n_samples"]
+    if n == 0:
+        return None
+    data = raw[info["data_off"]: info["data_off"] + n * ch * bits // 8]
+    if bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:  # 24-bit: sign-extend 3-byte little-endian lanes
+        b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b3[:, 0].astype(np.int64)
+            | (b3[:, 1].astype(np.int64) << 8)
+            | (b3[:, 2].astype(np.int64) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    return x.reshape(-1, ch).mean(axis=1)
+
+
+def _audio_feature_slots(raw: bytes) -> list | None:
+    """Audio tier ('pcm'): 14 slots of windowed RMS / zero-crossing
+    statistics over decoded WAV PCM — [overall RMS, zero-crossing
+    rate, mean |x|, std of per-window RMS, peak |x|, std of
+    per-window ZCR, then FEATURE_PCM_WINDOWS per-window RMS values],
+    all in [0, 1]. None if the payload is not decodable PCM WAV."""
+    import numpy as np
+
+    x = _pcm_samples(raw)
+    if x is None:
+        return None
+
+    def zcr(v) -> float:
+        if len(v) < 2:
+            return 0.0
+        return float(np.mean((v[1:] >= 0) != (v[:-1] >= 0)))
+
+    def rms(v) -> float:
+        return float(np.sqrt(np.mean(v * v))) if len(v) else 0.0
+
+    wins = np.array_split(x, FEATURE_PCM_WINDOWS)
+    wrms = np.array([rms(w) for w in wins])
+    wzcr = np.array([zcr(w) for w in wins])
+    return [
+        rms(x),
+        zcr(x),
+        float(np.mean(np.abs(x))),
+        float(wrms.std()),
+        float(np.max(np.abs(x))),
+        float(wzcr.std()),
+        *wrms,
+    ]
+
+
 def extract_image_features(binaries: DataFrame) -> DataFrame:
     """(id, content) -> FEATURE_DIMS rows of (id, dim, value,
     feature_tier): the feature-extraction rung of the multimodal
@@ -611,7 +754,6 @@ def extract_image_features(binaries: DataFrame) -> DataFrame:
     Scale: mapInPandas over the binary scan, map-only, fixed
     FEATURE_DIMS fan-out per row; nothing pixel-sized leaves the
     task."""
-    import numpy as np
     import pandas as pd
 
     def features_of(raw: bytes) -> tuple[list, str]:
@@ -619,31 +761,74 @@ def extract_image_features(binaries: DataFrame) -> DataFrame:
         px = _decode_pixels(bytes(raw))
         if px is not None:
             w, h, ch, data = px
-            a = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
-            a = a.reshape(-1, ch)
-            rgb = a[:, :3] if ch >= 3 else np.repeat(a[:, :1], 3, axis=1)
-            mean = rgb.mean(axis=0) / 255.0
-            std = rgb.std(axis=0) / 255.0
-            lum = rgb.mean(axis=1)
-            hist = np.bincount(
-                np.minimum(
-                    (lum / 256.0 * FEATURE_BINS).astype(np.int64),
-                    FEATURE_BINS - 1,
-                ),
-                minlength=FEATURE_BINS,
-            ) / len(lum)
-            return [*mean, *std, *hist], "pixel"
-        b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float64)
-        mean = b.mean() / 255.0
-        std = b.std() / 255.0
-        hist = np.bincount(
-            np.minimum(
-                (b / 256.0 * FEATURE_BINS).astype(np.int64),
-                FEATURE_BINS - 1,
-            ),
-            minlength=FEATURE_BINS,
-        ) / len(b)
-        return [mean, mean, mean, std, std, std, *hist], "byte"
+            return _rgb_feature_slots(data, ch), "pixel"
+        return _byte_feature_slots(bytes(raw)), "byte"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, dims, vals, tiers = [], [], [], []
+            for i, raw in zip(pdf["id"], pdf["content"]):
+                f, tier = features_of(raw)
+                for d, v in enumerate(f):
+                    ids.append(i)
+                    dims.append(d)
+                    vals.append(float(v))
+                    tiers.append(tier)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "dim": dims,
+                        "value": vals,
+                        "feature_tier": tiers,
+                    }
+                )
+
+    return binaries.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def extract_media_features(binaries: DataFrame) -> DataFrame:
+    """(id, content) -> FEATURE_DIMS rows of (id, dim, value,
+    feature_tier) for EVERY modality the engine can decode — the
+    full-ladder version of extract_image_features, so the curation
+    screens (class-centroid outliers, k-NN label noise, hard
+    negatives) can run over mixed image / video / audio corpora:
+
+    - tier 'pixel': decodable still images (PNG / baseline JPEG /
+      GIF) — the visual 14 slots over their pixels;
+    - tier 'frame': decodable Y4M video — the SAME visual slots
+      pooled over up to FEATURE_FRAME_SAMPLE evenly-strided frames
+      decoded to RGB, so images and video share a feature space;
+    - tier 'pcm': decodable RIFF/PCM WAV — windowed RMS /
+      zero-crossing slots (audio is its own feature space; the
+      curation screens group by label, never across tiers);
+    - tier 'byte': everything else — the deterministic byte slots,
+      DuckDB-recomputable so the registry query stays oracle-exact
+      on non-decodable payloads.
+
+    Compressed A/V (MP3 / ADTS / H.264 / MP4) intentionally lands on
+    the byte tier: the header tiers recover true metadata but not
+    samples, and a fake decode would poison the feature space — the
+    ladder's honesty discipline.
+
+    Scale: identical envelope to extract_image_features — map-only
+    Arrow kernel, fixed FEATURE_DIMS fan-out per row, nothing
+    pixel- or sample-sized leaves the task."""
+    import pandas as pd
+
+    def features_of(raw: bytes) -> tuple[list, str]:
+        raw = bytes(raw or b"\0")
+        px = _decode_pixels(raw)
+        if px is not None:
+            _w, _h, ch, data = px
+            return _rgb_feature_slots(data, ch), "pixel"
+        vf = _video_feature_slots(raw)
+        if vf is not None:
+            return vf, "frame"
+        af = _audio_feature_slots(raw)
+        if af is not None:
+            return af, "pcm"
+        return _byte_feature_slots(raw), "byte"
 
     def kernel(batches):
         for pdf in batches:

@@ -358,3 +358,166 @@ def test_image_features_pixel_tier_matches_numpy(spark):
     # byte tier: mean broadcast across channel slots, histogram sums to 1
     assert by[2][0] == by[2][1] == by[2][2]
     assert sum(by[2][6 + b] for b in range(8)) == pytest.approx(1.0)
+
+
+def test_media_features_frame_tier_matches_numpy(spark):
+    """The full-ladder descriptor on REAL decodable Y4M video: the
+    visual 14 slots pooled over the strided frame sample must match
+    numpy computed on the frames y4m_frames itself decodes (the
+    YUV roundtrip is lossy, so the pin is against the decoded RGB,
+    an independent slot computation)."""
+    from clinvar_pipeline_spark.functions.y4m import y4m_encode, y4m_frames
+    from clinvar_pipeline_spark.operators.multimodal import (
+        FEATURE_DIMS,
+        FEATURE_FRAME_SAMPLE,
+        extract_media_features,
+    )
+
+    w, h = 6, 4
+    frames = [
+        bytes(((11 * i + 29 * f) % 256) for i in range(w * h * 3))
+        for f in range(6)  # > FEATURE_FRAME_SAMPLE: strided sampling
+    ]
+    raw = y4m_encode(w, h, frames, fps=(10, 1))
+    df = spark.createDataFrame(
+        [(1, bytearray(raw))], "id long, content binary"
+    )
+    out = extract_media_features(df).collect()
+    got = {r["dim"]: r["value"] for r in out}
+    assert {r["feature_tier"] for r in out} == {"frame"}
+    assert set(got) == set(range(FEATURE_DIMS))
+
+    n = len(frames)
+    take = min(n, FEATURE_FRAME_SAMPLE)
+    idx = [i * n // take for i in range(take)]
+    _w, _h, dec = y4m_frames(raw, idx)
+    a = np.frombuffer(b"".join(dec), dtype=np.uint8).reshape(-1, 3)
+    a = a.astype(float)
+    for c in range(3):
+        assert got[c] == pytest.approx(a[:, c].mean() / 255.0)
+        assert got[3 + c] == pytest.approx(a[:, c].std() / 255.0)
+    lum = a.mean(axis=1)
+    hist = np.bincount((lum / 32).astype(int), minlength=8) / len(lum)
+    for b in range(8):
+        assert got[6 + b] == pytest.approx(hist[b])
+
+
+def test_media_features_pcm_tier_matches_numpy(spark):
+    """The descriptor on REAL RIFF/PCM audio: windowed RMS /
+    zero-crossing slots must match numpy on the known sample values
+    (16-bit mono and 8-bit stereo both pinned — the stereo path
+    averages to mono before the stats)."""
+    from clinvar_pipeline_spark.functions.wav import wav_encode
+    from clinvar_pipeline_spark.operators.multimodal import (
+        FEATURE_DIMS,
+        FEATURE_PCM_WINDOWS,
+        extract_media_features,
+    )
+
+    s16 = [int(12000 * np.sin(i / 3.0)) for i in range(200)]
+    raw16 = wav_encode(s16, sample_rate=8000)
+    s8 = [((i * 37) % 200) - 100 for i in range(120)]  # stereo interleaved
+    raw8 = wav_encode(s8, sample_rate=8000, channels=2, bits=8)
+    df = spark.createDataFrame(
+        [(1, bytearray(raw16)), (2, bytearray(raw8))],
+        "id long, content binary",
+    )
+    out = extract_media_features(df).collect()
+    by = collections.defaultdict(dict)
+    for r in out:
+        by[r["id"]][r["dim"]] = r["value"]
+        assert r["feature_tier"] == "pcm"
+
+    def expect(x):
+        def rms(v):
+            return float(np.sqrt(np.mean(v * v))) if len(v) else 0.0
+
+        def zcr(v):
+            return float(np.mean((v[1:] >= 0) != (v[:-1] >= 0)))
+
+        wins = np.array_split(x, FEATURE_PCM_WINDOWS)
+        wrms = np.array([rms(v) for v in wins])
+        wzcr = np.array([zcr(v) for v in wins])
+        return [rms(x), zcr(x), float(np.abs(x).mean()), float(wrms.std()),
+                float(np.abs(x).max()), float(wzcr.std()), *wrms]
+
+    x16 = np.array(s16, dtype=float) / 32768.0
+    x8 = ((np.array(s8, dtype=float)).reshape(-1, 2)).mean(axis=1) / 128.0
+    for i, x in ((1, x16), (2, x8)):
+        want = expect(x)
+        assert set(by[i]) == set(range(FEATURE_DIMS))
+        for d in range(FEATURE_DIMS):
+            assert by[i][d] == pytest.approx(want[d]), (i, d)
+
+
+def test_media_features_ladder_dispatch_and_curation_contract(spark):
+    """Mixed-modality corpus through the FULL ladder: each payload
+    lands on its honest tier (image->pixel, y4m->frame, wav->pcm,
+    compressed/opaque->byte), and the centroid-outlier screen runs on
+    the resulting vectors per tier — flagging the planted outlier,
+    passing the consistent members — which is the 'curation screens
+    accept the new tiers' contract."""
+    from clinvar_pipeline_spark.functions.png import png_encode
+    from clinvar_pipeline_spark.functions.wav import wav_encode
+    from clinvar_pipeline_spark.functions.y4m import y4m_encode
+    from clinvar_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from pyspark.sql import functions as F
+
+    w, h = 4, 4
+    png = png_encode(w, h, 3, bytes((5 * i) % 256 for i in range(w * h * 3)))
+    y4m = y4m_encode(w, h, [bytes((3 * i) % 256 for i in range(w * h * 3))])
+    # three similar tones + one near-silent outlier, all PCM
+    tone = lambda amp, per: wav_encode(
+        [int(amp * np.sin(i / per)) for i in range(160)]
+    )
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(y4m)),
+        (3, bytearray(tone(9000, 3.0))),
+        (4, bytearray(tone(9500, 3.1))),
+        (5, bytearray(tone(8800, 2.9))),
+        (6, bytearray(tone(40, 23.0))),  # the planted outlier
+        (7, bytearray(b"\xff\xfbnot really audio or video")),
+    ]
+    feats = extract_media_features(
+        spark.createDataFrame(rows, "id long, content binary")
+    )
+    tiers = {
+        r["id"]: r["feature_tier"]
+        for r in feats.select("id", "feature_tier").distinct().collect()
+    }
+    assert tiers == {1: "pixel", 2: "frame", 3: "pcm", 4: "pcm",
+                     5: "pcm", 6: "pcm", 7: "byte"}
+
+    # centroid screen over the pcm tier: vectors from (id, dim, value)
+    vecs = (
+        feats.groupBy("id", "feature_tier")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "value"))),
+                lambda s: s["value"],
+            ).alias("v")
+        )
+        .filter(F.col("feature_tier") == "pcm")
+    )
+    ex = vecs.select("id", F.posexplode("v").alias("i", "x"))
+    cent = ex.groupBy("i").agg(F.avg("x").alias("m"))
+    carr = cent.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+    from clinvar_pipeline_spark.queries_curation import cosine_similarity
+
+    scored = {
+        r["id"]: r["sim"]
+        for r in vecs.crossJoin(F.broadcast(carr))
+        .select("id", cosine_similarity(F.col("v"), F.col("c")).alias("sim"))
+        .collect()
+    }
+    assert scored[6] == min(scored.values())  # outlier least aligned
+    for i in (3, 4, 5):
+        assert scored[i] > scored[6] + 0.05
