@@ -186,30 +186,14 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reach a step stay on the spine via the final left joins
     (the range_join_conversions zero-fill discipline)."""
     ev = _t(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts"))
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    chain = funnel_chain(ev)
     purch = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )
-    step2 = asof_join(
-        v,
-        clicks,
-        on="ts",
-        by=["user_id"],
-        direction="forward",
-        tolerance_us=CONVERSION_WINDOW_US,
-    )
     # chain only converted rows: a null click ts must not enter the
     # next asof's ordering (and the spine restores the non-converted)
-    step2c = step2.filter(F.col("ts_asof").isNotNull()).select(
-        "user_id",
-        F.col("ts").alias("view_ts"),
-        F.col("ts_asof").alias("ts"),
+    step2c = chain.filter(F.col("click_ts").isNotNull()).select(
+        "user_id", F.col("click_ts").alias("ts")
     )
     step3 = asof_join(
         step2c,
@@ -220,17 +204,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_us=CONVERSION_WINDOW_US,
     )
     return (
-        users.join(
-            v.select("user_id", F.col("ts").alias("view_ts")),
-            "user_id",
-            "left",
-        )
-        .join(
-            step2c.select("user_id", F.col("ts").alias("click_ts")),
-            "user_id",
-            "left",
-        )
-        .join(
+        chain.join(
             step3.select(
                 "user_id", F.col("ts_asof").alias("purchase_ts")
             ),
@@ -248,6 +222,41 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("funnel_stage"),
         )
+    )
+
+
+def funnel_chain(ev: DataFrame) -> DataFrame:
+    """The funnel's frozen view->click history: ONE row per user —
+    (user_id, view_ts, click_ts), click_ts null where the user never
+    clicked inside the step window. This is q_event_funnel's spine
+    through stage 2, factored out so the streamed purchase tier
+    (streaming/temporal.funnel_stream) serves against exactly the
+    frame the batch query chains from: each arriving purchase's
+    attribution is (chain equi-join + window filter), row-independent
+    given the frozen chain — the asof_stream argument verbatim."""
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    step2 = asof_join(
+        v,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        direction="forward",
+        tolerance_us=CONVERSION_WINDOW_US,
+    )
+    return users.join(
+        step2.select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("ts_asof").alias("click_ts"),
+        ),
+        "user_id",
+        "left",
     )
 
 

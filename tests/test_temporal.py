@@ -588,3 +588,55 @@ def test_asof_tiebreak_col_is_deterministic_across_partitionings(spark):
     # unknown tiebreak column raises
     with pytest.raises(ValueError, match="tiebreak_col"):
         asof_join(left, right, on="ts", by=["user_id"], tiebreak_col="nope")
+
+
+def test_funnel_stream_equals_batch_on_two_batch_drop(spark, tmp_path, sf_dir):
+    """Streamed funnel tier (r8): REAL sf0.001 purchases drained in
+    two micro-batches against the frozen view->click chain; the
+    min-merged snapshot must equal the batch q_event_funnel
+    row-for-row (compaction on, so the fold path is exercised too)."""
+    from clinvar_pipeline_spark.queries import _t, release_cached
+    from clinvar_pipeline_spark.queries_temporal import (
+        CONVERSION_WINDOW_US,
+        funnel_chain,
+        q_event_funnel,
+    )
+    from clinvar_pipeline_spark.streaming.temporal import (
+        funnel_snapshot,
+        funnel_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    chain = funnel_chain(ev)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    drop = tmp_path / "purchases"
+    purch.repartition(2).write.parquet(str(drop))  # 2 files -> 2 epochs
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out, ckpt = str(tmp_path / "funnel"), str(tmp_path / "ckpt_funnel")
+    q = funnel_stream(
+        stream, chain, out, ckpt,
+        window_us=CONVERSION_WINDOW_US, compact_every=1,
+    )
+    q.awaitTermination(120)
+
+    def rows(df):
+        return {
+            r["user_id"]: (
+                r["view_ts"], r["click_ts"], r["purchase_ts"],
+                r["funnel_stage"],
+            )
+            for r in df.collect()
+        }
+
+    got = rows(funnel_snapshot(spark, out, chain))
+    exp = rows(q_event_funnel(spark, sf_dir))
+    release_cached()
+    assert got == exp
+    assert any(v[3] == 3 for v in exp.values())  # a non-vacuous funnel
