@@ -81,6 +81,9 @@ BENCH_QUERIES_V2 = [
     "hard_negatives",
     "quality_classifier",
     "perplexity_bands_pct",
+    # r8: the full-ladder media feature rung (image/video/audio/byte
+    # tiers through one Arrow kernel) — the heaviest mapInPandas scan
+    "multimodal_media_features",
 ]
 
 
