@@ -177,28 +177,48 @@ def main() -> None:
     v2_timings, v2_warm, v2_passes = run_tier(BENCH_QUERIES_V2)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm_value": round(sum(warm.values()), 3),
-                "warm_queries": warm,
-                "passes": passes,
-                # v2 tier (r8): r5-r7 heavy machinery, same protocol,
-                # separate keys so the frozen headline "value" stays
-                # longitudinally comparable back to r3
-                "v2_value": round(sum(v2_timings.values()), 3),
-                "v2_queries": v2_timings,
-                "v2_warm_value": round(sum(v2_warm.values()), 3),
-                "v2_warm_queries": v2_warm,
-                "v2_passes": v2_passes,
-                "sf": sf,
-            }
-        )
-    )
+    # The harness that records this line keeps only the last ~2000
+    # characters of output (observed: BENCH_r06/r07 landed with
+    # parsed=None once warm_queries+passes pushed the line past 2 KB).
+    # stdout therefore carries a COMPACT line — headline totals, the
+    # frozen tier's per-query colds (2 dp), and the v2 totals — while
+    # the full per-pass arrays land in BENCH_DETAIL.json next to this
+    # script for the judge/regression tooling.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warm_value": round(sum(warm.values()), 3),
+        "warm_queries": warm,
+        "passes": passes,
+        # v2 tier (r8): r5-r8 heavy machinery, same protocol,
+        # separate keys so the frozen headline "value" stays
+        # longitudinally comparable back to r3
+        "v2_value": round(sum(v2_timings.values()), 3),
+        "v2_queries": v2_timings,
+        "v2_warm_value": round(sum(v2_warm.values()), 3),
+        "v2_warm_queries": v2_warm,
+        "v2_passes": v2_passes,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "warm_value": round(sum(warm.values()), 2),
+        "v2_value": round(sum(v2_timings.values()), 2),
+        "v2_warm_value": round(sum(v2_warm.values()), 2),
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, len(line)  # stay inside the 2 KB capture
+    print(line)
 
 
 if __name__ == "__main__":

@@ -2810,6 +2810,31 @@ def langid_model(tri: DataFrame) -> tuple[DataFrame, DataFrame]:
     return lw, lwu
 
 
+def _langid_model_rows(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, list]:
+    """The trained langid model as plain driver rows, memoized per
+    corpus dir (caching.memo — the quantizer discipline, r6): a
+    language model is CORPUS state, so one session serving langid +
+    langid_report + the bench's repeated passes trains once instead
+    of re-running the trigram groupBy + vocabulary-count job per
+    invocation. The collect is bounded by charset^3 x n_languages
+    (~1.9k rows on the testdata corpus) and survives release_cached
+    like the centroid memos; plain tuples, not Rows bound to a
+    session."""
+    from clinvar_pipeline_spark.caching import memo
+
+    def build() -> tuple[list, list]:
+        d = _spread(_t(spark, sf_dir, "documents"))
+        lw, lwu = langid_model(_lid_trigrams(d))
+        return (
+            [(r["cand"], r["t"], float(r["w"])) for r in lw.collect()],
+            [(r["cand"], float(r["wu"])) for r in lwu.collect()],
+        )
+
+    return memo(("langid_model", sf_dir), build)
+
+
 @register(
     "langid",
     f"""
@@ -2844,8 +2869,13 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-score ties broken by language code descending in both
     engines."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    tri = _persist(_lid_trigrams(d))  # trainer + scorer both read it
-    lw, lwu = langid_model(tri)
+    # model from the per-corpus memo (one training job per session,
+    # not per invocation); the trigram stream persists for the
+    # scorer's two reads (seen-partials + per-doc totals)
+    w_rows, wu_rows = _langid_model_rows(spark, sf_dir)
+    lw = spark.createDataFrame(w_rows, "cand string, t string, w double")
+    lwu = spark.createDataFrame(wu_rows, "cand string, wu double")
+    tri = _persist(_lid_trigrams(d))
     dt = tri.groupBy("doc_id", "lang", "t").agg(
         F.count(F.lit(1)).alias("cnt")
     )
