@@ -258,3 +258,48 @@ def test_asof_stream_compaction_row_union(spark, tmp_path):
     assert {k: v[0] for k, v in got.items()} == exp
     assert len({v[1] for v in got.values()}) == 3  # epoch ids preserved
     assert len(list_live_epochs(spark, out)) <= 2
+
+
+def test_compaction_randomized_model_equivalence(spark, tmp_path):
+    """Model-based sweep: a seeded random interleaving of land /
+    overwrite-land / compact / replay-consumed-epoch ops, checked
+    after every op against a pure-Python model of the visibility
+    rules (live dirs overwrite; consumed epochs are invisible no
+    matter what re-lands; folds preserve content). Catches rule
+    interactions the targeted crash-window tests don't enumerate."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        p = str(tmp_path / f"deltas_{seed}")
+        live: dict[int, list] = {}
+        base: list = []
+        consumed: set[int] = set()
+        next_epoch = 0
+        for step in range(24):
+            op = rng.choice(["land", "land", "land", "overwrite",
+                             "compact", "replay"])
+            if op == "land":
+                rows = [(f"s{seed}e{next_epoch}r{i}", rng.randrange(100))
+                        for i in range(rng.randrange(1, 4))]
+                _land(spark, p, next_epoch, rows)
+                live[next_epoch] = rows
+                next_epoch += 1
+            elif op == "overwrite" and live:
+                e = rng.choice(sorted(live))
+                rows = [(f"s{seed}e{e}ow{step}", rng.randrange(100))]
+                _land(spark, p, e, rows)
+                live[e] = rows
+            elif op == "compact" and live:
+                kl = rng.choice([1, 2])
+                compact(spark, p, keep_last=kl)
+                eligible = sorted(live)[:-kl]
+                for e in eligible:
+                    base += live.pop(e)
+                    consumed.add(e)
+            elif op == "replay" and consumed:
+                e = rng.choice(sorted(consumed))
+                _land(spark, p, e, [("poison", 999)])  # must stay invisible
+            want = sorted(base + [r for rows in live.values() for r in rows])
+            got = _rows(spark, p)
+            assert (got or []) == want, (seed, step, op)
