@@ -45,6 +45,13 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         negatives — one
         parquet dir per stage + counters; --jsonl ingests the corpus
         from JSONL with corrupt lines counted)
+    python -m clinvar_pipeline_spark --eventStream [--sf TABLE_DIR]
+        --out OUT
+        (temporal suite served as streaming ingest: arriving
+        purchases -> as-of attribution + conversion funnel against
+        frozen view/click history; OUT/_events_drop is the ingest
+        surface — append event files and rerun to drain only the
+        new ones)
 
 AUX_DIR holds orthologs / ont_terms / ont_synonyms / concept_omim /
 existing_annotations as ``<name>.parquet``; ONT_DIR holds
@@ -657,6 +664,96 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     ).write.mode("overwrite").parquet(f"{args.out}/run_counters")
 
 
+def cmd_event_stream(spark: SparkSession, args) -> None:
+    """--eventStream: the temporal suite served as a Structured
+    Streaming ingest (the --corpusPrep --stream counterpart for the
+    events table): purchases arrive on the stream and are attributed
+    against FROZEN view/click history —
+
+    - last-touch as-of attribution (streaming/temporal.asof_stream):
+      each arriving purchase joined as-of backward to the most recent
+      prior view, landed epoch-keyed under out/attribution (read via
+      asof_snapshot), compacted at a 16-epoch cadence;
+    - conversion funnel (funnel_stream): each arriving purchase
+      checked against the per-user view->click chain
+      (queries_temporal.funnel_chain), min-merged into the funnel
+      report at out/funnel (q_event_funnel's exact schema).
+
+    Run-scoped frozen state — the view log (_views) and the funnel
+    chain (_funnel_chain) — is landed at the FIRST run (the quality-
+    model artifact lifecycle), so incremental reruns on a growing
+    events drop attribute new purchases under exactly the history
+    already-landed verdicts saw; availableNow + checkpoints drain
+    only new files per rerun. Streamed outputs are pinned row-equal
+    to the batch asof_attribution / event_funnel registry queries on
+    a static drop (tests/test_cli.py)."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_temporal import (
+        CONVERSION_WINDOW_US,
+        funnel_chain,
+    )
+    from clinvar_pipeline_spark.streaming.corpus import _artifact_exists
+    from clinvar_pipeline_spark.streaming.temporal import (
+        asof_snapshot,
+        asof_stream,
+        funnel_snapshot,
+        funnel_stream,
+    )
+
+    src = args.sf or "/root/testdata/sf0.001"
+    ev = _t(spark, src, "events")
+
+    views_path = f"{args.out}/_views"
+    chain_path = f"{args.out}/_funnel_chain"
+    if not _artifact_exists(spark, views_path):
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_event_id")
+        ).write.mode("overwrite").parquet(views_path)
+    if not _artifact_exists(spark, chain_path):
+        funnel_chain(ev).write.mode("overwrite").parquet(chain_path)
+    views = spark.read.parquet(views_path)
+    chain = spark.read.parquet(chain_path)
+
+    # the stream's source is a DROP DIRECTORY (the file source
+    # requires one; it is also the real ingest surface — append event
+    # files there and rerun to drain only the new ones). --sf seeds
+    # it at first run with the normalized batch read, which also
+    # settles the NTZ->LTZ timestamp cast before the stream schema.
+    drop = f"{args.out}/_events_drop"
+    if not _artifact_exists(spark, drop):
+        ev.write.mode("overwrite").parquet(drop)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    ).parquet(drop)
+    purch = stream.filter(F.col("event_type") == "purchase")
+    queries = [
+        asof_stream(
+            purch.select("event_id", "user_id", "ts"),
+            views,
+            f"{args.out}/attribution",
+            f"{args.out}/_ckpt/attribution",
+            compact_every=16,
+        ),
+        funnel_stream(
+            purch.select("user_id", "ts"),
+            chain,
+            f"{args.out}/_funnel_epochs",
+            f"{args.out}/_ckpt/funnel",
+            window_us=CONVERSION_WINDOW_US,
+            compact_every=16,
+        ),
+    ]
+    for q in queries:
+        q.awaitTermination()
+    funnel = funnel_snapshot(spark, f"{args.out}/_funnel_epochs", chain)
+    funnel.write.mode("overwrite").parquet(f"{args.out}/funnel")
+    n_attr = asof_snapshot(spark, f"{args.out}/attribution").count()
+    n_funnel = spark.read.parquet(f"{args.out}/funnel").count()
+    print(f"attribution: {n_attr}")
+    print(f"funnel: {n_funnel}")
+
+
 def cmd_audit(spark: SparkSession, args) -> None:
     """--audit: the ops-facing counterpart of the reference's run-stat
     counter email — skew-cap drop counts plus a physical-plan smell
@@ -683,6 +780,7 @@ def main(argv: list[str] | None = None) -> None:
         "--qcDuplicateTerms",
         "--qcDuplicateTermsAndSynonyms",
         "--corpusPrep",
+        "--eventStream",
         "--audit",
     ):
         mode.add_argument(flag, action="store_true")
@@ -735,6 +833,8 @@ def main(argv: list[str] | None = None) -> None:
             cmd_corpus_prep_stream(spark, args)
         else:
             cmd_corpus_prep(spark, args)
+    elif args.eventStream:
+        cmd_event_stream(spark, args)
     elif args.audit:
         cmd_audit(spark, args)
 

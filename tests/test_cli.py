@@ -763,3 +763,58 @@ def test_cli_corpus_prep_stream_model_frozen_across_reruns(spark, tmp_path):
     }
     for i in (14, 3):
         assert tuple(got[i]) == tuple(want[i])
+
+
+def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
+    """--eventStream: the streamed attribution and funnel outputs on
+    a static drop must equal the batch registry queries row-for-row,
+    and a rerun against the unchanged drop must leave outputs
+    unchanged (frozen-history artifacts + checkpoints: nothing new
+    to drain, no retrain)."""
+    from clinvar_pipeline_spark.queries_temporal import (
+        q_asof_attribution,
+        q_event_funnel,
+    )
+    from clinvar_pipeline_spark.streaming.temporal import asof_snapshot
+
+    sf = "/root/testdata/sf0.001"
+    out = tmp_path / "estream"
+    main(["--eventStream", "--sf", sf, "--out", str(out)])
+
+    def attr_rows():
+        return {
+            r["event_id"]: (r["view_event_id"], r["ts_asof"])
+            for r in asof_snapshot(spark, str(out / "attribution")).collect()
+        }
+
+    def funnel_rows():
+        df = spark.read.parquet(str(out / "funnel"))
+        return {
+            r["user_id"]: (
+                r["view_ts"], r["click_ts"], r["purchase_ts"],
+                r["funnel_stage"],
+            )
+            for r in df.collect()
+        }
+
+    got_attr, got_funnel = attr_rows(), funnel_rows()
+    exp_attr = {
+        r["event_id"]: (r["view_event_id"], r["ts_asof"])
+        for r in q_asof_attribution(spark, sf).collect()
+    }
+    exp_funnel = {
+        r["user_id"]: (
+            r["view_ts"], r["click_ts"], r["purchase_ts"],
+            r["funnel_stage"],
+        )
+        for r in q_event_funnel(spark, sf).collect()
+    }
+    assert got_attr == exp_attr
+    assert got_funnel == exp_funnel
+    assert any(v[3] == 3 for v in got_funnel.values())
+
+    # rerun: availableNow drains nothing new; frozen artifacts keep
+    # the history identical — outputs must not move
+    main(["--eventStream", "--sf", sf, "--out", str(out)])
+    assert attr_rows() == exp_attr
+    assert funnel_rows() == exp_funnel
