@@ -23,13 +23,14 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 35 landed stages: 34 registry
+        (LLM corpus-prep chain — 36 landed stages: 35 registry
         queries + the raw-text PII scrub, plus SemDeDup, the
         embedding-curation screens, and the IVF/PQ index artifacts
         when embeddings exist: language ID +
         its held-out confusion report, profile,
         repetition gates,
-        lm_quality, quality-classifier scores, perplexity bands
+        lm_quality, multimodal media features, quality-classifier
+        scores, perplexity bands
         (z-score + percentile-true), DSIR importance weights +
         selection, TF-IDF keywords,
         near-dup pairs + applies, dedup clusters, passage dedup,
@@ -243,6 +244,10 @@ CORPUS_PREP_STAGES = [
     "langid",
     "langid_report",
     "text_profile",
+    # r8: full-ladder multimodal feature descriptor (pixel/frame/pcm/
+    # byte tiers) — the curation screens' feature source for payloads
+    # that aren't text
+    "multimodal_media_features",
     "repetition_gates",
     "lm_quality",
     # late r6: the model-based quality filter (in-engine-trained linear
@@ -432,7 +437,8 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
 def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     """--corpusPrep --stream: the streaming-servable corpus-prep
     stages (PII scrub, repetition gates, model quality scoring,
-    language ID, benchmark decontamination — map-only/append-safe
+    language ID, full-ladder multimodal feature extraction,
+    benchmark decontamination — map-only/append-safe
     writeStreams — plus the incremental near-dup flagger, a
     foreachBatch stream-static join against the frozen corpus shingle
     index, the running HLL distinct-token sketch, a foreachBatch
@@ -495,6 +501,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         load_dsir_model,
         load_langid_model,
         load_quality_model,
+        media_features_stream,
         neardup_snapshot,
         neardup_stream,
         save_dsir_model,
@@ -588,6 +595,10 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         stage("quality_classifier", quality_stream(docs, qw, qwu)),
         stage("langid", langid_stream(docs, lm, lwu)),
         stage("dsir_weights", dsir_stream(docs, dw, dwu)),
+        # multimodal ingest: the full-ladder feature kernel is
+        # map-only, so it streams as-is (per-arrival 14-row fan-out,
+        # byte-identical to the batch multimodal_media_features)
+        stage("media_features", media_features_stream(docs)),
         stage(
             "decontaminate",
             decontaminate_stream(
@@ -645,6 +656,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "repetition_gates",
         "quality_classifier",
         "langid",
+        "media_features",
         "decontaminate",
         "neardup_flags",
         "hll_distinct",

@@ -107,6 +107,23 @@ def gates_stream(docs: DataFrame) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text")
 
 
+def media_features_stream(docs: DataFrame) -> DataFrame:
+    """Full-ladder multimodal feature extraction on a (possibly
+    streaming) frame — the multimodal-ingest-at-scale pattern: the
+    map-only Arrow kernel (operators/multimodal.extract_media_features,
+    fixed 14-row fan-out per payload, pixel/frame/pcm/byte tiers)
+    runs per micro-batch with no state, so the streamed rows are
+    byte-identical to the batch query's on the same documents
+    (pinned by tests/test_streaming_corpus.py). Map-only →
+    append-mode safe (the scrub_stream discipline)."""
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        extract_media_features,
+    )
+
+    return extract_media_features(attach_binary(docs, "doc_id", "text"))
+
+
 def eval_shingle_hashes(eval_docs: DataFrame, k: int = 3) -> set:
     """Build the benchmark's k-gram hash set driver-side (bounded:
     benchmark sets are eval-sized by definition — the same broadcast

@@ -504,6 +504,7 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "repetition_gates",
         "quality_classifier",
         "langid",
+        "media_features",
         "decontaminate",
         "neardup_flags",
         "hll_distinct",

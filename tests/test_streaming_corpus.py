@@ -422,3 +422,67 @@ def test_cm_stream_snapshot_equals_batch_and_replay_safe(spark, tmp_path):
     b1 = spark.createDataFrame(rows1, DOCUMENT_SCHEMA)
     cm_delta_batch(b1, 0, str(tmp_path / "_cm_deltas"))
     assert cells(cm_snapshot(spark, str(tmp_path / "_cm_deltas"))) == batch
+
+
+def test_media_features_stream_equals_batch(spark, tmp_path):
+    """Streamed full-ladder feature extraction (map-only, r8): rows
+    drained over two micro-batches must be byte-identical to the
+    batch kernel on the union — including a real decodable payload
+    so a media tier (not just byte) rides the stream."""
+    from clinvar_pipeline_spark.functions.wav import wav_encode
+    from clinvar_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        extract_media_features,
+    )
+    from clinvar_pipeline_spark.streaming.corpus import (
+        DOCUMENT_SCHEMA,
+        media_features_stream,
+    )
+
+    # the text column roundtrips through UTF-8, so the payload must be
+    # ASCII-safe byte-for-byte: 8-bit PCM with samples in [-128, -1]
+    # stores bytes 0..127, and this stream's RIFF/fmt/data size fields
+    # are all < 0x80 too — a REAL decodable WAV that survives encode()
+    wav_bytes = wav_encode(
+        [-(i % 80) - 1 for i in range(80)], bits=8
+    )  # 80 samples keeps the RIFF size field itself < 0x80
+    assert max(wav_bytes) < 0x80
+    wav_text = wav_bytes.decode("ascii")
+    rows1 = [(1, "plain text document one", "en", "s", 23),
+             (2, wav_text, "en", "s", len(wav_text))]
+    rows2 = [(3, "another plain document", "en", "s", 22)]
+    drop = tmp_path / "docs"
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, DOCUMENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+
+    docs = spark.readStream.schema(DOCUMENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(drop))
+    q = (
+        media_features_stream(docs)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "feats"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted(
+            (r["id"], r["dim"], r["value"], r["feature_tier"])
+            for r in df.collect()
+        )
+
+    got = rows(spark.read.parquet(str(tmp_path / "feats")))
+    batch = rows(
+        extract_media_features(
+            attach_binary(spark.read.parquet(str(drop)), "doc_id", "text")
+        )
+    )
+    assert got == batch
+    tiers = {t for (_, _, _, t) in got}
+    assert tiers == {"byte", "pcm"}  # a real decode tier streamed
