@@ -581,6 +581,165 @@ def resize_images(
     return binaries.mapInPandas(kernel, RESIZE_SCHEMA)
 
 
+VIDEO_RESIZE_SCHEMA = (
+    "id long, out_width int, out_height int, n_frames int,"
+    " resized binary, decode_tier string"
+)
+
+
+def resize_video(
+    binaries: DataFrame, out_width: int = 32, out_height: int = 32
+) -> DataFrame:
+    """(id, content) -> (id, out_width, out_height, n_frames,
+    resized): the video-resize rung (thumbnails / training-res
+    normalization), completing decode -> features -> RESIZE ->
+    frame-sample for the video modality. Y4M payloads are REALLY
+    resized — every frame decodes to RGB (functions/y4m.py),
+    nearest-neighbor resamples (the image rung's resize_nearest
+    math), and the stream re-encodes as a spec-conformant Y4M at the
+    target dimensions with the ORIGINAL fps (4:4:4 output, so the
+    resize is the only loss beyond the YUV roundtrip) — ``resized``
+    is itself a decodable Y4M. Anything else falls to the
+    DETERMINISTIC FAKE tier: exactly out_w*out_h bytes tiled from
+    the source, n_frames 0 (the resize_images contract).
+
+    Scale: mapInPandas, 1:1 rows, output bounded by
+    frames x out_w x out_h x 3 regardless of input resolution — the
+    shrink happens inside the task."""
+    from clinvar_pipeline_spark.functions import png as _png
+    from clinvar_pipeline_spark.functions import y4m as _y4m
+
+    target = out_width * out_height
+
+    def one(raw: bytes) -> tuple[int, bytes, str]:
+        raw = bytes(raw or b"\0")
+        if raw.startswith(_y4m.Y4M_MAGIC):
+            try:
+                w, h, fn, fd, _chroma, n = _y4m.y4m_info(raw)
+                _w, _h, frames = _y4m.y4m_frames(raw)
+                rs = [
+                    _png.resize_nearest(
+                        w, h, 3, fr, out_width, out_height
+                    )
+                    for fr in frames
+                ]
+                return (
+                    n,
+                    _y4m.y4m_encode(
+                        out_width, out_height, rs, fps=(fn, fd),
+                        chroma="444",
+                    ),
+                    TIER_PURE,
+                )
+            except ValueError:
+                pass  # malformed stream -> fake tier, never a crash
+        return (
+            0,
+            (raw * (target // max(len(raw), 1) + 1))[:target],
+            TIER_FAKE,
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            done = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "n_frames": done.map(lambda d: d[0]),
+                    "resized": done.map(lambda d: d[1]),
+                    "decode_tier": done.map(lambda d: d[2]),
+                }
+            )
+
+    return binaries.mapInPandas(kernel, VIDEO_RESIZE_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "id long, out_rate int, n_samples int, resampled binary,"
+    " decode_tier string"
+)
+
+
+def resample_audio(binaries: DataFrame, out_rate: int = 16000) -> DataFrame:
+    """(id, content) -> (id, out_rate, n_samples, resampled): the
+    audio rate-normalization rung (the resize analogue for the audio
+    modality — every trainer wants one sample rate). RIFF/PCM WAV
+    payloads are REALLY resampled: nearest-sample pick at exact
+    integer indices (out sample i reads input sample
+    i * in_rate // out_rate — deterministic, engine-portable, no
+    float phase), preserving channels and bit width, re-encoded as a
+    decodable WAV at ``out_rate``; duration is preserved up to one
+    sample (n_out = n_in * out_rate // in_rate). Non-PCM payloads
+    fall to the DETERMINISTIC FAKE tier: 1024 bytes tiled from the
+    source, n_samples 0.
+
+    Nearest-pick (not windowed-sinc) is the honest tier here for the
+    same reason the image rung is nearest-neighbor: real resample
+    math with zero hidden dependencies; a proper low-pass resampler
+    would slot in as a higher tier.
+
+    Scale: mapInPandas, 1:1 rows, output bounded by
+    duration x out_rate x frame bytes."""
+    import struct as _struct
+
+    from clinvar_pipeline_spark.functions import wav as _wav
+
+    def one(raw: bytes) -> tuple[int, bytes, str]:
+        raw = bytes(raw or b"\0")
+        if raw.startswith(_wav.WAV_MAGIC):
+            try:
+                info = _wav.wav_info(raw)
+                in_rate = info["sample_rate"]
+                n_in = info["n_samples"]
+                frame = info["channels"] * info["bits"] // 8
+                n_out = n_in * out_rate // in_rate
+                data = raw[
+                    info["data_off"]: info["data_off"] + n_in * frame
+                ]
+                picks = b"".join(
+                    data[
+                        (i * in_rate // out_rate) * frame:
+                        (i * in_rate // out_rate) * frame + frame
+                    ]
+                    for i in range(n_out)
+                )
+                fmt = _struct.pack(
+                    "<HHIIHH", 1, info["channels"], out_rate,
+                    out_rate * frame, frame, info["bits"],
+                )
+                chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                chunks += b"data" + _struct.pack("<I", len(picks)) + picks
+                if len(picks) & 1:
+                    chunks += b"\x00"
+                out = (
+                    b"RIFF"
+                    + _struct.pack("<I", 4 + len(chunks))
+                    + b"WAVE"
+                    + chunks
+                )
+                return n_out, out, TIER_PURE
+            except ValueError:
+                pass  # malformed/non-PCM -> fake tier, never a crash
+        return 0, (raw * (1024 // max(len(raw), 1) + 1))[:1024], TIER_FAKE
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            done = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "out_rate": out_rate,
+                    "n_samples": done.map(lambda d: d[0]),
+                    "resampled": done.map(lambda d: d[1]),
+                    "decode_tier": done.map(lambda d: d[2]),
+                }
+            )
+
+    return binaries.mapInPandas(kernel, AUDIO_RESAMPLE_SCHEMA)
+
+
 FEATURE_SCHEMA = "id long, dim int, value double, feature_tier string"
 FEATURE_DIMS = 14  # [mean x3, std x3, 8-bin histogram]
 FEATURE_BINS = 8
