@@ -169,9 +169,21 @@ def compact(
     live = list_live_epochs(spark, path)
     leftovers = [e for e in live if e in consumed]
     eligible = [e for e in live if e not in consumed][:-keep_last]
+
+    def sweep_stale_bases(keep_gen: Optional[int]) -> None:
+        # every base dir other than the current committed generation
+        # is stale — a superseded gen whose delete was interrupted, or
+        # an uncommitted try. Readers already ignore them; this keeps
+        # an interrupted run from leaking dirs forever.
+        for n in _ls_names(spark, path):
+            m = _BASE_RE.match(n)
+            if m and int(m.group(1)) != keep_gen:
+                _delete(spark, f"{path}/{n}")
+
     if not eligible:
         for e in leftovers:  # sweep a prior interrupted delete
             _delete(spark, f"{path}/epoch={e}")
+        sweep_stale_bases(gen)
         return 0
 
     frames = []
@@ -200,6 +212,5 @@ def compact(
     )
     for e in eligible + leftovers:
         _delete(spark, f"{path}/epoch={e}")
-    if gen is not None:
-        _delete(spark, f"{path}/_base-{gen}")
+    sweep_stale_bases(new_gen)
     return len(eligible)

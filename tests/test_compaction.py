@@ -303,3 +303,37 @@ def test_compaction_randomized_model_equivalence(spark, tmp_path):
             want = sorted(base + [r for rows in live.values() for r in rows])
             got = _rows(spark, p)
             assert (got or []) == want, (seed, step, op)
+
+
+def test_stale_base_generations_are_swept(spark, tmp_path):
+    """Crash window 3: deletes interrupted right after the new
+    manifest committed can leave SUPERSEDED generations (and
+    uncommitted tries) on disk. Readers already ignore them; the next
+    compact — including a no-op one — must sweep every base dir but
+    the current committed generation, with the snapshot unchanged."""
+    p = str(tmp_path / "deltas")
+    for e in range(4):
+        _land(spark, p, e, [(f"k{e}", e)])
+    assert compact(spark, p, keep_last=1) == 3
+    before = _rows(spark, p)
+
+    # simulate the interrupted run: resurrect a stale committed gen 0
+    # below the current (gen 1) plus an uncommitted try above it
+    spark.createDataFrame([("stale", 1)], "k string, v long").write.parquet(
+        f"{p}/_base-0/data"
+    )
+    spark.createDataFrame([(0,)], "e long").write.parquet(
+        f"{p}/_base-0/consumed"
+    )
+    spark.createDataFrame([("try", 2)], "k string, v long").write.parquet(
+        f"{p}/_base-9/data"
+    )
+    assert _rows(spark, p) == before  # max committed gen still wins
+
+    assert compact(spark, p, keep_last=1) == 0  # no-op fold, full sweep
+    names = sorted(
+        d.name for d in (tmp_path / "deltas").iterdir()
+        if d.name.startswith("_base")
+    )
+    assert names == ["_base-1"]
+    assert _rows(spark, p) == before
