@@ -815,6 +815,28 @@ def _video_feature_slots(raw: bytes) -> list | None:
     return _rgb_feature_slots(b"".join(frames), 3)
 
 
+def _gif_frame_slots(raw: bytes) -> list | None:
+    """Animated-GIF branch of the 'frame' tier: the visual slots
+    pooled over up to FEATURE_FRAME_SAMPLE evenly-strided composited
+    canvas states (gif_frames — transparency/disposal applied, what a
+    viewer displays; the sample_frames discipline). None for non-GIF
+    bytes, malformed streams, or SINGLE-frame GIFs — those fall
+    through to the pixel tier like any still image."""
+    from clinvar_pipeline_spark.functions import gif as _gif
+
+    if raw[:6] not in _gif.GIF_MAGICS:
+        return None
+    try:
+        w, h, states = _gif.gif_frames(raw)
+    except ValueError:
+        return None
+    if len(states) <= 1:
+        return None  # still image: the pixel tier's job
+    take = min(len(states), FEATURE_FRAME_SAMPLE)
+    picks = [i * len(states) // take for i in range(take)]
+    return _rgb_feature_slots(b"".join(states[p] for p in picks), 3)
+
+
 def _pcm_samples(raw: bytes):
     """Decoded mono float64 samples in [-1, 1] from a RIFF/PCM
     payload, or None if not decodable WAV. Multi-channel averages to
@@ -977,6 +999,9 @@ def extract_media_features(binaries: DataFrame) -> DataFrame:
 
     def features_of(raw: bytes) -> tuple[list, str]:
         raw = bytes(raw or b"\0")
+        gf = _gif_frame_slots(raw)  # animated GIF: temporal, not still
+        if gf is not None:
+            return gf, "frame"
         px = _decode_pixels(raw)
         if px is not None:
             _w, _h, ch, data = px

@@ -560,3 +560,47 @@ def test_knn_label_noise_via_ivfpq_serve_path_agreement(spark, sf_dir, emb):
     agree = [int(voted[a] == exact[a]["flagged"]) for a in exact]
     rate = sum(agree) / len(agree)
     assert rate >= 0.80, f"flag agreement {rate:.2f} over {len(agree)} anchors"
+
+
+def test_media_features_animated_gif_frame_tier(spark):
+    """Animated GIFs are temporal: the descriptor pools the visual
+    slots over strided composited canvas states (numpy-pinned on the
+    states gif_frames itself composites), while a single-frame GIF
+    stays on the pixel tier like any still image."""
+    from clinvar_pipeline_spark.functions.gif import gif_encode, gif_frames
+    from clinvar_pipeline_spark.operators.multimodal import (
+        FEATURE_DIMS,
+        FEATURE_FRAME_SAMPLE,
+        extract_media_features,
+    )
+
+    w, h = 5, 4
+    frames = [
+        bytes(((17 * i + 41 * f) % 256) for i in range(w * h))
+        for f in range(6)  # index frames; grayscale identity palette
+    ]
+    anim = gif_encode(w, h, frames)
+    still = gif_encode(w, h, frames[:1])
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(still))],
+        "id long, content binary",
+    )
+    out = extract_media_features(df).collect()
+    tiers = {r["id"]: r["feature_tier"] for r in out}
+    assert tiers == {1: "frame", 2: "pixel"}
+
+    got = {r["dim"]: r["value"] for r in out if r["id"] == 1}
+    assert set(got) == set(range(FEATURE_DIMS))
+    _w, _h, states = gif_frames(anim)
+    take = min(len(states), FEATURE_FRAME_SAMPLE)
+    picks = [i * len(states) // take for i in range(take)]
+    a = np.frombuffer(
+        b"".join(states[p] for p in picks), dtype=np.uint8
+    ).reshape(-1, 3).astype(float)
+    for c in range(3):
+        assert got[c] == pytest.approx(a[:, c].mean() / 255.0)
+        assert got[3 + c] == pytest.approx(a[:, c].std() / 255.0)
+    lum = a.mean(axis=1)
+    hist = np.bincount((lum / 32).astype(int), minlength=8) / len(lum)
+    for b in range(8):
+        assert got[6 + b] == pytest.approx(hist[b])
