@@ -45,7 +45,9 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         SemDeDup, centroid outliers, k-NN label noise, hard
         negatives — one
         parquet dir per stage + counters; --jsonl ingests the corpus
-        from JSONL with corrupt lines counted)
+        from JSONL with corrupt lines counted; --warc ingests from
+        WARC archives — the Common Crawl format — with skipped
+        record types and corrupt tails counted)
     python -m clinvar_pipeline_spark --eventStream [--sf TABLE_DIR]
         --out OUT
         (temporal suite served as streaming ingest: arriving
@@ -346,6 +348,26 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
         good, ingest = read_documents_jsonl(spark, args.jsonl)
         staged = f"{args.out}/_staged"
         good.write.mode("overwrite").parquet(
+            f"{staged}/documents.parquet"
+        )
+        ingest.write.mode("overwrite").parquet(
+            f"{args.out}/ingest_counters"
+        )
+        for r in ingest.collect():
+            print(f"{r['counter']}: {r['value']}")
+        sf = staged
+    elif args.warc:
+        # WARC archives in (the Common Crawl front door): one task
+        # per archive, kept records bridged to the documents shape
+        # with deterministic hash doc_ids; skipped/corrupt counted
+        from clinvar_pipeline_spark.sources.warc import (
+            read_warc,
+            warc_documents,
+        )
+
+        records, ingest = read_warc(spark, args.warc)
+        staged = f"{args.out}/_staged"
+        warc_documents(records).write.mode("overwrite").parquet(
             f"{staged}/documents.parquet"
         )
         ingest.write.mode("overwrite").parquet(
@@ -808,6 +830,11 @@ def main(argv: list[str] | None = None) -> None:
         "--jsonl",
         help="--corpusPrep: ingest documents from this JSONL file/dir"
         " instead of <sf>/documents.parquet",
+    )
+    p.add_argument(
+        "--warc",
+        help="--corpusPrep: ingest documents from WARC archives"
+        " (.warc / .warc.gz dir) instead of <sf>/documents.parquet",
     )
     p.add_argument(
         "--sf",

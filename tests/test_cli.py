@@ -819,3 +819,61 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
     main(["--eventStream", "--sf", sf, "--out", str(out)])
     assert attr_rows() == exp_attr
     assert funnel_rows() == exp_funnel
+
+
+def test_cli_corpus_prep_warc_ingest(spark, tmp_path):
+    """--warc: the Common Crawl front door — WARC archives stage to
+    the documents shape (deterministic hash doc_ids, skipped record
+    types + corrupt tails counted) and the full chain runs on them."""
+    from clinvar_pipeline_spark.sources.warc import warc_encode
+
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    (wdir / "a.warc.gz").write_bytes(
+        warc_encode(
+            [
+                {"type": "warcinfo", "record_id": "<urn:uuid:i>",
+                 "body": b"software: t\r\n"},
+                {"type": "response", "record_id": "<urn:uuid:r1>",
+                 "url": "http://x.example/1",
+                 "date": "2024-01-01T00:00:00Z",
+                 "http": (200, "text/plain",
+                          b"alpha beta gamma delta epsilon")},
+                {"type": "response", "record_id": "<urn:uuid:r2>",
+                 "url": "http://x.example/2",
+                 "date": "2024-01-01T00:01:00Z",
+                 "http": (200, "text/plain",
+                          b"zeta eta theta iota kappa")},
+            ]
+        )
+    )
+    main(
+        [
+            "--corpusPrep",
+            "--warc", str(wdir),
+            "--sf", str(tmp_path),
+            "--out", str(tmp_path / "prep"),
+        ]
+    )
+    ingest = {
+        r["counter"]: r["value"]
+        for r in spark.read.parquet(
+            str(tmp_path / "prep" / "ingest_counters")
+        ).collect()
+    }
+    assert ingest == {
+        "RECORDS_KEPT": 2, "RECORDS_SKIPPED": 1, "ARCHIVES_BAD_TAIL": 0,
+    }
+    docs = spark.read.parquet(
+        str(tmp_path / "prep" / "_staged" / "documents.parquet")
+    ).collect()
+    assert len(docs) == 2 and len({r["doc_id"] for r in docs}) == 2
+    assert {r["text"] for r in docs} == {
+        "alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+    }
+    profile = spark.read.parquet(str(tmp_path / "prep" / "text_profile"))
+    assert profile.count() == 2

@@ -1,0 +1,129 @@
+"""WARC source (sources/warc.py): record walk, HTTP split, gzip
+multi-member handling, drop counters, and the documents bridge —
+pinned on fixture archives written by the module's own encoder plus
+hand-corrupted variants (the encoder is the parser's inverse for
+well-formed input, so corruption tests are the real coverage)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from clinvar_pipeline_spark.sources.warc import (
+    http_body,
+    read_warc,
+    warc_documents,
+    warc_encode,
+    warc_split_records,
+)
+
+
+def _fixture() -> bytes:
+    return warc_encode(
+        [
+            {
+                "type": "warcinfo",
+                "record_id": "<urn:uuid:info>",
+                "body": b"software: test\r\n",
+            },
+            {
+                "type": "request",
+                "record_id": "<urn:uuid:req>",
+                "url": "http://a.example/x",
+                "body": b"GET /x HTTP/1.1\r\n\r\n",
+            },
+            {
+                "type": "response",
+                "record_id": "<urn:uuid:r1>",
+                "url": "http://a.example/x",
+                "date": "2024-01-01T00:00:00Z",
+                "http": (200, "text/html; charset=utf-8",
+                         "les cafés <b>du</b> port".encode()),
+            },
+            {
+                "type": "response",
+                "record_id": "<urn:uuid:r2>",
+                "url": "http://b.example/y",
+                "date": "2024-01-02T00:00:00Z",
+                "http": (404, "text/plain", b"gone"),
+            },
+            {
+                "type": "conversion",
+                "record_id": "<urn:uuid:c1>",
+                "url": "http://a.example/x",
+                "body": "les cafés du port".encode(),
+            },
+        ]
+    )
+
+
+def test_record_walk_and_http_split_pure():
+    recs = list(warc_split_records(_fixture()))
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "request", "response", "response", "conversion",
+    ]
+    status, ctype, body = http_body(recs[2][1])
+    assert (status, ctype) == (200, "text/html; charset=utf-8")
+    assert body.decode() == "les cafés <b>du</b> port"
+    # conversion block has no HTTP envelope: the block IS the body
+    status, _, body = http_body(recs[4][1])
+    assert status == 0 and body.decode() == "les cafés du port"
+    # plain (non-gzip) streams parse identically
+    plain = gzip.decompress(_fixture())
+    assert len(list(warc_split_records(plain))) == 5
+
+
+def test_truncated_and_corrupt_records_raise():
+    plain = gzip.decompress(_fixture())
+    with pytest.raises(ValueError, match="truncated"):
+        list(warc_split_records(plain[: len(plain) - 10]))
+    with pytest.raises(ValueError, match="unterminated"):
+        list(warc_split_records(plain[: len(plain) - 40]))
+    with pytest.raises(ValueError, match="version line"):
+        list(warc_split_records(b"NOT A WARC"))
+    bad = plain.replace(b"Content-Length", b"Content-Lengt0", 1)
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(warc_split_records(bad))
+
+
+def test_read_warc_rows_counters_and_documents(spark, tmp_path):
+    good = _fixture()
+    # corrupt SECOND archive: good first record, garbage tail
+    plain = gzip.decompress(good)
+    first_end = plain.find(b"\r\n\r\nWARC/1.0")
+    cut = gzip.compress(plain[: first_end + 4] + b"WARC/garbage")
+    (tmp_path / "a.warc.gz").write_bytes(good)
+    (tmp_path / "b.warc.gz").write_bytes(cut)
+
+    records, counters = read_warc(spark, str(tmp_path))
+    rows = {r["record_id"]: r for r in records.collect()}
+    c = {r["counter"]: r["value"] for r in counters.collect()}
+    from clinvar_pipeline_spark.caching import release_cached
+
+    # archive a: 2 responses + 1 conversion kept, warcinfo+request skip
+    assert set(rows) == {"<urn:uuid:r1>", "<urn:uuid:r2>", "<urn:uuid:c1>"}
+    r1 = rows["<urn:uuid:r1>"]
+    assert r1["url"] == "http://a.example/x"
+    assert r1["http_status"] == 200
+    assert r1["content_type"].startswith("text/html")
+    assert r1["text"] == "les cafés <b>du</b> port"
+    assert rows["<urn:uuid:r2>"]["http_status"] == 404
+    assert rows["<urn:uuid:c1>"]["http_status"] == 0
+    # archive b's good-then-garbage tail: nothing kept (its first
+    # record is warcinfo), one bad tail counted
+    assert c == {
+        "RECORDS_KEPT": 3, "RECORDS_SKIPPED": 3, "ARCHIVES_BAD_TAIL": 1,
+    }
+
+    docs = warc_documents(records)
+    drows = docs.collect()
+    assert {r["source"].rsplit("/", 1)[-1] for r in drows} == {"a.warc.gz"}
+    assert len({r["doc_id"] for r in drows}) == 3  # stable distinct ids
+    assert all(r["lang"] is None for r in drows)
+    assert {r["n_chars"] for r in drows} >= {4}
+    # deterministic ids across a second read (rerun stability)
+    records2, _ = read_warc(spark, str(tmp_path))
+    ids2 = {r["doc_id"] for r in warc_documents(records2).collect()}
+    assert ids2 == {r["doc_id"] for r in drows}
+    release_cached()
