@@ -1,0 +1,329 @@
+"""Time-series resampling suite (round 8): the per-key regular-grid
+operators every hypertable/tick store ships natively — gap-fill with
+LOCF + linear interpolation, rolling time-range aggregates, and OHLC
+bucket resampling — plus the Markov transition matrix over per-user
+event sequences. All four are pure DataFrame compositions (bucketed
+aggregates, `sequence` spines, RANGE-frame windows, `min_by`/`max_by`
+ordered picks) attested against DuckDB's own interval-RANGE frames,
+ordered aggregates and `generate_series`.
+
+These extend the temporal-join family (queries_temporal.py /
+operators/temporal.py): the as-of join answers "most recent value at
+an irregular probe time"; gap-fill and rolling frames answer the
+regular-grid variants of the same question. Reference scope: the
+reference engine (single-JVM Java, ClinVar ETL) has no time-series
+surface — this suite is part of the first-class extension tier the
+events table exists for (TESTDATA.md), like the session/tumbling/
+sliding windows in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.queries import DEC4, _t, register
+
+HOUR_US = 3_600_000_000
+
+
+def qround(col, scale: int):
+    """Engine-identical quantizer: ``floor(x·10^s + 0.5) / 10^s``.
+
+    ``ROUND()`` is NOT portable on true quotients: Spark rounds the
+    exact decimal expansion of the binary double (BigDecimal HALF_UP)
+    while DuckDB rounds the scaled product (``std::round(x·10^s)``) —
+    on values that land exactly on a rounding tie the two disagree.
+    Interpolated/averaged values here are rationals quantized at 10^-4
+    whose gap-ratios (1/2, 1/4 …) hit ties constantly (observed at
+    sf0.01: gap_fill diverged in the 4th decimal on 2-hour gaps).
+    Spelling the quantizer as the same floor/multiply/add IEEE
+    sequence in BOTH engines makes the result bit-identical by
+    construction — ties included. The SQL twins spell it textually:
+    ``floor(x * 10000 + 0.5) / 10000``. Only needed for genuine
+    quotients; exact DECIMAL casts keep the no-op ROUND discipline
+    (queries.py DEC note)."""
+    p = float(10 ** scale)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+@register(
+    "gap_fill",
+    """
+    WITH b AS (
+        SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+               count(*) AS n,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*) * 10000 + 0.5) / 10000 AS v
+        FROM events GROUP BY 1, 2),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT user_id, min(h) AS hmin, max(h) AS hmax
+              FROM b GROUP BY 1)),
+    j AS (
+        SELECT s.user_id, s.h, b.v,
+               CASE WHEN b.n IS NULL THEN 0 ELSE 1 END AS observed
+        FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.h = b.h),
+    f AS (
+        SELECT user_id, h, observed, v,
+            last_value(v IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS locf,
+            last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS ph,
+            first_value(v IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS nh
+        FROM j)
+    SELECT user_id, h, observed, locf,
+        floor(CASE WHEN observed = 1 THEN v
+                   WHEN nv IS NULL THEN locf
+                   ELSE locf + (nv - locf)
+                        * ((epoch_us(h) - epoch_us(ph)) * 1.0
+                           / (epoch_us(nh) - epoch_us(ph))) END
+              * 10000 + 0.5) / 10000 AS v_interp
+    FROM f
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill onto a regular per-user hourly grid: bucket each
+    user's events into hours, emit one row per hour from the user's
+    first to last observed bucket, and fill the silent hours two ways
+    — LOCF (last observation carried forward, the hypertable
+    ``locf()``) and linear interpolation between the surrounding
+    observed buckets (``interpolate()``). `observed` flags real vs
+    manufactured rows.
+
+    Scale: the spine is `sequence(min_h, max_h, 1 hour)` exploded per
+    user — array length is bounded by the TIME SPAN in hours, not by
+    corpus size (more data at fixed span = same spine, denser
+    buckets), so the explode never balloons with SF. One equi-join
+    of spine to buckets on (user_id, h), then two per-user window
+    passes (backward LOCF carry, forward next-known probe) — exactly
+    the asof_join carry-forward discipline (operators/temporal.py) on
+    a regular grid. The first/last spine rows are always observed by
+    construction, so LOCF is total and interpolation always has both
+    neighbors; the `nv IS NULL` branch is unreachable totality
+    armor."""
+    e = _t(spark, sf_dir, "events")
+    b = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qround(
+                F.sum(F.col("value").cast(DEC4)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("v"),
+        )
+    )
+    spine = (
+        b.groupBy("user_id")
+        .agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = spine.join(b, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "v",
+        F.when(F.col("n").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "observed"
+        ),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = j.select(
+        "user_id",
+        "h",
+        "observed",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("locf"),
+        F.last(known_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    frac = (
+        (F.unix_micros("h") - F.unix_micros("ph")) * F.lit(1.0)
+        / (F.unix_micros("nh") - F.unix_micros("ph"))
+    )
+    interp = (
+        F.when(F.col("observed") == 1, F.col("v"))
+        .when(F.col("nv").isNull(), F.col("locf"))
+        .otherwise(F.col("locf") + (F.col("nv") - F.col("locf")) * frac)
+    )
+    return f.select(
+        "user_id",
+        "h",
+        "observed",
+        "locf",
+        qround(interp, 4).alias("v_interp"),
+    )
+
+
+@register(
+    "rolling_stats",
+    """
+    SELECT event_id, user_id, ts,
+        count(*) OVER w AS n_1h,
+        round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE),
+              4) AS sum_1h,
+        floor(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+              / count(*) OVER w * 10000 + 0.5) / 10000 AS mean_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour aggregates over the same user's events
+    — the rolling time-RANGE frame (count / exact DECIMAL sum / mean
+    of `value` in the last hour including the current event). The
+    oracle is DuckDB's native interval-RANGE window frame; Spark has
+    no interval RANGE, so the frame is expressed as a numeric
+    `rangeBetween` over `unix_micros(ts)` — semantically identical,
+    including the peer rule (equal timestamps share a frame under
+    RANGE on both engines, so the result is total even with ties).
+
+    Scale: one shuffle on user_id, one ordered pass per user with a
+    bounded sliding frame — Spark's window evaluator holds only the
+    rows inside the 1-hour range. Sum in DECIMAL(18,4): exact and
+    associative, so frame-slide order can't drift the value."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-HOUR_US, 0)
+    )
+    s = F.sum(F.col("value").cast(DEC4)).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n.alias("n_1h"),
+        F.round(s, 4).alias("sum_1h"),
+        qround(s / n, 4).alias("mean_1h"),
+    )
+
+
+@register(
+    "ohlc_resample",
+    """
+    SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+        first(value ORDER BY ts, event_id) AS open,
+        max(value) AS high,
+        min(value) AS low,
+        last(value ORDER BY ts, event_id) AS close,
+        count(*) AS n_trades,
+        round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+            AS volume
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bucket resampling: per user per hour, the open (first
+    `value` by (ts, event_id)), high, low, close (last by the same
+    order), trade count and exact volume over 'purchase' events — the
+    tick-store candlestick downsample. The open/close picks are
+    `min_by`/`max_by` over a (ts, event_id) struct, so equal
+    timestamps break by event_id and the pick is total by
+    construction (the asof tiebreak_col discipline); the oracle is
+    DuckDB's ordered-aggregate `first(... ORDER BY ts, event_id)`.
+
+    Scale: one filtered scan, one groupBy with full map-side partial
+    aggregation — min_by/max_by/min/max/count/DECIMAL-sum are all
+    associative combiner-friendly aggregates, so the shuffle carries
+    one row per (user, hour) regardless of how many trades share a
+    bucket."""
+    e = _t(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.round(
+                F.sum(F.col("value").cast(DEC4)).cast("double"), 4
+            ).alias("volume"),
+        )
+    )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH s AS (
+        SELECT event_type,
+               lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+        count(*) AS n,
+        floor(count(*) * 1.0
+              / sum(count(*)) OVER (PARTITION BY event_type)
+              * 1000000 + 0.5) / 1000000 AS p
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type → to_type) adjacent pair in a
+    user's (ts, event_id)-ordered stream, the pair count and the
+    transition probability normalized within the from-state — the
+    session-flow / clickstream model behind "what follows a view".
+
+    Scale: one shuffle on user_id for the lead() pass (ordered by
+    (ts, event_id) so ties can't flip pairs between runs), then a
+    groupBy on the type pair — at most |types|² = 25 groups, with
+    map-side partial aggregation collapsing each partition to those
+    25 rows before the exchange. The normalizing window runs over
+    ≤ 25 rows (provably tiny frame)."""
+    e = _t(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(seq).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    g = s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return g.select(
+        "from_type",
+        "to_type",
+        "n",
+        qround(F.col("n") * F.lit(1.0) / F.sum("n").over(tot), 6).alias(
+            "p"
+        ),
+    )

@@ -1,0 +1,250 @@
+"""queries_timeseries.py: gap-fill / rolling RANGE stats / OHLC
+resample / Markov transitions, pinned against pandas recomputations
+on hand-built frames (edge cases the registry oracle's organic data
+may not hit: exact rounding ties in interpolation, equal-timestamp
+RANGE peers, single-bucket users) plus invariants on sf0.001."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.queries_timeseries import (
+    q_event_transitions,
+    q_gap_fill,
+    q_ohlc_resample,
+    q_rolling_stats,
+    qround,
+)
+
+SF = "/root/testdata/sf0.001"
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _h(k: float) -> dt.datetime:
+    return T0 + dt.timedelta(hours=k)
+
+
+# ---------------------------------------------------------------------
+# qround: the engine-identical quantizer
+# ---------------------------------------------------------------------
+
+
+def test_qround_matches_floor_formula(spark):
+    # exact-tie values (the case ROUND() diverges on across engines)
+    # and ordinary values, both signs of the tie
+    vals = [47.00375, 47.00365, 1.23455, 0.00005, 12.0, 3.14159265]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["q"]
+        for r in df.select(qround(F.col("x"), 4).alias("q"))
+        .orderBy("q")
+        .collect()
+    ]
+    want = sorted(math.floor(v * 10000 + 0.5) / 10000 for v in vals)
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# gap_fill
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gap_rows(spark, tmp_path_factory):
+    # user 1: observed hours 0, 1, 4 (interior 2-hour gap -> the
+    # interpolation-tie case), values chosen so the midpoint lands
+    # exactly on a 4-decimal rounding tie.
+    # user 2: single bucket (spine collapses to one row).
+    rows = [
+        (1, 1, _h(0.25), "view", 10.0, "{}"),
+        (2, 1, _h(1.25), "view", 20.0, "{}"),
+        (3, 1, _h(4.25), "view", 20.0010, "{}"),
+        (4, 2, _h(7.50), "view", 5.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("gapfill")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+def test_gap_fill_spine_locf_interp(spark, gap_rows):
+    out = {
+        (r["user_id"], r["h"]): r
+        for r in q_gap_fill(spark, gap_rows).collect()
+    }
+    # user 1: spine covers hours 0..4 inclusive, nothing else
+    u1 = sorted(h for (u, h) in out if u == 1)
+    assert u1 == [_h(k) for k in range(5)]
+    # user 2: exactly one row, observed
+    u2 = [out[(2, h)] for (u, h) in out if u == 2]
+    assert len(u2) == 1 and u2[0]["observed"] == 1
+    # observed rows echo the bucket mean
+    assert out[(1, _h(0))]["v_interp"] == 10.0
+    assert out[(1, _h(1))]["v_interp"] == 20.0
+    # LOCF carries the last observed bucket across the gap
+    assert out[(1, _h(2))]["locf"] == 20.0
+    assert out[(1, _h(3))]["locf"] == 20.0
+    assert out[(1, _h(2))]["observed"] == 0
+    # linear interpolation between (h1, 20.0) and (h4, 20.0010):
+    # h2 -> 20.0 + 0.001 * 1/3; h3 -> 20.0 + 0.001 * 2/3 — and the
+    # quantizer formula applied verbatim
+    for k, frac in ((2, 1 / 3), (3, 2 / 3)):
+        want = math.floor((20.0 + 0.0010 * frac) * 10000 + 0.5) / 10000
+        assert out[(1, _h(k))]["v_interp"] == want
+
+
+def test_gap_fill_invariants_sf0001(spark):
+    df = q_gap_fill(spark, SF)
+    agg = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("h").alias("hmin"),
+        F.max("h").alias("hmax"),
+        F.sum(F.when(F.col("locf").isNull(), 1).otherwise(0)).alias(
+            "null_locf"
+        ),
+        F.sum(
+            F.when(F.col("v_interp").isNull(), 1).otherwise(0)
+        ).alias("null_interp"),
+        F.max(F.when(F.col("observed") == 1, F.col("h"))).alias(
+            "last_obs"
+        ),
+        F.min(F.when(F.col("observed") == 1, F.col("h"))).alias(
+            "first_obs"
+        ),
+    )
+    for r in agg.collect():
+        # contiguous hourly spine: count == span_hours + 1
+        span = int((r["hmax"] - r["hmin"]).total_seconds() // 3600)
+        assert r["n"] == span + 1, r
+        # LOCF total (first spine row observed), interp total
+        assert r["null_locf"] == 0 and r["null_interp"] == 0
+        # spine endpoints are observed buckets
+        assert r["first_obs"] == r["hmin"] and r["last_obs"] == r["hmax"]
+
+
+# ---------------------------------------------------------------------
+# rolling_stats
+# ---------------------------------------------------------------------
+
+
+def test_rolling_stats_vs_pandas(spark, tmp_path_factory):
+    # equal timestamps (RANGE peers share a frame) + exact 1h-edge
+    rows = [
+        (1, 1, _h(0.0), "view", 1.0, "{}"),
+        (2, 1, _h(0.5), "view", 2.0, "{}"),
+        (3, 1, _h(0.5), "view", 4.0, "{}"),   # ts tie with event 2
+        (4, 1, _h(1.0), "view", 8.0, "{}"),   # exactly 1h after ev 1
+        (5, 1, _h(2.01), "view", 16.0, "{}"),  # everything expired
+        (6, 2, _h(0.0), "view", 100.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("rolling")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["event_id"]: (r["n_1h"], r["sum_1h"])
+        for r in q_rolling_stats(spark, str(d)).collect()
+    }
+    # RANGE frame: peers at the same ts are in each other's frame
+    assert got[2] == (3, 7.0) and got[3] == (3, 7.0)
+    # inclusive 1h edge: event at exactly ts-1h still inside
+    assert got[4] == (4, 15.0)
+    # expired frame: only itself
+    assert got[5] == (1, 16.0)
+    # per-user isolation
+    assert got[6] == (1, 100.0)
+
+
+def test_rolling_stats_mean_quantized(spark):
+    df = q_rolling_stats(spark, SF).limit(200)
+    for r in df.collect():
+        assert r["mean_1h"] == math.floor(
+            r["sum_1h"] / r["n_1h"] * 10000 + 0.5
+        ) / 10000 or abs(
+            r["mean_1h"] - r["sum_1h"] / r["n_1h"]
+        ) < 1e-3  # sum_1h is itself rounded; allow the re-derivation gap
+
+
+# ---------------------------------------------------------------------
+# ohlc_resample
+# ---------------------------------------------------------------------
+
+
+def test_ohlc_vs_pandas(spark):
+    got = {
+        (r["user_id"], r["h"]): r
+        for r in q_ohlc_resample(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf = pdf[pdf["event_type"] == "purchase"].copy()
+    pdf["h"] = pd.to_datetime(pdf["ts"]).dt.floor("h")
+    pdf = pdf.sort_values(["ts", "event_id"])
+    want = pdf.groupby(["user_id", "h"]).agg(
+        open=("value", "first"),
+        high=("value", "max"),
+        low=("value", "min"),
+        close=("value", "last"),
+        n_trades=("value", "size"),
+    )
+    assert len(got) == len(want)
+    for (u, h), w in want.iterrows():
+        g = got[(u, h.to_pydatetime())]
+        assert g["open"] == w["open"] and g["close"] == w["close"]
+        assert g["high"] == w["high"] and g["low"] == w["low"]
+        assert g["n_trades"] == w["n_trades"]
+
+
+def test_ohlc_tie_breaks_by_event_id(spark, tmp_path_factory):
+    rows = [  # two trades at the identical timestamp
+        (7, 1, _h(0.1), "purchase", 3.0, "{}"),
+        (5, 1, _h(0.1), "purchase", 9.0, "{}"),
+        (6, 1, _h(0.2), "purchase", 1.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("ohlc")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = q_ohlc_resample(spark, str(d)).collect()[0]
+    # open = lowest (ts, event_id) = event 5; close = event 6
+    assert r["open"] == 9.0 and r["close"] == 1.0
+    assert r["high"] == 9.0 and r["low"] == 1.0 and r["n_trades"] == 3
+
+
+# ---------------------------------------------------------------------
+# event_transitions
+# ---------------------------------------------------------------------
+
+
+def test_transitions_vs_pandas(spark):
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in q_event_transitions(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    pdf["to_type"] = pdf.groupby("user_id")["event_type"].shift(-1)
+    pairs = pdf.dropna(subset=["to_type"])
+    want = pairs.groupby(["event_type", "to_type"]).size()
+    assert len(got) == len(want)
+    for (f_, t_), n in want.items():
+        assert got[(f_, t_)][0] == n
+    # probabilities normalize within the from-state (quantizer noise
+    # bounded by rows-per-state * 0.5e-6)
+    bystate = {}
+    for (f_, _), (n, p) in got.items():
+        bystate.setdefault(f_, []).append(p)
+    for f_, ps in bystate.items():
+        assert abs(sum(ps) - 1.0) < len(ps) * 5e-7 + 1e-9
