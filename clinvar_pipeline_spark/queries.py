@@ -102,6 +102,26 @@ DEC4 = "decimal(18,4)"
 # no-op on the value, so the float64s hash identically.
 
 
+def qround(col, scale: int):
+    """Engine-identical quantizer: ``floor(x·10^s + 0.5) / 10^s``.
+
+    ``ROUND()`` is NOT portable on true quotients: Spark rounds the
+    exact decimal expansion of the binary double (BigDecimal HALF_UP)
+    while DuckDB rounds the scaled product (``std::round(x·10^s)``) —
+    on values that land exactly on a rounding tie the two disagree.
+    Interpolated/averaged values are rationals quantized at 10^-s
+    whose gap-ratios (1/2, 1/4 …) hit ties constantly (observed at
+    sf0.01: gap_fill diverged in the 4th decimal on 2-hour gaps).
+    Spelling the quantizer as the same floor/multiply/add IEEE
+    sequence in BOTH engines makes the result bit-identical by
+    construction — ties included. The SQL twins spell it textually:
+    ``floor(x * 10000 + 0.5) / 10000``. Only needed for genuine
+    quotients; exact DECIMAL casts keep the no-op ROUND discipline
+    (DEC note above)."""
+    p = float(10 ** scale)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
 def _spread(df: DataFrame, parts: Optional[int] = None) -> DataFrame:
     """Repartition a compute-heavy small input across cores.
 

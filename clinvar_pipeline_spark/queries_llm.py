@@ -27,12 +27,14 @@ from clinvar_pipeline_spark.functions.hashes import (
     shingles_of_tokens,
 )
 from clinvar_pipeline_spark.operators.similarity import semantic_dedup
+from clinvar_pipeline_spark.operators.topk import partition_topk
 from clinvar_pipeline_spark.queries import (
     _TOKENIZE_SQL,
     SHINGLE_DF_CAP as _SHINGLE_DF_CAP,
     _persist,
     _spread,
     _t,
+    qround,
     register,
 )
 
@@ -3637,4 +3639,155 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("est_overlap"),
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# Deterministic per-group sample (exact-k representative slice)
+# ---------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 16
+
+
+@register(
+    "group_sample",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk
+        FROM documents),
+    r AS (
+        SELECT lang, doc_id, hk,
+               row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+                   AS rn
+        FROM h)
+    SELECT lang, doc_id, hk, rn FROM r WHERE rn <= {GROUP_SAMPLE_K}
+    """,
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: the first
+    {GROUP_SAMPLE_K} documents of every language in md5-of-id order —
+    the "give me k representative docs per stratum" slice behind eval
+    sets, spot-check dashboards and per-domain manual review. Unlike
+    stratified_sample (rate-based keep, output size proportional),
+    the contract here is an exact per-group count; md5 order makes
+    the pick a pure function of the row — reproducible across runs,
+    engines and partitionings (the auditable-mix discipline).
+
+    Scale: the naive form is a per-lang window over the WHOLE corpus
+    — every document shuffles just to be discarded. The plan here
+    prunes map-side first (operators/topk.partition_topk): each task
+    keeps only its local top-k per lang (the global top-k is a subset
+    of the union of local top-k's), so the exchange carries at most
+    partitions x langs x k rows. The prune score is the first 13 hex
+    digits (52 bits — exact in a double) of the hash, negated so
+    score-DESC = hash-ASC; rows tied on the prefix are resolved by
+    the full hash string, so the prune is exact. The window then
+    ranks partitions x k survivors per lang, never the corpus."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    h = d.select(
+        "lang",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    ).withColumn(
+        "score",
+        -F.conv(F.substring("hk", 1, 13), 16, 10).cast("double"),
+    )
+    pruned = partition_topk(h, "lang", "score", "hk", GROUP_SAMPLE_K)
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        pruned.select(
+            "lang", "doc_id", "hk", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------
+# Zipf fit (corpus token-frequency power law — vocab planning)
+# ---------------------------------------------------------------------
+
+ZIPF_TOP = 256
+
+
+@register(
+    "zipf_fit",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_TOKENIZE_SQL.format(col='text')}) AS t
+        FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+           FROM cnt),
+    top AS (SELECT c, r FROM rk WHERE r <= {ZIPF_TOP}),
+    terms AS (
+        SELECT CAST(ln(r) AS DECIMAL(38,15)) AS x,
+               CAST(ln(c) AS DECIMAL(38,15)) AS y,
+               CAST(ln(r) * ln(r) AS DECIMAL(38,15)) AS xx,
+               CAST(ln(r) * ln(c) AS DECIMAL(38,15)) AS xy
+        FROM top),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(xx) AS DOUBLE) AS sxx,
+               CAST(sum(xy) AS DOUBLE) AS sxy
+        FROM terms)
+    SELECT n AS n_terms,
+        floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+              * 10000 + 0.5) / 10000 AS zipf_slope,
+        floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+              * 10000 + 0.5) / 10000 AS zipf_intercept
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus unigram distribution:
+    least-squares slope/intercept of ln(freq) vs ln(rank) across the
+    top {ZIPF_TOP} tokens (ranked by freq desc, token asc so the
+    cutoff is deterministic) — the one-number corpus-health summary
+    (natural text ~ -1; a slope collapsing toward 0 flags boilerplate
+    flooding, a cliff past rank k flags template spam), and the
+    quantitative companion to token_histogram's raw head.
+
+    Scale: one explode + map-side-combined groupBy bounded by VOCAB
+    (not corpus) size; the head is orderBy+limit — Spark compiles it
+    to TakeOrderedAndProject, each partition shipping only its local
+    top-{ZIPF_TOP}; ranking and the moment sums then run on a
+    {ZIPF_TOP}-row frame (provably tiny single partition). Moment
+    sums accumulate in DECIMAL(38,15) so summation order can't drift
+    the fit; the per-term ln() may differ from DuckDB's libm in the
+    last ulp — absorbed by the 4-decimal quantizer, the lm_quality
+    precedent."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    cnt = (
+        d.select(F.explode(normalized_tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "t").limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("c"), "t")
+    ranked = top.select(
+        "c", F.row_number().over(w).alias("r")
+    )
+    dec = "decimal(38,15)"
+    lr, lc = F.log(F.col("r")), F.log(F.col("c"))
+    terms = ranked.select(
+        lr.cast(dec).alias("x"),
+        lc.cast(dec).alias("y"),
+        (lr * lr).cast(dec).alias("xx"),
+        (lr * lc).cast(dec).alias("xy"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        qround(slope, 4).alias("zipf_slope"),
+        qround((sy - slope * sx) / n, 4).alias("zipf_intercept"),
     )

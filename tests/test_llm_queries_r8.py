@@ -1,0 +1,96 @@
+"""Round-8 corpus queries: group_sample (exact-k deterministic
+per-group sample, map-side-pruned) and zipf_fit (token power-law
+least squares), pinned against naive recomputations."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.queries_llm import (
+    GROUP_SAMPLE_K,
+    ZIPF_TOP,
+    q_group_sample,
+    q_zipf_fit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_group_sample_exact_k_and_pure_python_twin(spark):
+    got = q_group_sample(spark, SF).collect()
+    # exactly k per group (every lang here has >= k docs)
+    bylang = {}
+    for r in got:
+        bylang.setdefault(r["lang"], []).append(r)
+    for lang, rows in bylang.items():
+        assert len(rows) == GROUP_SAMPLE_K, lang
+        assert sorted(r["rn"] for r in rows) == list(
+            range(1, GROUP_SAMPLE_K + 1)
+        )
+    # pure-python twin: first k doc_ids per lang in md5-hex order
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "lang"]]
+    pdf["hk"] = pdf["doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    for lang, g in pdf.groupby("lang"):
+        want = set(
+            g.sort_values(["hk", "doc_id"]).head(GROUP_SAMPLE_K)["doc_id"]
+        )
+        assert {r["doc_id"] for r in bylang[lang]} == want, lang
+    # and the emitted hash is the real md5
+    for r in got[:5]:
+        assert r["hk"] == hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+
+
+def test_group_sample_prune_is_exact_across_partitionings(spark):
+    # the map-side prune must not change the pick under adversarial
+    # partitioning (many small partitions -> many local top-k unions)
+    base = {
+        (r["lang"], r["doc_id"])
+        for r in q_group_sample(spark, SF).collect()
+    }
+
+    # naive unpruned twin computed straight from the table
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    h = d.select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    naive = {
+        (r["lang"], r["doc_id"])
+        for r in h.select(
+            "lang", "doc_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        .collect()
+    }
+    assert base == naive
+
+
+def test_zipf_fit_vs_numpy(spark):
+    row = q_zipf_fit(spark, SF).collect()[0]
+    # numpy twin: tokenize identically, count, rank, polyfit
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    import re
+
+    cnt: dict[str, int] = {}
+    for t in pdf["text"]:
+        for tok in re.sub(r"[^a-z0-9\s]", " ", t.lower()).split():
+            cnt[tok] = cnt.get(tok, 0) + 1
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    # the synthetic corpus vocab may be smaller than the head cap
+    assert row["n_terms"] == min(ZIPF_TOP, len(cnt))
+    x = np.log(np.arange(1, len(head) + 1))
+    y = np.log(np.array([c for _, c in head], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["zipf_slope"] - slope) < 1e-3
+    assert abs(row["zipf_intercept"] - intercept) < 1e-3
+    # natural-ish text: slope is negative and non-degenerate
+    assert -3.0 < row["zipf_slope"] < -0.05
