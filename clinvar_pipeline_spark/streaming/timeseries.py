@@ -1,0 +1,146 @@
+"""Streamed OHLC resampling: the candlestick downsample served
+incrementally over an event-stream ingest.
+
+OHLC is mergeable by construction — open/close are argmin/argmax over
+(ts, event_id) (total under ties, the batch query's tiebreak), high/
+low/count/volume are plain associative aggregates — so per-micro-batch
+partial cells land epoch-keyed (the cm_stream exactly-once pattern:
+a replayed epoch OVERWRITES its own dir, never double-lands) and the
+snapshot merges cells across epochs. The merge is LINEAR
+(fold(a ∪ b) == fold(fold(a) ∪ b)), so compaction's base-generation
+fold (streaming/compaction.py) keeps the live dir count bounded on a
+long-lived ingest while the snapshot stays cell-for-cell equal.
+
+The streamed snapshot is pinned row-equal to the batch
+q_ohlc_resample (queries_timeseries.py) on a two-batch drain —
+tests/test_timeseries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.queries import DEC4, qround
+
+# a partial OHLC cell: the aggregates plus the merge keys the batch
+# query's min_by/max_by picks are made total by
+_CELL_COLS = [
+    "user_id", "h", "open", "open_ts", "open_id",
+    "high", "low", "close", "close_ts", "close_id",
+    "n_trades", "vsum",
+]
+
+
+def _cells(df: DataFrame) -> DataFrame:
+    """Per-(user, hour) partial OHLC cells for one batch of events
+    (filtering to 'purchase' — the batch query's slice)."""
+    okey = F.struct("ts", "event_id")
+    return (
+        df.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.min("ts").alias("open_ts"),
+            F.min_by("event_id", okey).alias("open_id"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.max("ts").alias("close_ts"),
+            F.max_by("event_id", okey).alias("close_id"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("value").cast(DEC4)).alias("vsum"),
+        )
+        .select(*_CELL_COLS)
+    )
+
+
+def merge_cells(df: DataFrame) -> DataFrame:
+    """Merge partial cells sharing a (user, hour) key — associative
+    and linear: open follows the smallest (open_ts, open_id), close
+    the largest (close_ts, close_id), the rest are min/max/sum. Used
+    both as the compaction fold and by the snapshot reader."""
+    okey = F.struct("open_ts", "open_id")
+    ckey = F.struct("close_ts", "close_id")
+    return (
+        df.groupBy("user_id", "h")
+        .agg(
+            F.min_by("open", okey).alias("open"),
+            F.min("open_ts").alias("open_ts"),
+            F.min_by("open_id", okey).alias("open_id"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", ckey).alias("close"),
+            F.max("close_ts").alias("close_ts"),
+            F.max_by("close_id", ckey).alias("close_id"),
+            F.sum("n_trades").alias("n_trades"),
+            F.sum("vsum").cast(DEC4).alias("vsum"),
+        )
+        .select(*_CELL_COLS)
+    )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+):
+    """Start the streamed OHLC resample: each micro-batch's partial
+    cells land under ``out_path`` keyed by epoch (idempotent under
+    replay); readers go through :func:`ohlc_snapshot`. Returns the
+    StreamingQuery.
+
+    Scale: per-batch state is one cell per (user, hour) touched by
+    the batch — bounded by the batch's own key spread, with map-side
+    partial aggregation collapsing trades before the exchange. No
+    global state in the stream itself; history lives in the sink,
+    folded by compaction so the snapshot's merge input stays bounded
+    (≤ keys + keys·compact_every cells) at any stream age."""
+
+    def _do(batch_df: DataFrame, epoch_id: int) -> None:
+        _cells(batch_df).write.mode("overwrite").parquet(
+            f"{out_path}/epoch={int(epoch_id)}"
+        )
+        if compact_every:
+            from clinvar_pipeline_spark.streaming.compaction import (
+                compact,
+                list_live_epochs,
+            )
+
+            spark = batch_df.sparkSession
+            if len(list_live_epochs(spark, out_path)) > compact_every:
+                compact(spark, out_path, fold=merge_cells)
+
+    return (
+        events.writeStream.foreachBatch(_do)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ohlc_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """The OHLC table under everything drained so far — schema and
+    values identical to the batch q_ohlc_resample (user_id, h, open,
+    high, low, close, n_trades, volume with the engine-identical
+    4-decimal quantized volume)."""
+    from clinvar_pipeline_spark.streaming.compaction import snapshot_parts
+
+    parts = snapshot_parts(spark, out_path)
+    if parts is None:
+        return spark.createDataFrame(
+            [],
+            "user_id long, h timestamp, open double, high double,"
+            " low double, close double, n_trades long, volume double",
+        )
+    m = merge_cells(parts)
+    return m.select(
+        "user_id",
+        "h",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+        F.round(F.col("vsum").cast("double"), 4).alias("volume"),
+    )

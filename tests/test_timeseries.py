@@ -248,3 +248,52 @@ def test_transitions_vs_pandas(spark):
         bystate.setdefault(f_, []).append(p)
     for f_, ps in bystate.items():
         assert abs(sum(ps) - 1.0) < len(ps) * 5e-7 + 1e-9
+
+
+# ---------------------------------------------------------------------
+# streamed OHLC tier
+# ---------------------------------------------------------------------
+
+
+def test_ohlc_stream_equals_batch_on_two_batch_drain(spark, tmp_path, sf_dir):
+    """Streamed OHLC: REAL sf0.001 events drained in two micro-batches;
+    the merged snapshot must equal batch q_ohlc_resample row-for-row
+    (compaction on, so the linear merge fold is exercised too)."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        ohlc_snapshot,
+        ohlc_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    drop = tmp_path / "events"
+    ev.repartition(2).write.parquet(str(drop))  # 2 files -> 2 epochs
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out, ckpt = str(tmp_path / "ohlc"), str(tmp_path / "ckpt_ohlc")
+    q = ohlc_stream(stream, out, ckpt, compact_every=1)
+    q.awaitTermination(120)
+
+    def rows(df):
+        return {
+            (r["user_id"], r["h"]): (
+                r["open"], r["high"], r["low"], r["close"],
+                r["n_trades"], r["volume"],
+            )
+            for r in df.collect()
+        }
+
+    got = rows(ohlc_snapshot(spark, out))
+    exp = rows(q_ohlc_resample(spark, sf_dir))
+    assert got == exp
+    assert len(exp) > 0
+    # the split exercised real merges: some (user, hour) cell spans
+    # both micro-batches iff any bucket has >= 2 trades
+    assert any(v[4] >= 2 for v in exp.values())
