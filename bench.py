@@ -84,6 +84,12 @@ BENCH_QUERIES_V2 = [
     # r8: the full-ladder media feature rung (image/video/audio/byte
     # tiers through one Arrow kernel) — the heaviest mapInPandas scan
     "multimodal_media_features",
+    # late r8: the time-series spine explode (the largest output row
+    # count in the registry — users x span-hours) and the map-side
+    # pruned per-group sample (the partition_topk envelope on a full
+    # corpus scan)
+    "gap_fill",
+    "group_sample",
 ]
 
 

@@ -711,7 +711,11 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     - conversion funnel (funnel_stream): each arriving purchase
       checked against the per-user view->click chain
       (queries_temporal.funnel_chain), min-merged into the funnel
-      report at out/funnel (q_event_funnel's exact schema).
+      report at out/funnel (q_event_funnel's exact schema);
+    - OHLC resample (streaming/timeseries.ohlc_stream): mergeable
+      per-(user, hour) candlestick cells landed epoch-keyed under
+      out/_ohlc_epochs, merged snapshot at out/ohlc
+      (q_ohlc_resample's exact schema).
 
     Run-scoped frozen state — the view log (_views) and the funnel
     chain (_funnel_chain) — is landed at the FIRST run (the quality-
@@ -732,6 +736,10 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         asof_stream,
         funnel_snapshot,
         funnel_stream,
+    )
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        ohlc_snapshot,
+        ohlc_stream,
     )
 
     src = args.sf or "/root/testdata/sf0.001"
@@ -777,15 +785,27 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
             window_us=CONVERSION_WINDOW_US,
             compact_every=16,
         ),
+        # the OHLC sink filters to purchases itself — hand it the
+        # full stream so its slice stays self-contained
+        ohlc_stream(
+            stream,
+            f"{args.out}/_ohlc_epochs",
+            f"{args.out}/_ckpt/ohlc",
+            compact_every=16,
+        ),
     ]
     for q in queries:
         q.awaitTermination()
     funnel = funnel_snapshot(spark, f"{args.out}/_funnel_epochs", chain)
     funnel.write.mode("overwrite").parquet(f"{args.out}/funnel")
+    ohlc = ohlc_snapshot(spark, f"{args.out}/_ohlc_epochs")
+    ohlc.write.mode("overwrite").parquet(f"{args.out}/ohlc")
     n_attr = asof_snapshot(spark, f"{args.out}/attribution").count()
     n_funnel = spark.read.parquet(f"{args.out}/funnel").count()
+    n_ohlc = spark.read.parquet(f"{args.out}/ohlc").count()
     print(f"attribution: {n_attr}")
     print(f"funnel: {n_funnel}")
+    print(f"ohlc: {n_ohlc}")
 
 
 def cmd_audit(spark: SparkSession, args) -> None:

@@ -776,6 +776,7 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
         q_asof_attribution,
         q_event_funnel,
     )
+    from clinvar_pipeline_spark.queries_timeseries import q_ohlc_resample
     from clinvar_pipeline_spark.streaming.temporal import asof_snapshot
 
     sf = "/root/testdata/sf0.001"
@@ -810,8 +811,27 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
         )
         for r in q_event_funnel(spark, sf).collect()
     }
+    def ohlc_rows():
+        df = spark.read.parquet(str(out / "ohlc"))
+        return {
+            (r["user_id"], r["h"]): (
+                r["open"], r["high"], r["low"], r["close"],
+                r["n_trades"], r["volume"],
+            )
+            for r in df.collect()
+        }
+
+    got_ohlc = ohlc_rows()
+    exp_ohlc = {
+        (r["user_id"], r["h"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_trades"], r["volume"],
+        )
+        for r in q_ohlc_resample(spark, sf).collect()
+    }
     assert got_attr == exp_attr
     assert got_funnel == exp_funnel
+    assert got_ohlc == exp_ohlc
     assert any(v[3] == 3 for v in got_funnel.values())
 
     # rerun: availableNow drains nothing new; frozen artifacts keep
@@ -819,6 +839,7 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
     main(["--eventStream", "--sf", sf, "--out", str(out)])
     assert attr_rows() == exp_attr
     assert funnel_rows() == exp_funnel
+    assert ohlc_rows() == exp_ohlc
 
 
 def test_cli_corpus_prep_warc_ingest(spark, tmp_path):
