@@ -144,3 +144,119 @@ def ohlc_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
         "n_trades",
         F.round(F.col("vsum").cast("double"), 4).alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------
+# TRUE streaming transitions: adjacent-pair extraction, watermark-correct
+# ---------------------------------------------------------------------
+
+_TRANS_STATE_SCHEMA = "ts array<bigint>, id array<bigint>, tp array<string>"
+
+
+def transitions_live_stream(
+    events: DataFrame,
+    watermark_delay: str = "10 seconds",
+    by: str = "user_id",
+    on: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user adjacent-pair extraction over a LIVE event stream —
+    the streamed feeder of q_event_transitions' Markov matrix
+    (queries_timeseries.py). A pair (a → b) in (ts, id) order is only
+    knowable once no event can still arrive BETWEEN a and b, i.e.
+    when the watermark passes b's event time; an out-of-order arrival
+    with an intermediate timestamp must split the pair it lands
+    inside. Per-batch maps can't express that, so this is a custom
+    stateful operator (applyInPandasWithState + EventTimeTimeout, the
+    asof_live_stream pattern):
+
+    - per key, state buffers the in-flight events as three primitive
+      arrays (micros, id, type) sorted by (ts, id) — the batch
+      query's total order, so ties can't flip pairs between runs;
+    - every consecutive pair whose SECOND element the watermark has
+      passed finalizes and is emitted exactly once; the buffer then
+      keeps the last finalized element (the head of the next pair)
+      plus everything still inside the horizon — state is O(horizon),
+      not O(history);
+    - keys holding a complete-but-unfinalized pair flush via
+      EventTimeTimeout set to the pair-completing event's time: the
+      watermark advancing is the flush signal, no poll loop.
+
+    Emits one row per finalized pair. The tail (each user's newest
+    event, plus anything inside the horizon at drain) stays pending —
+    correct streaming behavior; the batch query is the verdict of
+    record for the tail (the neardup_stream discipline). The drain
+    test pins the emitted pair set EQUAL to the batch lead() pairs
+    whose successor the final watermark passed."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{by} long, from_id long, to_id long,"
+        " from_type string, to_type string, to_ts_us long"
+    )
+
+    def _fn(key, pdfs, state: GroupState):
+        buf: list[tuple[int, int, str]] = []
+        if state.exists:
+            s_ts, s_id, s_tp = state.get
+            buf = [(int(t), int(i), str(p)) for t, i, p in zip(s_ts, s_id, s_tp)]
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for t, i, p in zip(
+                pdf["_us"].astype("int64"),
+                pdf[id_col].astype("int64"),
+                pdf[type_col],
+            ):
+                buf.append((int(t), int(i), str(p)))
+        buf.sort()
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        done = [k for k in range(1, len(buf)) if buf[k][0] <= wm_us]
+        rows = [
+            (key[0], buf[k - 1][1], buf[k][1], buf[k - 1][2], buf[k][2], buf[k][0])
+            for k in done
+        ]
+        # keep the last finalized element as the next pair's head;
+        # everything before it has had its successor pair emitted
+        keep = buf[max(done):] if done else buf
+
+        if keep:
+            state.update(
+                (
+                    [t for t, _, _ in keep],
+                    [i for _, i, _ in keep],
+                    [p for _, _, p in keep],
+                )
+            )
+            if len(keep) >= 2:
+                # earliest unfinalized pair completes at keep[1]'s
+                # event time (> wm by construction)
+                state.setTimeoutTimestamp(keep[1][0] // 1000 + 1)
+        else:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    by: pd.array([r[0] for r in rows], dtype="Int64"),
+                    "from_id": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "to_id": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "from_type": [r[3] for r in rows],
+                    "to_type": [r[4] for r in rows],
+                    "to_ts_us": pd.array([r[5] for r in rows], dtype="Int64"),
+                }
+            )
+
+    keyed = events.withWatermark(on, watermark_delay).withColumn(
+        "_us", F.unix_micros(F.col(on).cast("timestamp_ltz"))
+    )
+    return keyed.groupBy(by).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

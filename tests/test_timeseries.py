@@ -297,3 +297,131 @@ def test_ohlc_stream_equals_batch_on_two_batch_drain(spark, tmp_path, sf_dir):
     # the split exercised real merges: some (user, hour) cell spans
     # both micro-batches iff any bucket has >= 2 trades
     assert any(v[4] >= 2 for v in exp.values())
+
+
+# ---------------------------------------------------------------------
+# live streamed transitions (watermark-correct adjacent pairs)
+# ---------------------------------------------------------------------
+
+
+def _sec(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def test_transitions_live_stream_watermark_correct(spark, tmp_path):
+    """A late intermediate event (inside the horizon) must SPLIT the
+    pair it lands inside; pairs flush via EventTimeTimeout when the
+    watermark passes their completing event; the tail pair stays
+    pending at drain."""
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        transitions_live_stream,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    batches = [
+        # batch 1: a view at 100 and a click at 300 — NOT yet a pair
+        # (watermark is still unset during this batch)
+        [(1, 10, _sec(100.0), "view"), (2, 10, _sec(300.0), "click")],
+        # batch 2: event time 295 arrives late-but-allowed (watermark
+        # after batch 1 is 290) and lands BETWEEN view and click —
+        # the naive view->click pair must never be emitted; 400
+        # advances the watermark so the split pairs can finalize
+        [(3, 10, _sec(295.0), "purchase"), (4, 10, _sec(400.0), "signup")],
+    ]
+    drop = tmp_path / "events"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out = transitions_live_stream(stream, watermark_delay="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "pairs"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["from_id"], r["to_id"]): (r["from_type"], r["to_type"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    # the late purchase split view->click into two pairs
+    assert got == {
+        (1, 3): ("view", "purchase"),
+        (3, 2): ("purchase", "click"),
+    }
+    # click->signup is the tail (400 inside the final horizon): pending
+
+
+def test_transitions_live_stream_drain_equals_batch(spark, tmp_path, sf_dir):
+    """REAL sf0.001 events drained in two event-time-ordered batches:
+    the emitted pair set must equal the batch lead() pairs whose
+    completing event the final watermark passed."""
+    from pyspark.sql import Window
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        transitions_live_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    # split at the median-ish time so batch 2 never carries rows
+    # older than batch 1's watermark (which would be dropped as late)
+    cut = _sec(15 * 86400)
+    drop = tmp_path / "events"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(
+        str(drop)
+    )
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(
+        str(drop)
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out = transitions_live_stream(stream, watermark_delay="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "pairs"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["from_id"], r["to_id"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+
+    # batch twin: lead() pairs finalized under the final watermark
+    # (Spark tracks event time in ms — mirror the truncation)
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = (max_us // 1000 - 10_000) * 1000
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = {
+        (r["user_id"], r["from_id"], r["to_id"])
+        for r in ev.select(
+            "user_id",
+            F.col("event_id").alias("from_id"),
+            F.lead("event_id").over(seq).alias("to_id"),
+            F.lead(F.unix_micros("ts")).over(seq).alias("to_us"),
+        )
+        .filter(F.col("to_id").isNotNull() & (F.col("to_us") <= wm_us))
+        .collect()
+    }
+    assert got == exp
+    assert len(exp) > 500  # non-vacuous drain
