@@ -129,10 +129,16 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = (
+    # the forward probe ("nearest observed bucket at-or-after me") is
+    # NOT first() over [currentRow, unboundedFollowing]: Spark executes
+    # unbounded-FOLLOWING frames by re-scanning current..end for every
+    # row — O(rows²) per partition (measured: 26 s vs 3 s at sf0.1 on
+    # ~720-row user frames). A running last() over the DESCENDING
+    # order is the same value with the O(rows) incremental frame.
+    fwd_rev = (
         Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     known_h = F.when(F.col("v").isNotNull(), F.col("h"))
     f = j.select(
@@ -142,8 +148,8 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(back).alias("locf"),
         F.last(known_h, ignorenulls=True).over(back).alias("ph"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(known_h, ignorenulls=True).over(fwd).alias("nh"),
+        F.last("v", ignorenulls=True).over(fwd_rev).alias("nv"),
+        F.last(known_h, ignorenulls=True).over(fwd_rev).alias("nh"),
     )
     frac = (
         (F.unix_micros("h") - F.unix_micros("ph")) * F.lit(1.0)
