@@ -715,7 +715,14 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     - OHLC resample (streaming/timeseries.ohlc_stream): mergeable
       per-(user, hour) candlestick cells landed epoch-keyed under
       out/_ohlc_epochs, merged snapshot at out/ohlc
-      (q_ohlc_resample's exact schema).
+      (q_ohlc_resample's exact schema);
+    - live transition pairs (transitions_live_stream): watermark-
+      finalized adjacent (from, to) event pairs per user appended via
+      the exactly-once file sink at out/transition_pairs, aggregated
+      to the Markov count matrix at out/transitions. The per-user
+      tail (newest event / inside the horizon) stays pending by
+      design — the batch q_event_transitions is the verdict of
+      record for it.
 
     Run-scoped frozen state — the view log (_views) and the funnel
     chain (_funnel_chain) — is landed at the FIRST run (the quality-
@@ -740,6 +747,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     from clinvar_pipeline_spark.streaming.timeseries import (
         ohlc_snapshot,
         ohlc_stream,
+        transitions_live_stream,
     )
 
     src = args.sf or "/root/testdata/sf0.001"
@@ -793,6 +801,14 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
             f"{args.out}/_ckpt/ohlc",
             compact_every=16,
         ),
+        # live pairs: the parquet file sink's commit log makes the
+        # append exactly-once (no epoch-keying needed)
+        transitions_live_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{args.out}/transition_pairs")
+        .option("checkpointLocation", f"{args.out}/_ckpt/transitions")
+        .trigger(availableNow=True)
+        .start(),
     ]
     for q in queries:
         q.awaitTermination()
@@ -800,12 +816,21 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     funnel.write.mode("overwrite").parquet(f"{args.out}/funnel")
     ohlc = ohlc_snapshot(spark, f"{args.out}/_ohlc_epochs")
     ohlc.write.mode("overwrite").parquet(f"{args.out}/ohlc")
+    pairs = spark.read.parquet(f"{args.out}/transition_pairs")
+    (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{args.out}/transitions")
+    )
     n_attr = asof_snapshot(spark, f"{args.out}/attribution").count()
     n_funnel = spark.read.parquet(f"{args.out}/funnel").count()
     n_ohlc = spark.read.parquet(f"{args.out}/ohlc").count()
+    n_pairs = pairs.count()
     print(f"attribution: {n_attr}")
     print(f"funnel: {n_funnel}")
     print(f"ohlc: {n_ohlc}")
+    print(f"transition_pairs: {n_pairs}")
 
 
 def cmd_audit(spark: SparkSession, args) -> None:

@@ -829,9 +829,42 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
         )
         for r in q_ohlc_resample(spark, sf).collect()
     }
+    def pair_rows():
+        return {
+            (r["user_id"], r["from_id"], r["to_id"])
+            for r in spark.read.parquet(
+                str(out / "transition_pairs")
+            ).collect()
+        }
+
+    # live pairs: equal to the batch lead() pairs whose completing
+    # event the final watermark passed (the per-user tail pends)
+    from pyspark.sql import Window as _W
+    from clinvar_pipeline_spark.queries import _t as _tt
+
+    ev = _tt(spark, sf, "events")
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = (max_us // 1000 - 10_000) * 1000
+    seq = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    exp_pairs = {
+        (r["user_id"], r["from_id"], r["to_id"])
+        for r in ev.select(
+            "user_id",
+            F.col("event_id").alias("from_id"),
+            F.lead("event_id").over(seq).alias("to_id"),
+            F.lead(F.unix_micros("ts")).over(seq).alias("to_us"),
+        )
+        .filter(F.col("to_id").isNotNull() & (F.col("to_us") <= wm_us))
+        .collect()
+    }
+    got_pairs = pair_rows()
     assert got_attr == exp_attr
     assert got_funnel == exp_funnel
     assert got_ohlc == exp_ohlc
+    assert got_pairs == exp_pairs
+    # the aggregated matrix sums to the pair count
+    mat = spark.read.parquet(str(out / "transitions"))
+    assert mat.groupBy().sum("n").collect()[0][0] == len(got_pairs)
     assert any(v[3] == 3 for v in got_funnel.values())
 
     # rerun: availableNow drains nothing new; frozen artifacts keep
@@ -840,6 +873,7 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
     assert attr_rows() == exp_attr
     assert funnel_rows() == exp_funnel
     assert ohlc_rows() == exp_ohlc
+    assert pair_rows() == exp_pairs
 
 
 def test_cli_corpus_prep_warc_ingest(spark, tmp_path):
