@@ -313,3 +313,92 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+WEEK_US = 7 * 24 * HOUR_US
+
+
+@register(
+    "rolling_anomalies",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, ts, value,
+            count(*) OVER w AS n,
+            CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                AS s,
+            CAST(sum(CAST(value AS DECIMAL(18,4))
+                     * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {WEEK_US} PRECEDING
+                           AND 1 PRECEDING)),
+    m AS (SELECT *, s / n AS mean FROM base),
+    v AS (SELECT *, s2 / n - mean * mean AS var FROM m),
+    z AS (SELECT *,
+            CASE WHEN var > 0 THEN (value - mean) / sqrt(var) END AS zs
+          FROM v)
+    SELECT event_id, user_id, ts, n AS n_base,
+        floor(zs * 10000 + 0.5) / 10000 AS zscore,
+        CASE WHEN abs(zs) > 2.5 AND n >= 4 THEN 1 ELSE 0 END
+            AS is_anomaly
+    FROM z
+    """,
+)
+def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score anomaly screen: each event scored against
+    the mean/std of the SAME user's trailing 7-day baseline,
+    EXCLUSIVE of the event itself, flagged when |z| > 2.5 — the
+    alerting primitive every metrics/observability store ships (and
+    the time-RANGE twin of the curation suite's
+    class_centroid_outliers). The exclusive frame matters: an
+    inclusive frame caps |z| at sqrt(n-1) (the spike inflates its own
+    baseline), silently making the flag unreachable on sparse keys.
+    z is NULL when the baseline is degenerate (empty, single event,
+    or all values equal); such rows are never flagged, and neither is
+    any row whose baseline holds fewer than 4 events — a 2-event
+    baseline makes z explode on ordinary jitter (a 1.0-vs-10.5 pair
+    flags a 9.0), the classic cold-start false-positive.
+
+    Scale: identical envelope to rolling_stats — one shuffle on
+    user_id, one ordered pass with a bounded sliding frame (both
+    engines run the numeric RANGE over epoch micros, so the exclusive
+    bound is the same `-1` on both sides). The second moment
+    accumulates in DECIMAL (the value² products are exact at
+    (18,4) × (18,4)), so frame-slide order can't drift the variance;
+    mean/var/z are then double expressions spelled identically in the
+    oracle, and the flag compares identical doubles — deterministic
+    across engines by construction."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-WEEK_US, -1)
+    )
+    vdec = F.col("value").cast(DEC4)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(vdec).over(w).cast("double")
+    s2 = F.sum(vdec * vdec).over(w).cast("double")
+    base = e.select("event_id", "user_id", "ts", "value",
+                    n.alias("n"), s.alias("s"), s2.alias("s2"))
+    m = base.withColumn("mean", F.col("s") / F.col("n"))
+    v = m.withColumn(
+        "var", F.col("s2") / F.col("n") - F.col("mean") * F.col("mean")
+    )
+    z = v.withColumn(
+        "zs",
+        F.when(
+            F.col("var") > 0,
+            (F.col("value") - F.col("mean")) / F.sqrt(F.col("var")),
+        ),
+    )
+    return z.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("n").alias("n_base"),
+        qround(F.col("zs"), 4).alias("zscore"),
+        F.when((F.abs(F.col("zs")) > 2.5) & (F.col("n") >= 4), 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )

@@ -425,3 +425,62 @@ def test_transitions_live_stream_drain_equals_batch(spark, tmp_path, sf_dir):
     }
     assert got == exp
     assert len(exp) > 500  # non-vacuous drain
+
+
+# ---------------------------------------------------------------------
+# rolling_anomalies
+# ---------------------------------------------------------------------
+
+
+def test_rolling_anomalies_vs_numpy(spark, tmp_path_factory):
+    import numpy as np
+
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_rolling_anomalies,
+    )
+
+    # one user, a calm 1h frame then a spike; plus a degenerate
+    # single-event user (z must be NULL, flag 0)
+    rows = [
+        (1, 1, _h(0.00), "view", 10.0, "{}"),
+        (2, 1, _h(0.10), "view", 11.0, "{}"),
+        (3, 1, _h(0.20), "view", 9.0, "{}"),
+        (4, 1, _h(0.30), "view", 10.5, "{}"),
+        (5, 1, _h(0.40), "view", 60.0, "{}"),  # the spike
+        (6, 2, _h(0.00), "view", 5.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("anom")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["event_id"]: r for r in q_rolling_anomalies(spark, str(d)).collect()
+    }
+    # numpy twin for the spike row: population stats over its
+    # EXCLUSIVE baseline (the spike must not inflate its own std)
+    base = np.array([10.0, 11.0, 9.0, 10.5])
+    z = (60.0 - base.mean()) / base.std()
+    assert got[5]["is_anomaly"] == 1
+    assert got[5]["n_base"] == 4
+    assert abs(got[5]["zscore"] - z) < 1e-3
+    # calm rows are not flagged
+    assert all(got[i]["is_anomaly"] == 0 for i in (1, 2, 3, 4))
+    # degenerate baselines: empty (first event / lone user) or
+    # single-event -> z NULL, never flagged
+    assert got[1]["zscore"] is None and got[6]["zscore"] is None
+    assert got[2]["zscore"] is None  # baseline of one event
+    assert got[6]["is_anomaly"] == 0
+
+
+def test_rolling_anomalies_rate_sf0001(spark):
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_rolling_anomalies,
+    )
+
+    df = q_rolling_anomalies(spark, SF)
+    n = df.count()
+    flagged = df.filter(F.col("is_anomaly") == 1).count()
+    # heavy-tailed values: some anomalies fire, but they stay rare
+    assert 0 < flagged < n * 0.2
