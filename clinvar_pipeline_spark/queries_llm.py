@@ -3791,3 +3791,87 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(slope, 4).alias("zipf_slope"),
         qround((sy - slope * sx) / n, 4).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------
+# Source divergence (per-source token-distribution drift)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "source_divergence",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKENIZE_SQL.format(col='text')}) AS t
+        FROM documents),
+    st AS (SELECT source, t, count(*) AS cst FROM tok GROUP BY 1, 2),
+    ct AS (SELECT t, CAST(sum(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+    ts AS (SELECT source, CAST(sum(cst) AS BIGINT) AS tsum,
+                  CAST(sum(sum(cst)) OVER () AS BIGINT) AS tot
+           FROM st GROUP BY source),
+    terms AS (
+        SELECT st.source,
+            CAST((cst * 1.0 / tsum)
+                 * ln((cst * 1.0 / tsum) / (ct * 1.0 / tot))
+                 AS DECIMAL(38,15)) AS term,
+            tsum
+        FROM st JOIN ts USING (source) JOIN ct USING (t))
+    SELECT source, tsum AS n_tokens,
+        floor(CAST(sum(term) AS DOUBLE) * 10000 + 0.5) / 10000
+            AS kl_divergence
+    FROM terms
+    GROUP BY source, tsum
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source ‖ corpus) over the
+    unigram token distributions — the corpus-health screen that flags
+    a source whose language has drifted from the mix (template spam,
+    boilerplate flooding, a scraper gone wrong) before it poisons
+    training. Every source token appears in the corpus by
+    construction, so the divergence is total (no zero denominators);
+    KL ≥ 0 with equality iff the source matches the corpus exactly.
+
+    Scale: one explode + map-side-combined groupBy bounded by
+    VOCAB × SOURCES (not corpus size); the corpus marginals are
+    re-aggregates of that table, joined back vocab-keyed; the scalar
+    total broadcasts. Per-term doubles cast to DECIMAL(38,15) before
+    the sum, so summation order can't drift the divergence (the
+    zipf_fit moment discipline); per-term ln() ulp differences vs
+    DuckDB's libm are absorbed by the 4-decimal quantizer."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    st = (
+        d.select(
+            "source", F.explode(normalized_tokens(F.col("text"))).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("cst"))
+    )
+    st = _persist(st)
+    ct = st.groupBy("t").agg(F.sum("cst").alias("ct"))
+    # the corpus total rides the SOURCES frame (cardinality-of-source
+    # rows) as a window sum — the stratified_sample idiom; a scalar
+    # crossJoin would compile to BroadcastNestedLoopJoin
+    ts = (
+        st.groupBy("source")
+        .agg(F.sum("cst").alias("tsum"))
+        .withColumn(
+            "tot", F.sum("tsum").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    p = F.col("cst") * F.lit(1.0) / F.col("tsum")
+    q = F.col("ct") * F.lit(1.0) / F.col("tot")
+    terms = (
+        st.join(ts, "source")
+        .join(ct, "t")
+        .select(
+            "source",
+            (p * F.log(p / q)).cast("decimal(38,15)").alias("term"),
+            "tsum",
+        )
+    )
+    return (
+        terms.groupBy("source", "tsum")
+        .agg(qround(F.sum("term").cast("double"), 4).alias("kl_divergence"))
+        .select("source", F.col("tsum").alias("n_tokens"), "kl_divergence")
+    )

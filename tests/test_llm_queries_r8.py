@@ -94,3 +94,35 @@ def test_zipf_fit_vs_numpy(spark):
     assert abs(row["zipf_intercept"] - intercept) < 1e-3
     # natural-ish text: slope is negative and non-degenerate
     assert -3.0 < row["zipf_slope"] < -0.05
+
+
+def test_source_divergence_vs_scipy_free_python(spark):
+    import math
+    import re
+
+    from clinvar_pipeline_spark.queries_llm import q_source_divergence
+
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_divergence"])
+        for r in q_source_divergence(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    cst: dict[tuple[str, str], int] = {}
+    for src, txt in zip(pdf["source"], pdf["text"]):
+        for tok in re.sub(r"[^a-z0-9\s]", " ", txt.lower()).split():
+            cst[(src, tok)] = cst.get((src, tok), 0) + 1
+    ct: dict[str, int] = {}
+    tsum: dict[str, int] = {}
+    for (src, tok), c in cst.items():
+        ct[tok] = ct.get(tok, 0) + c
+        tsum[src] = tsum.get(src, 0) + c
+    tot = sum(ct.values())
+    for src in tsum:
+        kl = sum(
+            (c / tsum[src]) * math.log((c / tsum[src]) / (ct[tok] / tot))
+            for (s_, tok), c in cst.items()
+            if s_ == src
+        )
+        assert got[src][0] == tsum[src]
+        assert abs(got[src][1] - kl) < 1e-3, src
+        assert got[src][1] >= 0  # KL is non-negative
