@@ -23,7 +23,7 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 36 landed stages: 35 registry
+        (LLM corpus-prep chain — 39 landed stages: 38 registry
         queries + the raw-text PII scrub, plus SemDeDup, the
         embedding-curation screens, and the IVF/PQ index artifacts
         when embeddings exist: language ID +
@@ -38,7 +38,9 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         decontamination + its bloom-funnel audit + eval-leak report,
         mixing plan + applied
         mix, stratified sample, packing
-        manifest, token histogram, HLL distinct sketch + pairwise
+        manifest, token histogram, Zipf power-law fit, per-source KL
+        drift screen, per-group spot-check sample,
+        HLL distinct sketch + pairwise
         vocabulary overlap, Count-Min heavy hitters, filter
         funnel, split report +
         leakage gate, shuffle order, PII scrub; with embeddings also
@@ -294,6 +296,13 @@ CORPUS_PREP_STAGES = [
     "sequence_packing",
     # r6: corpus Zipf head + the per-document keep manifest capstone
     "token_histogram",
+    # late r8: the quantitative companions to the raw token head —
+    # the Zipf power-law fit (corpus health one-number summary), the
+    # per-source KL drift screen, and the exactly-k-per-group
+    # spot-check sample (map-side-pruned)
+    "zipf_fit",
+    "source_divergence",
+    "group_sample",
     # r7: per-language distinct-token estimate via the mergeable
     # engine-portable HLL register sketch + pairwise vocabulary
     # overlap by inclusion-exclusion over the same registers
