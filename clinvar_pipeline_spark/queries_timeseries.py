@@ -336,7 +336,8 @@ WEEK_US = 7 * 24 * HOUR_US
     m AS (SELECT *, s / n AS mean FROM base),
     v AS (SELECT *, s2 / n - mean * mean AS var FROM m),
     z AS (SELECT *,
-            CASE WHEN var > 0 THEN (value - mean) / sqrt(var) END AS zs
+            CASE WHEN n >= 2 AND var > 0
+                 THEN (value - mean) / sqrt(var) END AS zs
           FROM v)
     SELECT event_id, user_id, ts, n AS n_base,
         floor(zs * 10000 + 0.5) / 10000 AS zscore,
@@ -354,8 +355,10 @@ def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     class_centroid_outliers). The exclusive frame matters: an
     inclusive frame caps |z| at sqrt(n-1) (the spike inflates its own
     baseline), silently making the flag unreachable on sparse keys.
-    z is NULL when the baseline is degenerate (empty, single event,
-    or all values equal); such rows are never flagged, and neither is
+    z is NULL when the baseline is degenerate (empty, single event —
+    whose variance is analytically zero but carries a float residue
+    that would pass a bare var > 0 guard — or all values equal); such
+    rows are never flagged, and neither is
     any row whose baseline holds fewer than 4 events — a 2-event
     baseline makes z explode on ordinary jitter (a 1.0-vs-10.5 pair
     flags a 9.0), the classic cold-start false-positive.
@@ -385,10 +388,13 @@ def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = m.withColumn(
         "var", F.col("s2") / F.col("n") - F.col("mean") * F.col("mean")
     )
+    # n >= 2: a single-point baseline's var is analytically zero but
+    # leaves a ~1e-10 float residue (s2/n - mean*mean), which would
+    # pass the var > 0 guard and emit an astronomically-scaled junk z
     z = v.withColumn(
         "zs",
         F.when(
-            F.col("var") > 0,
+            (F.col("n") >= 2) & (F.col("var") > 0),
             (F.col("value") - F.col("mean")) / F.sqrt(F.col("var")),
         ),
     )

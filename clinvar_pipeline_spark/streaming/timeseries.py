@@ -260,3 +260,151 @@ def transitions_live_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# TRUE streaming anomaly screen: trailing exclusive baseline, live
+# ---------------------------------------------------------------------
+
+_ANOM_STATE_SCHEMA = "ts array<bigint>, id array<bigint>, v array<double>"
+
+_WEEK_US = 7 * 24 * 3_600_000_000
+
+
+def anomalies_live_stream(
+    events: DataFrame,
+    watermark_delay: str = "10 seconds",
+    by: str = "user_id",
+    on: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The rolling z-score anomaly screen (q_rolling_anomalies,
+    queries_timeseries.py) served over a LIVE stream. An event's
+    baseline is every STRICTLY-EARLIER event of the same user inside
+    the trailing 7 days — so its verdict is knowable exactly when the
+    watermark passes its event time (no earlier event can still
+    arrive), and an out-of-order arrival correctly joins the
+    baselines of the events it precedes. Same stateful envelope as
+    transitions_live_stream:
+
+    - per key, state buffers (micros, id, value) triples; events
+      older than (watermark − 7 days) are evicted — they can sit in
+      no future baseline, so state is O(7-day horizon per user), the
+      bound a keyed-state streaming detector genuinely needs;
+    - finalized events score against the buffered strictly-earlier
+      slice with the batch query's exact semantics: integer-scaled
+      sums reproduce the DECIMAL(18,4)-sum-then-one-double-cast
+      value bit-for-bit, min-baseline-4 + var > 0 guards included;
+    - EventTimeTimeout set to the earliest pending event flushes
+      verdicts when the watermark advances with no new arrivals.
+
+    Emits one row per FINALIZED event: (id, key, ts_us, n_base,
+    zscore, is_anomaly). The drain test pins the streamed verdicts
+    row-equal to the batch query on the events the final watermark
+    passed."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{id_col} long, {by} long, ts_us long,"
+        " n_base long, zscore double, is_anomaly int"
+    )
+
+    def _fn(key, pdfs, state: GroupState):
+        buf: list[tuple[int, int, float]] = []
+        if state.exists:
+            s_ts, s_id, s_v = state.get
+            buf = [
+                (int(t), int(i), float(x))
+                for t, i, x in zip(s_ts, s_id, s_v)
+            ]
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for t, i, x in zip(
+                pdf["_us"].astype("int64"),
+                pdf[id_col].astype("int64"),
+                pdf[value_col].astype("float64"),
+            ):
+                buf.append((int(t), int(i), float(x)))
+        buf.sort()
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows = []
+        pend_ts = []
+        for k, (t, i, x) in enumerate(buf):
+            if t > wm_us:
+                pend_ts.append(t)
+                continue
+            base = [
+                bx
+                for bt, _, bx in buf[:k]
+                if bt >= t - _WEEK_US and bt < t
+            ]
+            n = len(base)
+            z = None
+            flag = 0
+            if n >= 2:
+                # EXACT batch semantics: the query sums DECIMAL(18,4)
+                # casts, then casts the exact sum to double once.
+                # Integer-scaled sums reproduce that bit-for-bit
+                # (float(exact int) and decimal->double both round the
+                # exact value to nearest once); a naive float
+                # accumulation drifts ~1e-13 and can cross the 1e-4
+                # quantizer's ties.
+                vi = [round(b * 10000) for b in base]
+                mean = (float(sum(vi)) / 10000.0) / n
+                var = (
+                    float(sum(q * q for q in vi)) / 1e8
+                ) / n - mean * mean
+                if var > 0:
+                    zr = (x - mean) / math.sqrt(var)
+                    # the batch query flags on the RAW z (the
+                    # quantizer only shapes the emitted column)
+                    flag = 1 if abs(zr) > 2.5 and n >= 4 else 0
+                    z = math.floor(zr * 10000 + 0.5) / 10000
+            rows.append((i, key[0], t, n, z, flag))
+
+        # evict only what no FUTURE baseline can reach: future events
+        # have ts > wm, their baselines reach back 7 days
+        keep = [(t, i, x) for t, i, x in buf if t >= wm_us - _WEEK_US]
+        if keep:
+            state.update(
+                (
+                    [t for t, _, _ in keep],
+                    [i for _, i, _ in keep],
+                    [x for _, _, x in keep],
+                )
+            )
+            if pend_ts:
+                state.setTimeoutTimestamp(min(pend_ts) // 1000 + 1)
+        else:
+            state.remove()
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array([r[0] for r in rows], dtype="Int64"),
+                    by: pd.array([r[1] for r in rows], dtype="Int64"),
+                    "ts_us": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "n_base": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "zscore": pd.array([r[4] for r in rows], dtype="float64"),
+                    "is_anomaly": pd.array(
+                        [r[5] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    keyed = events.withWatermark(on, watermark_delay).withColumn(
+        "_us", F.unix_micros(F.col(on).cast("timestamp_ltz"))
+    )
+    return keyed.groupBy(by).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -484,3 +484,64 @@ def test_rolling_anomalies_rate_sf0001(spark):
     flagged = df.filter(F.col("is_anomaly") == 1).count()
     # heavy-tailed values: some anomalies fire, but they stay rare
     assert 0 < flagged < n * 0.2
+
+
+def test_anomalies_live_stream_drain_equals_batch(spark, tmp_path, sf_dir):
+    """REAL sf0.001 events drained in two event-time-ordered batches:
+    streamed anomaly verdicts must equal the batch q_rolling_anomalies
+    rows the final watermark passed — zscore and flag included."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_rolling_anomalies,
+    )
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        anomalies_live_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cut = _sec(15 * 86400)
+    drop = tmp_path / "events"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(
+        str(drop)
+    )
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(
+        str(drop)
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out = anomalies_live_stream(stream, watermark_delay="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "verdicts"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["event_id"]: (r["n_base"], r["zscore"], r["is_anomaly"])
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = (max_us // 1000 - 10_000) * 1000
+    exp = {
+        r["event_id"]: (r["n_base"], r["zscore"], r["is_anomaly"])
+        for r in q_rolling_anomalies(spark, sf_dir)
+        .filter(F.unix_micros("ts") <= wm_us)
+        .collect()
+    }
+    assert set(got) == set(exp)
+    diffs = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
+    assert not diffs, dict(list(diffs.items())[:5])
+    # non-vacuous: some flags fired across the drain
+    assert sum(v[2] for v in exp.values()) > 0
