@@ -728,7 +728,10 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     - live transition pairs (transitions_live_stream): watermark-
       finalized adjacent (from, to) event pairs per user appended via
       the exactly-once file sink at out/transition_pairs, aggregated
-      to the Markov count matrix at out/transitions. The per-user
+      to the Markov count matrix at out/transitions;
+    - live anomaly verdicts (anomalies_live_stream): per-event
+      z-scores vs the trailing 7-day exclusive baseline at
+      out/anomalies, batch-exact on finalized events. The per-user
       tail (newest event / inside the horizon) stays pending by
       design — the batch q_event_transitions is the verdict of
       record for it.
@@ -754,6 +757,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         funnel_stream,
     )
     from clinvar_pipeline_spark.streaming.timeseries import (
+        anomalies_live_stream,
         ohlc_snapshot,
         ohlc_stream,
         transitions_live_stream,
@@ -818,6 +822,13 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         .option("checkpointLocation", f"{args.out}/_ckpt/transitions")
         .trigger(availableNow=True)
         .start(),
+        # live z-score anomaly verdicts (same exactly-once file sink)
+        anomalies_live_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{args.out}/anomalies")
+        .option("checkpointLocation", f"{args.out}/_ckpt/anomalies")
+        .trigger(availableNow=True)
+        .start(),
     ]
     for q in queries:
         q.awaitTermination()
@@ -836,10 +847,16 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     n_funnel = spark.read.parquet(f"{args.out}/funnel").count()
     n_ohlc = spark.read.parquet(f"{args.out}/ohlc").count()
     n_pairs = pairs.count()
+    n_anom = (
+        spark.read.parquet(f"{args.out}/anomalies")
+        .filter(F.col("is_anomaly") == 1)
+        .count()
+    )
     print(f"attribution: {n_attr}")
     print(f"funnel: {n_funnel}")
     print(f"ohlc: {n_ohlc}")
     print(f"transition_pairs: {n_pairs}")
+    print(f"anomalies_flagged: {n_anom}")
 
 
 def cmd_audit(spark: SparkSession, args) -> None:

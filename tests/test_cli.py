@@ -857,7 +857,25 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
         .filter(F.col("to_id").isNotNull() & (F.col("to_us") <= wm_us))
         .collect()
     }
+    def anom_rows():
+        return {
+            r["event_id"]: (r["n_base"], r["zscore"], r["is_anomaly"])
+            for r in spark.read.parquet(str(out / "anomalies")).collect()
+        }
+
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_rolling_anomalies,
+    )
+
+    exp_anom = {
+        r["event_id"]: (r["n_base"], r["zscore"], r["is_anomaly"])
+        for r in q_rolling_anomalies(spark, sf)
+        .filter(F.unix_micros("ts") <= wm_us)
+        .collect()
+    }
+    got_anom = anom_rows()
     got_pairs = pair_rows()
+    assert got_anom == exp_anom
     assert got_attr == exp_attr
     assert got_funnel == exp_funnel
     assert got_ohlc == exp_ohlc
@@ -874,6 +892,7 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
     assert funnel_rows() == exp_funnel
     assert ohlc_rows() == exp_ohlc
     assert pair_rows() == exp_pairs
+    assert anom_rows() == exp_anom
 
 
 def test_cli_corpus_prep_warc_ingest(spark, tmp_path):
