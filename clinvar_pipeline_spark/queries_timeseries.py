@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clinvar_pipeline_spark.queries import DEC4, _t, qround, register
+from clinvar_pipeline_spark.queries import DEC4, _persist, _t, qround, register
 
 HOUR_US = 3_600_000_000
 
@@ -106,6 +106,11 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
+    # both the spine bounds and the join probe read b: persist it so
+    # the events table is scanned ONCE (the two consumers' subplans
+    # differ in pushed filters, so Spark won't reuse the exchange);
+    # b is users x active-hours rows — tiny next to events at any SF
+    b = _persist(b)
     spine = (
         b.groupBy("user_id")
         .agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
