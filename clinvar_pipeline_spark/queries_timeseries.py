@@ -413,3 +413,69 @@ def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "active_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    wexp AS (
+        SELECT DISTINCT ud.day + CAST(i AS INTEGER) AS day, user_id
+        FROM ud CROSS JOIN
+             (SELECT unnest(generate_series(0, 6)) AS i) t),
+    wau AS (SELECT day, count(*) AS wau FROM wexp GROUP BY day),
+    mexp AS (
+        SELECT DISTINCT ud.day + CAST(i AS INTEGER) AS day, user_id
+        FROM ud CROSS JOIN
+             (SELECT unnest(generate_series(0, 29)) AS i) t),
+    mau AS (SELECT day, count(*) AS mau FROM mexp GROUP BY day)
+    SELECT day, dau, wau, mau
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: per active day, the distinct users active that
+    day, in the trailing 7 days, and in the trailing 30 days — the
+    engagement triple every product dashboard opens with. Rows are
+    emitted for ACTIVE days (a day with zero events reports nothing
+    rather than a zero row).
+
+    Scale: rolling COUNT DISTINCT has no window form — the plan here
+    is the canonical scalable shape: dedupe FIRST to (user, day)
+    pairs (one shuffle, collapsing arbitrarily many events per user-
+    day before any fan-out), then explode each pair into the ≤7 / ≤30
+    future days it supports and dedupe-count per target day. The
+    fan-out is bounded by 30 × user-days — independent of raw event
+    count — and every aggregate is map-side combinable. The approx
+    alternative at extreme scale is the mergeable HLL register sketch
+    (hll_distinct): max-merge 30 daily sketches instead of exploding;
+    this query is its exact twin on the events table."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(days: int, name: str) -> DataFrame:
+        exp = (
+            ud.select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(days - 1))
+                ).alias("i"),
+                "day",
+                "user_id",
+            )
+            .select(
+                F.date_add("day", F.col("i")).alias("day"), "user_id"
+            )
+            .distinct()
+        )
+        return exp.groupBy("day").agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(30, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+    )

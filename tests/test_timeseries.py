@@ -545,3 +545,31 @@ def test_anomalies_live_stream_drain_equals_batch(spark, tmp_path, sf_dir):
     assert not diffs, dict(list(diffs.items())[:5])
     # non-vacuous: some flags fired across the drain
     assert sum(v[2] for v in exp.values()) > 0
+
+
+# ---------------------------------------------------------------------
+# active_users (DAU / WAU / MAU)
+# ---------------------------------------------------------------------
+
+
+def test_active_users_vs_pandas(spark):
+    from clinvar_pipeline_spark.queries_timeseries import q_active_users
+
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["mau"])
+        for r in q_active_users(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(f"{SF}/events.parquet")[["ts", "user_id"]]
+    pdf["day"] = pd.to_datetime(pdf["ts"]).dt.date
+    ud = pdf[["day", "user_id"]].drop_duplicates()
+    days = sorted(ud["day"].unique())
+    assert set(got) == set(days)
+    for d in days:
+        dau = ud[ud["day"] == d]["user_id"].nunique()
+        w0 = d - dt.timedelta(days=6)
+        wau = ud[(ud["day"] >= w0) & (ud["day"] <= d)]["user_id"].nunique()
+        m0 = d - dt.timedelta(days=29)
+        mau = ud[(ud["day"] >= m0) & (ud["day"] <= d)]["user_id"].nunique()
+        assert got[d] == (dau, wau, mau), d
+    # monotone sanity: dau <= wau <= mau everywhere
+    assert all(v[0] <= v[1] <= v[2] for v in got.values())
