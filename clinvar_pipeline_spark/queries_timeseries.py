@@ -479,3 +479,150 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rolling(30, "mau"), "day")
         .select("day", "dau", "wau", "mau")
     )
+
+
+def _global_rank_tile(
+    df: DataFrame, sort_cols: list, k: int, out: str
+) -> DataFrame:
+    """(user_id, <out>): NTILE(k) of ``df``'s rows under the total
+    order ``sort_cols`` — WITHOUT a single-partition window. The
+    corpus_shuffle two-phase shape: range-partition on the sort key,
+    parallel per-partition row_number, exclusive prefix-sum of the
+    ~n_partitions counts, broadcast back; then Spark-side NTILE
+    arithmetic (first n % k tiles get the extra row — the SQL-standard
+    remainder rule DuckDB's native ntile applies, which the oracle
+    uses, making the two formulations independent)."""
+    part = df.repartitionByRange(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = _persist(
+        part.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(*sort_cols)
+            ),
+        )
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_total", F.sum("_cnt").over(Window.partitionBy(F.lit(1)))
+        )
+        .drop("_cnt")
+    )
+    rn = F.col("_offset") + F.col("_rn")
+    n = F.col("_total")
+    q = F.floor(n / k)
+    big = n % k
+    cut = big * (q + 1)
+    tile = F.when(rn <= cut, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        # q = 0 only when n < k, where every row satisfies rn <= cut;
+        # greatest() keeps the unused branch division total
+        big + F.floor((rn - cut - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        "user_id", tile.cast("long").alias(out)
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    agg AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                AS monetary
+            FROM p GROUP BY user_id),
+    r AS (SELECT user_id,
+            date_diff('day', CAST(last_ts AS DATE),
+                      (SELECT max(CAST(ts AS DATE)) FROM p))
+                AS recency_days,
+            frequency, monetary, last_ts
+          FROM agg)
+    SELECT user_id, recency_days, frequency, monetary,
+        ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS r_tile,
+        ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_tile,
+        ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_tile
+    FROM r
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (days since
+    last purchase, against the corpus's last purchase day), frequency
+    (purchase count) and monetary (exact DECIMAL spend), each cut
+    into NTILE(5) quintiles — the classic customer-value grid
+    (r_tile ranks by EXACT last-purchase time, most recent first, so
+    same-day ties stay total; f/m rank descending, user_id breaking
+    ties). The oracle is DuckDB's NATIVE ntile() — the Spark side
+    never calls ntile at all (see below), the asof-join style
+    independent-formulation pairing.
+
+    Scale: NTILE is a global-total-order operator; the naive Spark
+    form is a single-partition window over every user. Each quintile
+    here is instead the corpus_shuffle two-phase rank (range
+    exchange, parallel local row_number, prefix-summed offsets
+    broadcast back) + the SQL-standard remainder arithmetic, so the
+    plan stays parallel at any user count. The corpus-max date is a
+    sanctioned 1-row scalar collect (the lm_quality discipline)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    agg = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(F.col("value").cast(DEC4)).cast("double"), 4
+        ).alias("monetary"),
+    )
+    max_day = p.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    base = agg.select(
+        "user_id",
+        F.datediff(F.lit(max_day), F.to_date("last_ts")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
+        "last_ts",
+    )
+    base = _persist(base)
+    r = _global_rank_tile(
+        base.select(
+            "user_id", (-F.unix_micros("last_ts")).alias("k1")
+        ),
+        [F.col("k1"), F.col("user_id")],
+        5,
+        "r_tile",
+    )
+    f = _global_rank_tile(
+        base.select("user_id", (-F.col("frequency")).alias("k1")),
+        [F.col("k1"), F.col("user_id")],
+        5,
+        "f_tile",
+    )
+    m = _global_rank_tile(
+        base.select("user_id", (-F.col("monetary")).alias("k1")),
+        [F.col("k1"), F.col("user_id")],
+        5,
+        "m_tile",
+    )
+    return (
+        base.join(r, "user_id")
+        .join(f, "user_id")
+        .join(m, "user_id")
+        .select(
+            "user_id", "recency_days", "frequency", "monetary",
+            "r_tile", "f_tile", "m_tile",
+        )
+    )

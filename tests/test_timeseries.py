@@ -573,3 +573,55 @@ def test_active_users_vs_pandas(spark):
         assert got[d] == (dau, wau, mau), d
     # monotone sanity: dau <= wau <= mau everywhere
     assert all(v[0] <= v[1] <= v[2] for v in got.values())
+
+
+# ---------------------------------------------------------------------
+# rfm_segments (two-phase NTILE)
+# ---------------------------------------------------------------------
+
+
+def _py_ntile(n: int, k: int) -> list[int]:
+    # SQL-standard NTILE: first n % k tiles get the extra row
+    q, big = divmod(n, k)
+    out = []
+    for t in range(1, k + 1):
+        out.extend([t] * (q + 1 if t <= big else q))
+    return out
+
+
+def test_rfm_ntile_arithmetic_edges(spark):
+    from clinvar_pipeline_spark.queries_timeseries import (
+        _global_rank_tile,
+    )
+
+    # n = 7 (remainder 2) and n = 3 (< k): both against pure python
+    for n in (7, 3):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(n)], "user_id long, k1 double"
+        ).repartition(4)  # adversarial partitioning
+        got = {
+            r["user_id"]: r["t"]
+            for r in _global_rank_tile(
+                df, [F.col("k1"), F.col("user_id")], 5, "t"
+            ).collect()
+        }
+        want = dict(zip(range(n), _py_ntile(n, 5)))
+        assert got == want, (n, got)
+
+
+def test_rfm_segments_invariants(spark):
+    from clinvar_pipeline_spark.queries_timeseries import q_rfm_segments
+
+    rows = q_rfm_segments(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r["r_tile"] <= 5
+        assert 1 <= r["f_tile"] <= 5
+        assert 1 <= r["m_tile"] <= 5
+        assert r["recency_days"] >= 0
+    # quintiles are balanced: sizes differ by at most 1
+    from collections import Counter
+
+    for col in ("r_tile", "f_tile", "m_tile"):
+        sizes = Counter(r[col] for r in rows)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
