@@ -625,3 +625,112 @@ def test_rfm_segments_invariants(spark):
     for col in ("r_tile", "f_tile", "m_tile"):
         sizes = Counter(r[col] for r in rows)
         assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+
+
+# ---------------------------------------------------------------------
+# Property tests: random schedules vs plain-python recomputation
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_sched = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user
+        st.integers(min_value=0, max_value=300),    # minutes offset
+        st.integers(min_value=0, max_value=2000),   # value in cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_sched)
+def test_gap_fill_property_vs_python(spark, sched):
+    rows = [
+        (i, u, T0 + dt.timedelta(minutes=m), "view", c / 100.0, "{}")
+        for i, (u, m, c) in enumerate(sched)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/events.parquet"
+        )
+        got = {
+            (r["user_id"], r["h"]): (
+                r["observed"], r["locf"], r["v_interp"]
+            )
+            for r in q_gap_fill(spark, d).collect()
+        }
+
+    # python twin
+    byuser: dict = {}
+    for u, m, c in sched:
+        h = m // 60
+        byuser.setdefault(u, {}).setdefault(h, []).append(c / 100.0)
+    exp = {}
+    for u, buckets in byuser.items():
+        hmin, hmax = min(buckets), max(buckets)
+        obs = {
+            h: math.floor(
+                (sum(round(v * 10000) for v in vs) / 10000.0)
+                / len(vs) * 10000 + 0.5
+            ) / 10000
+            for h, vs in buckets.items()
+        }
+        known = sorted(obs)
+        for h in range(hmin, hmax + 1):
+            if h in obs:
+                exp[(u, _h(h))] = (1, obs[h], obs[h])
+            else:
+                ph = max(k for k in known if k < h)
+                nh = min(k for k in known if k > h)
+                locf = obs[ph]
+                interp = locf + (obs[nh] - locf) * (
+                    (h - ph) * 1.0 / (nh - ph)
+                )
+                exp[(u, _h(h))] = (
+                    0,
+                    locf,
+                    math.floor(interp * 10000 + 0.5) / 10000,
+                )
+    assert got == exp
+
+
+@settings(max_examples=12, deadline=None)
+@given(_sched)
+def test_transitions_property_vs_python(spark, sched):
+    rows = [
+        (i, u, T0 + dt.timedelta(minutes=m), f"t{c % 3}", 1.0, "{}")
+        for i, (u, m, c) in enumerate(sched)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/events.parquet"
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in q_event_transitions(spark, d).collect()
+        }
+    exp: dict = {}
+    byuser: dict = {}
+    for i, (u, m, c) in enumerate(sched):
+        byuser.setdefault(u, []).append((m, i, f"t{c % 3}"))
+    for evs in byuser.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    assert got == exp
