@@ -731,7 +731,10 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
       to the Markov count matrix at out/transitions;
     - live anomaly verdicts (anomalies_live_stream): per-event
       z-scores vs the trailing 7-day exclusive baseline at
-      out/anomalies, batch-exact on finalized events. The per-user
+      out/anomalies, batch-exact on finalized events;
+    - DAU/WAU/MAU (active_users_stream): the user-day set under the
+      idempotent set-union merge, report at out/active_users
+      (q_active_users' exact schema). The per-user
       tail (newest event / inside the horizon) stays pending by
       design — the batch q_event_transitions is the verdict of
       record for it.
@@ -757,6 +760,8 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         funnel_stream,
     )
     from clinvar_pipeline_spark.streaming.timeseries import (
+        active_users_snapshot,
+        active_users_stream,
         anomalies_live_stream,
         ohlc_snapshot,
         ohlc_stream,
@@ -829,6 +834,13 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         .option("checkpointLocation", f"{args.out}/_ckpt/anomalies")
         .trigger(availableNow=True)
         .start(),
+        # user-day set for DAU/WAU/MAU (idempotent set-union merge)
+        active_users_stream(
+            stream,
+            f"{args.out}/_active_epochs",
+            f"{args.out}/_ckpt/active",
+            compact_every=16,
+        ),
     ]
     for q in queries:
         q.awaitTermination()
@@ -836,6 +848,8 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     funnel.write.mode("overwrite").parquet(f"{args.out}/funnel")
     ohlc = ohlc_snapshot(spark, f"{args.out}/_ohlc_epochs")
     ohlc.write.mode("overwrite").parquet(f"{args.out}/ohlc")
+    au = active_users_snapshot(spark, f"{args.out}/_active_epochs")
+    au.write.mode("overwrite").parquet(f"{args.out}/active_users")
     pairs = spark.read.parquet(f"{args.out}/transition_pairs")
     (
         pairs.groupBy("from_type", "to_type")
@@ -855,8 +869,10 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     print(f"attribution: {n_attr}")
     print(f"funnel: {n_funnel}")
     print(f"ohlc: {n_ohlc}")
+    n_days = spark.read.parquet(f"{args.out}/active_users").count()
     print(f"transition_pairs: {n_pairs}")
     print(f"anomalies_flagged: {n_anom}")
+    print(f"active_user_days: {n_days}")
 
 
 def cmd_audit(spark: SparkSession, args) -> None:

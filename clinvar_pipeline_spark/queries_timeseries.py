@@ -456,6 +456,16 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = e.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
+    return active_user_counts(ud)
+
+
+def active_user_counts(ud: DataFrame) -> DataFrame:
+    """The DAU/WAU/MAU triple from a distinct (day, user_id) frame —
+    shared by the batch query above and the streamed snapshot
+    (streaming/timeseries.py active_users_snapshot): the pair set is
+    the operator's entire state, and set union is idempotent AND
+    associative, so the streamed merge needs no epoch algebra at
+    all."""
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
 
     def rolling(days: int, name: str) -> DataFrame:

@@ -408,3 +408,67 @@ def anomalies_live_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Streamed active users: the idempotent set-union sink
+# ---------------------------------------------------------------------
+
+
+def active_users_stream(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+):
+    """Streamed DAU/WAU/MAU state: each micro-batch's distinct
+    (day, user_id) pairs land epoch-keyed; the snapshot unions and
+    dedupes. Of the engine's streamed merge algebras (max-merge HLL,
+    ADD-merge Count-Min, min-merge funnel, argmin/argmax OHLC) this
+    is the degenerate-easy one — set union is idempotent AND
+    associative, so a replayed epoch is harmless even before the
+    epoch-keyed overwrite, and the compaction fold is a plain
+    distinct. Per-batch state is bounded by the batch's own
+    user-day spread; history lives in the sink."""
+
+    def _do(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                F.to_date("ts").alias("day"), "user_id"
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch={int(epoch_id)}")
+        )
+        if compact_every:
+            from clinvar_pipeline_spark.streaming.compaction import (
+                compact,
+                list_live_epochs,
+            )
+
+            spark = batch_df.sparkSession
+            if len(list_live_epochs(spark, out_path)) > compact_every:
+                compact(spark, out_path, fold=lambda df: df.distinct())
+
+    return (
+        events.writeStream.foreachBatch(_do)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def active_users_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """The DAU/WAU/MAU report under everything drained so far —
+    schema and values identical to the batch q_active_users."""
+    from clinvar_pipeline_spark.queries_timeseries import (
+        active_user_counts,
+    )
+    from clinvar_pipeline_spark.streaming.compaction import snapshot_parts
+
+    parts = snapshot_parts(spark, out_path)
+    if parts is None:
+        return spark.createDataFrame(
+            [], "day date, dau long, wau long, mau long"
+        )
+    return active_user_counts(parts.select("day", "user_id").distinct())

@@ -873,8 +873,24 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
         .filter(F.unix_micros("ts") <= wm_us)
         .collect()
     }
+    def au_rows():
+        return {
+            r["day"]: (r["dau"], r["wau"], r["mau"])
+            for r in spark.read.parquet(
+                str(out / "active_users")
+            ).collect()
+        }
+
+    from clinvar_pipeline_spark.queries_timeseries import q_active_users
+
+    exp_au = {
+        r["day"]: (r["dau"], r["wau"], r["mau"])
+        for r in q_active_users(spark, sf).collect()
+    }
+    got_au = au_rows()
     got_anom = anom_rows()
     got_pairs = pair_rows()
+    assert got_au == exp_au
     assert got_anom == exp_anom
     assert got_attr == exp_attr
     assert got_funnel == exp_funnel
@@ -893,6 +909,7 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
     assert ohlc_rows() == exp_ohlc
     assert pair_rows() == exp_pairs
     assert anom_rows() == exp_anom
+    assert au_rows() == exp_au
 
 
 def test_cli_corpus_prep_warc_ingest(spark, tmp_path):

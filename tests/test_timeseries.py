@@ -734,3 +734,39 @@ def test_transitions_property_vs_python(spark, sched):
         for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
             exp[(a, b)] = exp.get((a, b), 0) + 1
     assert got == exp
+
+
+def test_active_users_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Streamed user-day set: two-batch drain with compaction on; the
+    snapshot triple equals the batch q_active_users row-for-row."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_active_users
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        active_users_snapshot,
+        active_users_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    drop = tmp_path / "events"
+    ev.repartition(2).write.parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out, ckpt = str(tmp_path / "au"), str(tmp_path / "ckpt_au")
+    q = active_users_stream(stream, out, ckpt, compact_every=1)
+    q.awaitTermination(120)
+
+    def rows(df):
+        return {
+            r["day"]: (r["dau"], r["wau"], r["mau"]) for r in df.collect()
+        }
+
+    got = rows(active_users_snapshot(spark, out))
+    exp = rows(q_active_users(spark, sf_dir))
+    assert got == exp and len(exp) > 0
