@@ -50,6 +50,12 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         from JSONL with corrupt lines counted; --warc ingests from
         WARC archives — the Common Crawl format — with skipped
         record types and corrupt tails counted)
+    python -m clinvar_pipeline_spark --eventReport [--sf TABLE_DIR]
+        --out OUT
+        (batch event-analytics suite: windows, gap-fill/rolling/OHLC/
+        anomalies, transitions, DAU-WAU-MAU, RFM, as-of attribution,
+        funnel/cohort/pivot/CUBE — one parquet dir per query +
+        counters)
     python -m clinvar_pipeline_spark --eventStream [--sf TABLE_DIR]
         --out OUT
         (temporal suite served as streaming ingest: arriving
@@ -875,6 +881,55 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     print(f"active_user_days: {n_days}")
 
 
+EVENT_REPORT_QUERIES = [
+    # the event-analytics suite as one runnable batch job (the
+    # --corpusPrep pattern for the events table): windows, the
+    # time-series grid, temporal joins, and the engagement reports
+    "sliding_window",
+    "tumbling_rollup",
+    "session_windows",
+    "gap_fill",
+    "rolling_stats",
+    "rolling_anomalies",
+    "ohlc_resample",
+    "event_transitions",
+    "active_users",
+    "rfm_segments",
+    "asof_attribution",
+    "range_join_conversions",
+    "event_funnel",
+    "cohort_retention",
+    "event_type_pivot",
+    "json_props_stats",
+    "event_cube",
+]
+
+
+def cmd_event_report(spark: SparkSession, args) -> None:
+    """--eventReport: the batch event-analytics suite over a table
+    directory — one parquet dir per query under --out plus a counters
+    frame (the --corpusPrep discipline applied to the events table;
+    --eventStream is the streaming counterpart of its incremental
+    subset)."""
+    from clinvar_pipeline_spark import queries as Q
+    from clinvar_pipeline_spark.caching import release_cached
+
+    sf = args.sf or "/root/testdata/sf0.001"
+    reg = Q.queries()
+    counters: list[tuple[str, int]] = []
+    for name in EVENT_REPORT_QUERIES:
+        reg[name](spark, sf).write.mode("overwrite").parquet(
+            f"{args.out}/{name}"
+        )
+        n = spark.read.parquet(f"{args.out}/{name}").count()
+        counters.append((name, n))
+        print(f"{name}: {n}")
+    spark.createDataFrame(
+        counters, "stage string, n_rows long"
+    ).write.mode("overwrite").parquet(f"{args.out}/run_counters")
+    release_cached()
+
+
 def cmd_audit(spark: SparkSession, args) -> None:
     """--audit: the ops-facing counterpart of the reference's run-stat
     counter email — skew-cap drop counts plus a physical-plan smell
@@ -902,6 +957,7 @@ def main(argv: list[str] | None = None) -> None:
         "--qcDuplicateTermsAndSynonyms",
         "--corpusPrep",
         "--eventStream",
+        "--eventReport",
         "--audit",
     ):
         mode.add_argument(flag, action="store_true")
@@ -961,6 +1017,8 @@ def main(argv: list[str] | None = None) -> None:
             cmd_corpus_prep(spark, args)
     elif args.eventStream:
         cmd_event_stream(spark, args)
+    elif args.eventReport:
+        cmd_event_report(spark, args)
     elif args.audit:
         cmd_audit(spark, args)
 

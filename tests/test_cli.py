@@ -968,3 +968,26 @@ def test_cli_corpus_prep_warc_ingest(spark, tmp_path):
     }
     profile = spark.read.parquet(str(tmp_path / "prep" / "text_profile"))
     assert profile.count() == 2
+
+
+def test_cli_event_report_lands_every_stage(spark, tmp_path):
+    """--eventReport: every stage lands non-empty (where the suite
+    guarantees rows at sf0.001) with counts matching the registry."""
+    from clinvar_pipeline_spark.cli import EVENT_REPORT_QUERIES, main
+    from clinvar_pipeline_spark.queries import queries as reg_fn
+
+    sf = "/root/testdata/sf0.001"
+    out = tmp_path / "ereport"
+    main(["--eventReport", "--sf", sf, "--out", str(out)])
+
+    reg = reg_fn()
+    counters = {
+        r["stage"]: r["n_rows"]
+        for r in spark.read.parquet(str(out / "run_counters")).collect()
+    }
+    assert set(counters) == set(EVENT_REPORT_QUERIES)
+    for name in EVENT_REPORT_QUERIES:
+        landed = spark.read.parquet(str(out / name)).count()
+        assert landed == counters[name]
+        assert landed == reg[name](spark, sf).count(), name
+        assert landed > 0, name
