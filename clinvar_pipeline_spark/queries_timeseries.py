@@ -636,3 +636,50 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_tile", "f_tile", "m_tile",
         )
     )
+
+
+@register(
+    "ohlc_unpivot",
+    """
+    WITH ohlc AS (
+        SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+            first(value ORDER BY ts, event_id) AS open,
+            max(value) AS high,
+            min(value) AS low,
+            last(value ORDER BY ts, event_id) AS close
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2)
+    SELECT user_id, h, metric, v
+    FROM ohlc UNPIVOT (v FOR metric IN (open, high, low, close))
+    """,
+)
+def q_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form export of the OHLC matrix: one (user, hour, metric,
+    value) row per candlestick field — the wide→long UNPIVOT/melt
+    operator, and the layout a metrics/time-series store ingests
+    (metric name as a tag column, not a schema column). The oracle is
+    DuckDB's native UNPIVOT against Spark's native `unpivot` — two
+    engines' dedicated operators checked against each other.
+
+    Scale: unpivot is a map-only projection (each input row emits a
+    fixed 4 rows, no shuffle added to the upstream aggregate); the
+    upstream is q_ohlc_resample's combiner-friendly groupBy."""
+    e = _t(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    ohlc = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+        )
+    )
+    return ohlc.unpivot(
+        ids=["user_id", "h"],
+        values=["open", "high", "low", "close"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )

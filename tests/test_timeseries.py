@@ -770,3 +770,19 @@ def test_active_users_stream_equals_batch(spark, tmp_path, sf_dir):
     got = rows(active_users_snapshot(spark, out))
     exp = rows(q_active_users(spark, sf_dir))
     assert got == exp and len(exp) > 0
+
+
+def test_ohlc_unpivot_reshapes_exactly(spark):
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_ohlc_unpivot,
+    )
+
+    wide = {
+        (r["user_id"], r["h"]): r
+        for r in q_ohlc_resample(spark, SF).collect()
+    }
+    long_rows = q_ohlc_unpivot(spark, SF).collect()
+    # exactly 4 metric rows per bucket, values matching the wide form
+    assert len(long_rows) == 4 * len(wide)
+    for r in long_rows:
+        assert r["v"] == wide[(r["user_id"], r["h"])][r["metric"]]
