@@ -683,3 +683,104 @@ def q_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="v",
     )
+
+
+@register(
+    "type_correlation",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    filled AS (
+        SELECT day, event_type, COALESCE(n, 0) AS n
+        FROM days CROSS JOIN types LEFT JOIN d USING (day, event_type)),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS x, b.n AS y
+        FROM filled a JOIN filled b USING (day)
+        WHERE a.event_type < b.event_type),
+    s AS (
+        SELECT type_a, type_b, count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2)
+    SELECT type_a, type_b, n AS n_days,
+        CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN floor((n * sxy - sx * sy) * 1.0
+                        / sqrt((n * sxx - sx * sx) * 1.0
+                               * (n * syy - sy * sy))
+                        * 1000000 + 0.5) / 1000000 END AS pearson_r
+    FROM s
+    """,
+)
+def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event-type DAILY
+    count series — "do error spikes co-move with signups?", the
+    cross-metric screen an observability store runs over its tag
+    dimension. Days where a type is silent COUNT AS ZERO (the
+    zero-fill is what makes the correlation honest — skipping absent
+    days biases r toward busy days). NULL r for constant series
+    (zero variance on either side).
+
+    Scale: daily counts are one map-side-combined groupBy; the
+    zero-fill spine is a map-only explode of the BOUNDED type list
+    (collected once, the sanctioned |types|-row scalar — a crossJoin
+    would plan BroadcastNestedLoopJoin, audit-rejected); the pair
+    frame is days × |types|² rows; all moments are exact integer
+    sums, the correlation formula a double expression spelled
+    identically in the oracle with the qround quantizer."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    d = _persist(d)
+    types = sorted(
+        r[0] for r in d.select("event_type").distinct().collect()
+    )
+    spine = (
+        d.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.explode(
+                F.array(*[F.lit(t) for t in types])
+            ).alias("event_type"),
+        )
+    )
+    full = spine.join(d, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    a = full.select(
+        "day", F.col("event_type").alias("type_a"), F.col("n").alias("x")
+    )
+    b = full.select(
+        "day", F.col("event_type").alias("type_b"), F.col("n").alias("y")
+    )
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    s = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        qround(
+            (n * sxy - sx * sy) * F.lit(1.0)
+            / F.sqrt(vx * F.lit(1.0) * vy),
+            6,
+        ),
+    )
+    return s.select(
+        "type_a", "type_b", n.alias("n_days"), r.alias("pearson_r")
+    )

@@ -786,3 +786,31 @@ def test_ohlc_unpivot_reshapes_exactly(spark):
     assert len(long_rows) == 4 * len(wide)
     for r in long_rows:
         assert r["v"] == wide[(r["user_id"], r["h"])][r["metric"]]
+
+
+def test_type_correlation_vs_numpy(spark):
+    import numpy as np
+
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_type_correlation,
+    )
+
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_days"], r["pearson_r"])
+        for r in q_type_correlation(spark, SF).collect()
+    }
+    pdf = pd.read_parquet(f"{SF}/events.parquet")[["ts", "event_type"]]
+    pdf["day"] = pd.to_datetime(pdf["ts"]).dt.date
+    counts = (
+        pdf.groupby(["day", "event_type"]).size().unstack(fill_value=0)
+    )
+    types = sorted(counts.columns)
+    # all unordered pairs present
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            n, r = got[(a, b)]
+            assert n == len(counts)
+            want = np.corrcoef(counts[a], counts[b])[0, 1]
+            assert abs(r - want) < 1e-4, (a, b)
+            assert -1.0 <= r <= 1.0
