@@ -550,8 +550,11 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         save_langid_model,
         save_quality_model,
         scrub_stream,
+        divergence_snapshot,
+        token_count_stream,
         train_dsir_weights,
         train_quality_weights,
+        zipf_snapshot,
     )
 
     sf = args.sf or "/root/testdata/sf0.001"
@@ -684,9 +687,27 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
             # landed cm_sketch snapshot stays a complete overwrite
             compact_every=16,
         ),
+        # running raw (source, token) counts: the ADD-merge delta
+        # sink that serves BOTH corpus-health reports below (the
+        # Zipf fit and the per-source KL drift screen)
+        token_count_stream(
+            docs,
+            f"{args.out}/_token_counts",
+            f"{args.out}/_ckpt/token_counts",
+            compact_every=16,
+        ),
     ]
     for q in queries:
         q.awaitTermination()
+    # the corpus-health reports under everything drained so far —
+    # equal to the batch zipf_fit / source_divergence registry
+    # queries on the same corpus (pinned by tests)
+    zipf_snapshot(spark, f"{args.out}/_token_counts").write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/zipf_fit")
+    divergence_snapshot(spark, f"{args.out}/_token_counts").write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/source_divergence")
     counters = []
     for name in (
         "pii_scrub",
@@ -699,6 +720,8 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "hll_distinct",
         "cm_sketch",
         "dsir_weights",
+        "zipf_fit",
+        "source_divergence",
     ):
         if name == "neardup_flags":
             # compacted sink: the base dir is hidden from raw reads by

@@ -3764,6 +3764,15 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return zipf_fit_from_counts(cnt)
+
+
+def zipf_fit_from_counts(cnt: DataFrame) -> DataFrame:
+    """The Zipf least-squares fit from a (t, c) token-count frame —
+    shared by the batch query above and the streamed snapshot
+    (streaming/corpus.zipf_snapshot): token counts are ADD-mergeable,
+    so the streamed sink only has to land count deltas and re-derive
+    the fit from their sum."""
     top = cnt.orderBy(F.desc("c"), "t").limit(ZIPF_TOP)
     w = Window.orderBy(F.desc("c"), "t")
     ranked = top.select(
@@ -3847,6 +3856,14 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "t")
         .agg(F.count(F.lit(1)).alias("cst"))
     )
+    return source_divergence_from_counts(st)
+
+
+def source_divergence_from_counts(st: DataFrame) -> DataFrame:
+    """KL(source ‖ corpus) from a (source, t, cst) count frame —
+    shared by the batch query above and the streamed snapshot
+    (streaming/corpus.divergence_snapshot), the zipf_fit_from_counts
+    factoring applied to the drift screen."""
     st = _persist(st)
     ct = st.groupBy("t").agg(F.sum("cst").alias("ct"))
     # the corpus total rides the SOURCES frame (cardinality-of-source

@@ -915,3 +915,96 @@ def cm_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------
+# Streamed token counts -> Zipf fit + source-KL drift (ADD-merge sink)
+# ---------------------------------------------------------------------
+
+
+def token_count_stream(
+    docs: DataFrame,
+    deltas_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+):
+    """Streaming (source, token) count sink: per micro-batch, the
+    batch's tokenized counts land as an epoch-keyed ADD-merge delta
+    (the cm_stream algebra on the raw count table instead of sketch
+    cells). One sink serves BOTH corpus-health reports — the Zipf
+    fit (zipf_snapshot sums out source) and the per-source KL drift
+    screen (divergence_snapshot) — each equal to its batch registry
+    query after a drain. Compaction fold is the re-sum, linear by
+    associativity of +; deltas are vocab × sources bounded per
+    epoch."""
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+
+    def _do(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                "source",
+                F.explode(normalized_tokens(F.col("text"))).alias("t"),
+            )
+            .groupBy("source", "t")
+            .agg(F.count(F.lit(1)).alias("cst"))
+            .write.mode("overwrite")
+            .parquet(f"{deltas_path}/epoch={int(epoch_id)}")
+        )
+        if compact_every:
+            from clinvar_pipeline_spark.streaming.compaction import (
+                compact,
+                list_live_epochs,
+            )
+
+            spark = batch_df.sparkSession
+            if len(list_live_epochs(spark, deltas_path)) > compact_every:
+                compact(
+                    spark,
+                    deltas_path,
+                    fold=lambda df: df.groupBy("source", "t").agg(
+                        F.sum("cst").alias("cst")
+                    ),
+                )
+
+    return (
+        docs.writeStream.foreachBatch(_do)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def token_counts_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """The merged (source, t, cst) table under everything drained."""
+    from clinvar_pipeline_spark.streaming.compaction import snapshot_parts
+
+    parts = snapshot_parts(spark, deltas_path)
+    if parts is None:
+        return spark.createDataFrame(
+            [], "source string, t string, cst long"
+        )
+    return parts.groupBy("source", "t").agg(F.sum("cst").alias("cst"))
+
+
+def zipf_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Zipf fit under everything drained — equals batch q_zipf_fit."""
+    from clinvar_pipeline_spark.queries_llm import zipf_fit_from_counts
+
+    cnt = (
+        token_counts_snapshot(spark, deltas_path)
+        .groupBy("t")
+        .agg(F.sum("cst").alias("c"))
+    )
+    return zipf_fit_from_counts(cnt)
+
+
+def divergence_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Per-source KL drift under everything drained — equals batch
+    q_source_divergence."""
+    from clinvar_pipeline_spark.queries_llm import (
+        source_divergence_from_counts,
+    )
+
+    return source_divergence_from_counts(
+        token_counts_snapshot(spark, deltas_path)
+    )

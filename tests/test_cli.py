@@ -510,7 +510,20 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "hll_distinct",
         "cm_sketch",
         "dsir_weights",
+        "zipf_fit",
+        "source_divergence",
     }
+    # the landed corpus-health reports equal their batch registry
+    # queries on the same corpus (ADD-merged token-count sink)
+    from clinvar_pipeline_spark.queries import queries as _qreg0
+
+    for rep in ("zipf_fit", "source_divergence"):
+        got_rep = rows("sprep", rep)
+        df = _qreg0()[rep](spark, "/root/testdata/sf0.001")
+        want_rep = sorted(
+            tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+        )
+        assert got_rep == want_rep, rep
     # the streamed CM snapshot equals the batch sketch cell-for-cell
     # (the counters-are-linear epoch-delta sum)
     from clinvar_pipeline_spark.queries_curation import cm_sketch_frame

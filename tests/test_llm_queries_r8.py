@@ -126,3 +126,48 @@ def test_source_divergence_vs_scipy_free_python(spark):
         assert got[src][0] == tsum[src]
         assert abs(got[src][1] - kl) < 1e-3, src
         assert got[src][1] >= 0  # KL is non-negative
+
+
+def test_token_count_stream_zipf_and_kl_equal_batch(spark, tmp_path):
+    """Streamed (source, token) counts: two-batch drain with
+    compaction on; zipf_snapshot and divergence_snapshot equal their
+    batch registry queries."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_llm import (
+        q_source_divergence,
+        q_zipf_fit,
+    )
+    from clinvar_pipeline_spark.streaming.corpus import (
+        divergence_snapshot,
+        token_count_stream,
+        zipf_snapshot,
+    )
+
+    docs = _t(spark, SF, "documents").select("doc_id", "source", "text")
+    drop = tmp_path / "docs"
+    docs.repartition(2).write.parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    deltas, ckpt = str(tmp_path / "tok"), str(tmp_path / "ckpt_tok")
+    q = token_count_stream(stream, deltas, ckpt, compact_every=1)
+    q.awaitTermination(120)
+
+    zs = zipf_snapshot(spark, deltas).collect()[0]
+    zb = q_zipf_fit(spark, SF).collect()[0]
+    assert (zs["n_terms"], zs["zipf_slope"], zs["zipf_intercept"]) == (
+        zb["n_terms"], zb["zipf_slope"], zb["zipf_intercept"]
+    )
+
+    ds = {
+        r["source"]: (r["n_tokens"], r["kl_divergence"])
+        for r in divergence_snapshot(spark, deltas).collect()
+    }
+    db = {
+        r["source"]: (r["n_tokens"], r["kl_divergence"])
+        for r in q_source_divergence(spark, SF).collect()
+    }
+    assert ds == db and len(db) > 0
