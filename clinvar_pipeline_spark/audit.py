@@ -50,6 +50,11 @@ WAIVERS: dict[str, set[str]] = {
     # full-corpus variants route through the IVF-PQ index
     "hard_negatives": {"nested-loop-join"},
     "knn_label_noise": {"nested-loop-join"},
+    # the Q22-shape scalar-subquery threshold: the ONE-ROW aggregate
+    # (global cutoff) broadcast against customer — Catalyst's own
+    # decorrelation of a scalar subquery is this exact plan; the
+    # build side is 1 row by construction at any SF
+    "idle_rich_customers": {"nested-loop-join"},
 }
 
 
