@@ -55,6 +55,9 @@ WAIVERS: dict[str, set[str]] = {
     # decorrelation of a scalar subquery is this exact plan; the
     # build side is 1 row by construction at any SF
     "idle_rich_customers": {"nested-loop-join"},
+    # the Nuni/Nbi totals are a 1-row frame broadcast against the
+    # vocabulary-bounded pair-count table — the scalar-subquery plan
+    "pmi_collocations": {"nested-loop-join"},
 }
 
 

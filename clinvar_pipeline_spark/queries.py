@@ -1337,6 +1337,7 @@ from clinvar_pipeline_spark import queries_curation  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_temporal  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_timeseries  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_relational  # noqa: E402,F401
+from clinvar_pipeline_spark import queries_text  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry order IS the attestation surface: the correctness driver
@@ -1416,7 +1417,7 @@ def _reorder_registry() -> None:
         not hasattr(_m, "__spec__") or getattr(_m.__spec__, "_initializing", False)
         for _m in (queries_domain, queries_domain2, queries_llm,
                    queries_curation, queries_temporal,
-                   queries_timeseries, queries_relational)
+                   queries_timeseries, queries_relational, queries_text)
     ):
         return  # mid-circular-import; re-run when the registry is full
     assert not missing, f"check window names unknown queries: {missing}"
