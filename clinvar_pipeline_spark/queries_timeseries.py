@@ -784,3 +784,111 @@ def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "type_a", "type_b", n.alias("n_days"), r.alias("pearson_r")
     )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value,
+           floor((d.value - d.med) / (1.4826 * m2.mad)
+                 * 10000 + 0.5) / 10000 AS robust_z
+    FROM dev d JOIN mad m2 USING (event_type)
+    WHERE m2.mad > 0
+      AND abs((d.value - d.med) / (1.4826 * m2.mad)) > 3.5
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: |x − median| > 3.5 MADs (the
+    Iglewicz-Hoaglin cut, MAD scaled by 1.4826 to be a consistent
+    sigma estimator). The MEAN/STDDEV z-screen (rolling_anomalies)
+    is itself dragged by the outliers it hunts — median/MAD has a
+    50% breakdown point, the standard screen for heavy-tailed
+    metrics, and this corpus's values are heavy-tailed (max robust-z
+    ≈ 12 at sf0.01 where a normal tail would stop near 4).
+
+    Scale: two grouped EXACT medians (percentile over the |types|
+    groups — each group's sort is distributed by the aggregate, no
+    global single-partition window), each followed by a broadcast of
+    the |types|-row stat table back onto the stream; the flagged set
+    is the only output. The z expression and its 3.5 gate are spelled
+    with the identical operation order in the oracle, so the cut is
+    engine-deterministic (mad > 0 guards the degenerate constant
+    group in both engines identically)."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    dev = _persist(dev)  # feeds the MAD aggregate AND the final scan
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            qround(z, 4).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "event_trigrams",
+    """
+    WITH s AS (
+        SELECT event_type AS t1,
+               lead(event_type) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, count(*) AS n
+    FROM s WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 25
+    """,
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral sequences (second-order path mining):
+    the most frequent (t1 → t2 → t3) windows over per-user
+    (ts, event_id)-ordered streams — the path-analysis upgrade of
+    the first-order Markov matrix (q_event_transitions), catching
+    patterns the pairwise view factorizes away (e.g. view→click→
+    purchase vs view→click→error diverge only at depth 3).
+
+    Scale: identical envelope to event_transitions — one user_id
+    shuffle for the two lead() passes (same window, one WindowExec),
+    then a groupBy over at most |types|³ = 125 groups, map-side
+    combined. Top-25 by count with the full lexicographic tiebreak
+    compiles to TakeOrderedAndProject; integer counts make the cut
+    exact in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        s.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(25)
+    )

@@ -814,3 +814,88 @@ def test_type_correlation_vs_numpy(spark):
             want = np.corrcoef(counts[a], counts[b])[0, 1]
             assert abs(r - want) < 1e-4, (a, b)
             assert -1.0 <= r <= 1.0
+
+
+# ---------------------------------------------------------------------
+# mad_outliers / event_trigrams (r8 additions) vs pure-Python twins
+# ---------------------------------------------------------------------
+
+def test_mad_outliers_matches_numpy_twin(spark, sf_dir):
+    """Exact median/MAD recount with numpy over the real corpus; the
+    flagged set and every robust-z must match bit-for-bit at the
+    quantizer scale."""
+    import numpy as np
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_mad_outliers
+
+    rows = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    exp = {}
+    for t, rs in by_type.items():
+        vals = np.array([r["value"] for r in rs])
+        med = float(np.percentile(vals, 50, method="linear"))
+        mad = float(np.percentile(np.abs(vals - med), 50, method="linear"))
+        if mad <= 0:
+            continue
+        for r in rs:
+            z = (r["value"] - med) / (1.4826 * mad)
+            if abs(z) > 3.5:
+                exp[r["event_id"]] = (t, math.floor(z * 1e4 + 0.5) / 1e4)
+    got = {r["event_id"]: (r["event_type"], r["robust_z"])
+           for r in q_mad_outliers(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for k, (t, z) in exp.items():
+        assert got[k][0] == t
+        assert got[k][1] == pytest.approx(z, abs=1e-9)
+
+
+def test_mad_screen_resists_the_outliers_it_hunts(spark):
+    """The breakdown-point argument made concrete: one huge spike
+    must not drag the cut the way it drags a mean/std z-screen."""
+    import numpy as np
+
+    base = [float(x) for x in range(1, 100)]  # 1..99, median 50
+    spiked = base + [1e9]
+    vals = np.array(spiked)
+    med = float(np.percentile(vals, 50))
+    mad = float(np.percentile(np.abs(vals - med), 50))
+    assert abs((1e9 - med) / (1.4826 * mad)) > 3.5  # spike flagged
+    # none of the ordinary points get flagged despite the spike
+    assert all(
+        abs((v - med) / (1.4826 * mad)) <= 3.5 for v in base
+    )
+    # while the classic z-screen goes blind: sigma is so inflated the
+    # spike is the ONLY point above even z=1, and its own z is tiny
+    mu, sd = vals.mean(), vals.std()
+    assert abs((1e9 - mu) / sd) < 10  # 10-sigma event reads as ~10
+    assert all(abs((v - mu) / sd) < 0.2 for v in base)
+
+
+def test_event_trigrams_matches_counter_twin(spark, sf_dir):
+    from collections import Counter
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_event_trigrams
+
+    rows = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    c: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        c.update(zip(types, types[1:], types[2:]))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [((r["t1"], r["t2"], r["t3"]), r["n"])
+           for r in q_event_trigrams(spark, sf_dir).collect()]
+    assert got == ranked
