@@ -66,3 +66,53 @@ def salted_groupby_agg(
     return phase1.groupBy(*key_cols).agg(
         *[expr.alias(name) for name, expr in final_aggs.items()]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+    salt_basis: list[str] | None = None,
+) -> DataFrame:
+    """Skew-tolerant large×large equi-join: salt the skewed LEFT side,
+    replicate the RIGHT side across every salt, join on (key, salt).
+
+    The shape AQE's skew split can't always save: a sort-merge join
+    whose hot key overflows one task both sides at once (AQE splits
+    the left partition but each split still matches the full right
+    slice), or a join forced to shuffle-hash where AQE skew handling
+    doesn't apply. Salting makes the spread explicit and planner-
+    independent: the hot key's left rows land on ``n_salts`` tasks,
+    each seeing the complete right slice for that key.
+
+    Cost model (the reason this is opt-in, not default): the right
+    side is replicated ``n_salts``× through the exchange — correct
+    sizing is ``n_salts ≈ hot-key rows / target-task rows``, with the
+    right side the SMALLER (but non-broadcastable) relation. Both
+    sides shuffle once, exactly like the unsalted join, just on the
+    wider (key, salt) key.
+
+    Semantics: inner and left joins are supported (each left row
+    carries exactly one salt, so no duplication and no lost rows;
+    for ``left`` joins an unmatched row surfaces exactly once because
+    its single salt pairs with the one replica holding its salt
+    value). Right/full joins would surface unmatched RIGHT rows once
+    per replica — refused.
+
+    The salt is deterministic (xxhash64 over ``salt_basis`` or all
+    left columns): reruns and retries see identical placement, the
+    engine's reproducibility discipline."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: how={how!r} not in ('inner','left')")
+    overlap = set(left.columns) & set(right.columns) - set(on)
+    if overlap:
+        raise ValueError(
+            f"salted_join: ambiguous non-key columns {sorted(overlap)}"
+        )
+    lhs = with_salt(left, n_salts, *(salt_basis or left.columns))
+    rhs = right.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn(SALT_COL, F.col(SALT_COL).cast("int"))
+    return lhs.join(rhs, [*on, SALT_COL], how).drop(SALT_COL)

@@ -712,6 +712,72 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "skew_salted_join",
+    """
+    WITH profile AS (
+        SELECT user_id,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                 AS total_value,
+               CASE WHEN sum(CAST(value AS DECIMAL(18,4))) >= 3300
+                    THEN 'high' ELSE 'low' END AS tier
+        FROM events GROUP BY user_id)
+    SELECT e.event_type, p.tier, count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS segment_value
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    GROUP BY e.event_type, p.tier
+    ORDER BY event_type, tier
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant large x large join (operators/skew.py
+    salted_join): enrich the event stream with a per-user profile
+    built from the stream itself — the fact x fact self-enrichment
+    where BOTH sides are data-sized (no broadcast escape) and a hot
+    user would overflow one sort-merge task on both sides at once,
+    the case AQE's one-sided skew split doesn't fully cover. The left
+    side carries a deterministic xxhash64 salt; the profile side
+    replicates across the 16 salts; the join key widens to
+    (user_id, salt). Results are identical to the plain join (the
+    oracle IS the plain formulation); only the physical spread
+    differs.
+
+    Scale: both sides shuffle exactly once (same as unsalted — just
+    on the wider key); the replication cost is n_salts x the SMALLER
+    side, the documented sizing rule. The tier threshold is an exact
+    DECIMAL comparison so the segment boundary is engine-identical."""
+    from clinvar_pipeline_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    profile = e.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast(DEC4)).cast("double"), 4
+        ).alias("total_value"),
+        F.when(
+            F.sum(F.col("value").cast(DEC4)) >= 3300, F.lit("high")
+        ).otherwise(F.lit("low")).alias("tier"),
+    )
+    enriched = salted_join(
+        e.select("user_id", "event_type", "value"),
+        profile,
+        on=["user_id"],
+        n_salts=16,
+        salt_basis=["user_id", "event_type", "value"],
+    )
+    return (
+        enriched.groupBy("event_type", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast(DEC4)).cast("double"), 4
+            ).alias("segment_value"),
+        )
+        .orderBy("event_type", "tier")
+    )
+
+
 # (BPE-ish token counting and the rolling-hash fingerprint live in the
 # fused single-pass profiles: queries.py text_profile / doc_fingerprint)
 
