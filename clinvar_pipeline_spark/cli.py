@@ -758,6 +758,10 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
       finalized adjacent (from, to) event pairs per user appended via
       the exactly-once file sink at out/transition_pairs, aggregated
       to the Markov count matrix at out/transitions;
+    - live trigram windows (ngrams_live_stream n=3, the same state
+      machine one order deeper): finalized 3-step paths at
+      out/trigram_windows, aggregated to the depth-3 path counts at
+      out/trigrams (q_event_trigrams' ranking input);
     - live anomaly verdicts (anomalies_live_stream): per-event
       z-scores vs the trailing 7-day exclusive baseline at
       out/anomalies, batch-exact on finalized events;
@@ -792,6 +796,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         active_users_snapshot,
         active_users_stream,
         anomalies_live_stream,
+        ngrams_live_stream,
         ohlc_snapshot,
         ohlc_stream,
         transitions_live_stream,
@@ -856,6 +861,14 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         .option("checkpointLocation", f"{args.out}/_ckpt/transitions")
         .trigger(availableNow=True)
         .start(),
+        # live trigram windows (n=3 of the same state machine; same
+        # commit-log exactly-once file sink)
+        ngrams_live_stream(stream, n=3)
+        .writeStream.format("parquet")
+        .option("path", f"{args.out}/trigram_windows")
+        .option("checkpointLocation", f"{args.out}/_ckpt/trigrams")
+        .trigger(availableNow=True)
+        .start(),
         # live z-score anomaly verdicts (same exactly-once file sink)
         anomalies_live_stream(stream)
         .writeStream.format("parquet")
@@ -886,6 +899,13 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         .write.mode("overwrite")
         .parquet(f"{args.out}/transitions")
     )
+    tri = spark.read.parquet(f"{args.out}/trigram_windows")
+    (
+        tri.groupBy("type_1", "type_2", "type_3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{args.out}/trigrams")
+    )
     n_attr = asof_snapshot(spark, f"{args.out}/attribution").count()
     n_funnel = spark.read.parquet(f"{args.out}/funnel").count()
     n_ohlc = spark.read.parquet(f"{args.out}/ohlc").count()
@@ -900,6 +920,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     print(f"ohlc: {n_ohlc}")
     n_days = spark.read.parquet(f"{args.out}/active_users").count()
     print(f"transition_pairs: {n_pairs}")
+    print(f"trigram_windows: {tri.count()}")
     print(f"anomalies_flagged: {n_anom}")
     print(f"active_user_days: {n_days}")
 
@@ -925,6 +946,14 @@ EVENT_REPORT_QUERIES = [
     "event_type_pivot",
     "json_props_stats",
     "event_cube",
+    # late-r8 additions: wide-format coverage, cross-metric screens,
+    # the robust outlier cut, depth-3 path mining, and the
+    # skew-spread enrichment join
+    "ohlc_unpivot",
+    "type_correlation",
+    "mad_outliers",
+    "event_trigrams",
+    "skew_salted_join",
 ]
 
 

@@ -153,6 +153,122 @@ def ohlc_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
 _TRANS_STATE_SCHEMA = "ts array<bigint>, id array<bigint>, tp array<string>"
 
 
+def ngrams_live_stream(
+    events: DataFrame,
+    n: int = 2,
+    watermark_delay: str = "10 seconds",
+    by: str = "user_id",
+    on: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key sliding n-gram extraction over a LIVE event stream —
+    the generalized form of the adjacent-pair (transition) extractor;
+    n=3 is the streamed feeder of q_event_trigrams' path mining
+    (queries_timeseries.py).
+
+    Finalization rule: the window (e_{k-n+1}, …, e_k) in (ts, id)
+    order is knowable only once no event can still arrive anywhere
+    inside it. Because a new arrival must carry ts > watermark, and
+    the elements are (ts, id)-sorted, the window is final exactly
+    when the watermark passes e_k's event time — the same argument
+    for any n. Out-of-order arrivals inside the horizon therefore
+    SPLIT the windows they land inside, never corrupt an emitted one.
+
+    State is O(horizon) per key: after emitting through index K, the
+    buffer keeps the last n−1 finalized elements (the context every
+    later window shares) plus everything still inside the horizon.
+    Emission is exactly-once across batches because retained context
+    occupies indices < n−1, below the first emittable window end.
+    Keys holding a complete-but-unfinalized window flush via
+    EventTimeTimeout pinned to the window-completing event's time.
+
+    Output columns: ``by``, ``id_1..id_n``, ``type_1..type_n``,
+    ``end_ts_us``. The tail (windows still inside the horizon at
+    drain) stays pending — the batch query is the verdict of record
+    for it (the neardup_stream discipline)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if n < 2:
+        raise ValueError(f"ngrams_live_stream: n={n} < 2")
+
+    id_cols = [f"id_{j}" for j in range(1, n + 1)]
+    type_cols = [f"type_{j}" for j in range(1, n + 1)]
+    out_schema = (
+        f"{by} long, "
+        + ", ".join(f"{c} long" for c in id_cols)
+        + ", "
+        + ", ".join(f"{c} string" for c in type_cols)
+        + ", end_ts_us long"
+    )
+
+    def _fn(key, pdfs, state: GroupState):
+        buf: list[tuple[int, int, str]] = []
+        if state.exists:
+            s_ts, s_id, s_tp = state.get
+            buf = [(int(t), int(i), str(p)) for t, i, p in zip(s_ts, s_id, s_tp)]
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for t, i, p in zip(
+                pdf["_us"].astype("int64"),
+                pdf[id_col].astype("int64"),
+                pdf[type_col],
+            ):
+                buf.append((int(t), int(i), str(p)))
+        buf.sort()
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        done = [k for k in range(n - 1, len(buf)) if buf[k][0] <= wm_us]
+        rows = [
+            (key[0], *[buf[j][1] for j in range(k - n + 1, k + 1)],
+             *[buf[j][2] for j in range(k - n + 1, k + 1)], buf[k][0])
+            for k in done
+        ]
+        # keep the last n-1 finalized elements as shared context for
+        # the next window; they sit below index n-1, so they can
+        # never head a re-emission
+        keep = buf[max(done) - (n - 2):] if done else buf
+
+        if keep:
+            state.update(
+                (
+                    [t for t, _, _ in keep],
+                    [i for _, i, _ in keep],
+                    [p for _, _, p in keep],
+                )
+            )
+            if len(keep) >= n:
+                # earliest unfinalized window completes at keep[n-1]'s
+                # event time (> wm by construction)
+                state.setTimeoutTimestamp(keep[n - 1][0] // 1000 + 1)
+        else:
+            state.remove()
+
+        if rows:
+            data = {by: pd.array([r[0] for r in rows], dtype="Int64")}
+            for j, c in enumerate(id_cols, start=1):
+                data[c] = pd.array([r[j] for r in rows], dtype="Int64")
+            for j, c in enumerate(type_cols, start=1):
+                data[c] = [r[n + j] for r in rows]
+            data["end_ts_us"] = pd.array(
+                [r[2 * n + 1] for r in rows], dtype="Int64"
+            )
+            yield pd.DataFrame(data)
+
+    keyed = events.withWatermark(on, watermark_delay).withColumn(
+        "_us", F.unix_micros(F.col(on).cast("timestamp_ltz"))
+    )
+    return keyed.groupBy(by).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def transitions_live_stream(
     events: DataFrame,
     watermark_delay: str = "10 seconds",
@@ -188,77 +304,27 @@ def transitions_live_stream(
     correct streaming behavior; the batch query is the verdict of
     record for the tail (the neardup_stream discipline). The drain
     test pins the emitted pair set EQUAL to the batch lead() pairs
-    whose successor the final watermark passed."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    whose successor the final watermark passed.
 
-    out_schema = (
-        f"{by} long, from_id long, to_id long,"
-        " from_type string, to_type string, to_ts_us long"
+    Since r8 this is the n=2 case of :func:`ngrams_live_stream`
+    (one state machine, one finalization proof), re-projected to the
+    original pair column contract."""
+    out = ngrams_live_stream(
+        events,
+        n=2,
+        watermark_delay=watermark_delay,
+        by=by,
+        on=on,
+        type_col=type_col,
+        id_col=id_col,
     )
-
-    def _fn(key, pdfs, state: GroupState):
-        buf: list[tuple[int, int, str]] = []
-        if state.exists:
-            s_ts, s_id, s_tp = state.get
-            buf = [(int(t), int(i), str(p)) for t, i, p in zip(s_ts, s_id, s_tp)]
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            for t, i, p in zip(
-                pdf["_us"].astype("int64"),
-                pdf[id_col].astype("int64"),
-                pdf[type_col],
-            ):
-                buf.append((int(t), int(i), str(p)))
-        buf.sort()
-
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        done = [k for k in range(1, len(buf)) if buf[k][0] <= wm_us]
-        rows = [
-            (key[0], buf[k - 1][1], buf[k][1], buf[k - 1][2], buf[k][2], buf[k][0])
-            for k in done
-        ]
-        # keep the last finalized element as the next pair's head;
-        # everything before it has had its successor pair emitted
-        keep = buf[max(done):] if done else buf
-
-        if keep:
-            state.update(
-                (
-                    [t for t, _, _ in keep],
-                    [i for _, i, _ in keep],
-                    [p for _, _, p in keep],
-                )
-            )
-            if len(keep) >= 2:
-                # earliest unfinalized pair completes at keep[1]'s
-                # event time (> wm by construction)
-                state.setTimeoutTimestamp(keep[1][0] // 1000 + 1)
-        else:
-            state.remove()
-
-        if rows:
-            yield pd.DataFrame(
-                {
-                    by: pd.array([r[0] for r in rows], dtype="Int64"),
-                    "from_id": pd.array([r[1] for r in rows], dtype="Int64"),
-                    "to_id": pd.array([r[2] for r in rows], dtype="Int64"),
-                    "from_type": [r[3] for r in rows],
-                    "to_type": [r[4] for r in rows],
-                    "to_ts_us": pd.array([r[5] for r in rows], dtype="Int64"),
-                }
-            )
-
-    keyed = events.withWatermark(on, watermark_delay).withColumn(
-        "_us", F.unix_micros(F.col(on).cast("timestamp_ltz"))
-    )
-    return keyed.groupBy(by).applyInPandasWithState(
-        _fn,
-        outputStructType=out_schema,
-        stateStructType=_TRANS_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return out.select(
+        F.col(by),
+        F.col("id_1").alias("from_id"),
+        F.col("id_2").alias("to_id"),
+        F.col("type_1").alias("from_type"),
+        F.col("type_2").alias("to_type"),
+        F.col("end_ts_us").alias("to_ts_us"),
     )
 
 

@@ -870,6 +870,27 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
         .filter(F.col("to_id").isNotNull() & (F.col("to_us") <= wm_us))
         .collect()
     }
+    def tri_rows():
+        return {
+            (r["user_id"], r["id_1"], r["id_2"], r["id_3"])
+            for r in spark.read.parquet(
+                str(out / "trigram_windows")
+            ).collect()
+        }
+
+    exp_tri = {
+        (r["user_id"], r["i1"], r["i2"], r["i3"])
+        for r in ev.select(
+            "user_id",
+            F.col("event_id").alias("i1"),
+            F.lead("event_id").over(seq).alias("i2"),
+            F.lead("event_id", 2).over(seq).alias("i3"),
+            F.lead(F.unix_micros("ts"), 2).over(seq).alias("end_us"),
+        )
+        .filter(F.col("i3").isNotNull() & (F.col("end_us") <= wm_us))
+        .collect()
+    }
+
     def anom_rows():
         return {
             r["event_id"]: (r["n_base"], r["zscore"], r["is_anomaly"])
@@ -912,6 +933,12 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
     # the aggregated matrix sums to the pair count
     mat = spark.read.parquet(str(out / "transitions"))
     assert mat.groupBy().sum("n").collect()[0][0] == len(got_pairs)
+    # live trigrams: the n=3 tier of the same state machine — equal
+    # to the batch double-lead windows the final watermark finalized
+    got_tri = tri_rows()
+    assert got_tri == exp_tri
+    tmat = spark.read.parquet(str(out / "trigrams"))
+    assert tmat.groupBy().sum("n").collect()[0][0] == len(got_tri)
     assert any(v[3] == 3 for v in got_funnel.values())
 
     # rerun: availableNow drains nothing new; frozen artifacts keep
@@ -921,6 +948,7 @@ def test_cli_event_stream_equals_batch_temporal_queries(spark, tmp_path):
     assert funnel_rows() == exp_funnel
     assert ohlc_rows() == exp_ohlc
     assert pair_rows() == exp_pairs
+    assert tri_rows() == exp_tri
     assert anom_rows() == exp_anom
     assert au_rows() == exp_au
 

@@ -899,3 +899,119 @@ def test_event_trigrams_matches_counter_twin(spark, sf_dir):
     got = [((r["t1"], r["t2"], r["t3"]), r["n"])
            for r in q_event_trigrams(spark, sf_dir).collect()]
     assert got == ranked
+
+
+# ---------------------------------------------------------------------
+# ngrams_live_stream n=3 (r8): streamed trigram path mining
+# ---------------------------------------------------------------------
+
+def test_trigram_live_stream_split_semantics(spark, tmp_path):
+    """A late intermediate event must split the trigram it lands
+    inside: the naive (1,2,4) window can never be emitted once 3
+    arrives between 2 and 4."""
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        ngrams_live_stream,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    batches = [
+        [(1, 10, _sec(100.0), "view"), (2, 10, _sec(200.0), "click"),
+         (4, 10, _sec(300.0), "error")],
+        # wm after batch 1 = 290; 295 is late-but-allowed and lands
+        # between 2 and 4; 600 advances wm past every earlier event
+        [(3, 10, _sec(295.0), "purchase"), (5, 10, _sec(600.0), "signup")],
+    ]
+    drop = tmp_path / "events"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out = ngrams_live_stream(stream, n=3, watermark_delay="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "tri"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["id_1"], r["id_2"], r["id_3"]): (r["type_1"], r["type_2"], r["type_3"])
+        for r in spark.read.parquet(str(tmp_path / "tri")).collect()
+    }
+    assert got == {
+        (1, 2, 3): ("view", "click", "purchase"),
+        (2, 3, 4): ("click", "purchase", "error"),
+    }
+    # (3,4,5) is the tail (5 inside the final horizon): pending
+
+
+def test_trigram_live_stream_drain_equals_batch(spark, tmp_path, sf_dir):
+    """REAL sf0.001 events in two batches: emitted trigrams == the
+    batch double-lead windows whose END the final watermark passed;
+    and the pair stream (the n=2 wrapper) stays consistent with them
+    (every emitted trigram's two halves are emitted pairs)."""
+    from pyspark.sql import Window
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        ngrams_live_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cut = _sec(15 * 86400)
+    drop = tmp_path / "events"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(
+        str(drop)
+    )
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(
+        str(drop)
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    out = ngrams_live_stream(stream, n=3, watermark_delay="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "tri"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["id_1"], r["id_2"], r["id_3"])
+        for r in spark.read.parquet(str(tmp_path / "tri")).collect()
+    }
+
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = (max_us // 1000 - 10_000) * 1000
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = {
+        (r["user_id"], r["i1"], r["i2"], r["i3"])
+        for r in ev.select(
+            "user_id",
+            F.col("event_id").alias("i1"),
+            F.lead("event_id").over(seq).alias("i2"),
+            F.lead("event_id", 2).over(seq).alias("i3"),
+            F.lead(F.unix_micros("ts"), 2).over(seq).alias("end_us"),
+        )
+        .filter(F.col("i3").isNotNull() & (F.col("end_us") <= wm_us))
+        .collect()
+    }
+    assert got == exp
+    assert len(exp) > 500
