@@ -90,6 +90,16 @@ BENCH_QUERIES_V2 = [
     # corpus scan)
     "gap_fill",
     "group_sample",
+    # late r8: the corpus-statistics screens (a second shingle
+    # inverted-index consumer + the vocab-bounded PMI counts), the
+    # robust outlier cut's two-median pass, the salted large-large
+    # join, and the outer-join distribution over the full customer
+    # population
+    "pmi_collocations",
+    "shingle_containment",
+    "mad_outliers",
+    "skew_salted_join",
+    "customer_distribution",
 ]
 
 

@@ -210,10 +210,14 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     shj = sh.join(cold, "shingle", "left_semi")
-    a = shj.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shj.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = shj.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")
+    )
+    b = shj.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")
+    )
     inter = (
-        a.join(b, (a.shingle == b.shingle) & (a.doc_a < b.doc_b))
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
