@@ -441,3 +441,98 @@ def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@register(
+    "multitouch_attribution",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_id, user_id, ts FROM events
+          WHERE event_type = 'view'),
+    pairs AS (
+        SELECT p.event_id, p.user_id, v.view_id, v.ts AS v_ts,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY epoch_us(v.ts), v.view_id) AS rn_first,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY epoch_us(v.ts) DESC, v.view_id DESC) AS rn_last
+        FROM p JOIN v ON p.user_id = v.user_id
+           AND epoch_us(p.ts) - epoch_us(v.ts) > 0
+           AND epoch_us(p.ts) - epoch_us(v.ts) <= {CONVERSION_WINDOW_US}),
+    agg AS (
+        SELECT event_id,
+               count(*) AS n_touches,
+               min(CASE WHEN rn_first = 1 THEN view_id END) AS first_view_id,
+               min(CASE WHEN rn_last = 1 THEN view_id END) AS last_view_id
+        FROM pairs GROUP BY event_id)
+    SELECT p.event_id, p.user_id,
+           round(CAST(CAST(p.value AS DECIMAL(18,4)) AS DOUBLE), 4)
+             AS purchase_value,
+           CAST(coalesce(a.n_touches, 0) AS BIGINT) AS n_touches,
+           a.first_view_id, a.last_view_id,
+           CASE WHEN a.n_touches IS NOT NULL THEN
+               floor(1.0 / a.n_touches * 1000000 + 0.5) / 1000000
+           END AS linear_credit
+    FROM p LEFT JOIN agg a USING (event_id)
+    """,
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: for each purchase, EVERY same-user
+    view inside the preceding 24 h — first-touch and last-touch
+    picks plus the linear model's per-touch credit (1/n). Completes
+    the attribution family: asof_attribution is last-touch only (one
+    carry, no fan-out); this is the model that needs the actual touch
+    set, so it rides the bucketed range_join (operators/temporal.py)
+    — never an inequality nested loop.
+
+    Determinism: first/last are (ts, view_id)-total picks — min/max
+    over a struct in Spark, ROW_NUMBER with the same two-key order in
+    the oracle — so duplicate view timestamps cannot flip the pick
+    (the asof tiebreak_col discipline). Zero-touch purchases are kept
+    by the spine LEFT join (n_touches = 0, NULL picks/credit), the
+    range_join_conversions zero-fill shape; the purchase side
+    aggregates BEFORE the fill so the spine join is 1:1.
+
+    Scale: pair volume is true touch density with each purchase
+    probing 2 buckets; the aggregate is one purchase-keyed groupBy
+    (first/last/count in a single pass over the pairs)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    pairs = range_join(
+        p.select("event_id", "user_id", "ts"),
+        v,
+        on="ts",
+        by=["user_id"],
+        # range_join's interval is OPEN at lower; timestamps are
+        # integer micros, so (-W-1, 0] == [-W, 0] — the exact-boundary
+        # view at p.ts - W stays in, matching the oracle's diff <= W
+        lower_us=-CONVERSION_WINDOW_US - 1,
+        upper_us=0,
+    ).filter(F.col("ts_r") < F.col("ts"))  # strictly prior views
+    okey = F.struct(F.col("ts_r"), F.col("view_id"))
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.min_by("view_id", okey).alias("first_view_id"),
+        F.max_by("view_id", okey).alias("last_view_id"),
+    )
+    credit = F.floor(
+        F.lit(1.0) / F.col("n_touches") * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    return p.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value").cast(DEC4).cast("double"), 4).alias(
+            "purchase_value"
+        ),
+        F.coalesce(F.col("n_touches"), F.lit(0)).alias("n_touches"),
+        "first_view_id",
+        "last_view_id",
+        F.when(F.col("n_touches").isNotNull(), credit).alias("linear_credit"),
+    )

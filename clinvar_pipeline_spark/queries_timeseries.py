@@ -892,3 +892,96 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
         .limit(25)
     )
+
+
+@register(
+    "dow_seasonality",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    spine AS (SELECT DISTINCT day FROM daily),
+    typed AS (
+        SELECT t.event_type, s.day, isodow(s.day) AS dow,
+               coalesce(d.n, 0) AS n
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = t.event_type
+                         AND d.day = s.day),
+    prof AS (
+        SELECT event_type, dow,
+               CAST(sum(n) AS DOUBLE) / count(*) AS dow_mean,
+               CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_days
+        FROM typed GROUP BY 1, 2),
+    overall AS (
+        SELECT event_type, CAST(sum(n) AS DOUBLE) / count(*) AS mean_all
+        FROM typed GROUP BY 1)
+    SELECT p.event_type, CAST(p.dow AS INT) AS dow,
+           p.n_events, p.n_days,
+           floor(p.dow_mean * 10000 + 0.5) / 10000 AS dow_mean,
+           floor(p.dow_mean / o.mean_all * 1000000 + 0.5) / 1000000
+             AS seasonal_index
+    FROM prof p JOIN overall o USING (event_type)
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type: mean daily count
+    per ISO weekday (Mon=1..Sun=7) and the seasonal index (dow mean ÷
+    overall daily mean — >1 means that weekday runs hot). Days where
+    a type is silent count as ZERO via the distinct-day spine (the
+    type_correlation zero-fill argument: skipping silent days biases
+    every mean toward busy days).
+
+    Portability: both means are exact-integer-sum ÷ exact-count — one
+    IEEE divide each, then the floor-form quantizer; the index is one
+    further divide spelled identically. No interpolation, no
+    summation-order dependence.
+
+    Scale: daily counts are one map-side-combined groupBy (days ×
+    |types| rows out); the spine cross join is |types| × |days| —
+    time-span-bounded, not data-bounded; both profile aggregates are
+    ≤ 7 × |types| rows. The spine frame is computed once and reused
+    by both the per-dow and overall aggregates."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = _persist(daily)
+    # bounded |types| list collected once (the type_correlation
+    # sanctioned scalar — a crossJoin would plan
+    # BroadcastNestedLoopJoin, audit-rejected)
+    types = sorted(
+        r[0] for r in daily.select("event_type").distinct().collect()
+    )
+    spine = daily.select("day").distinct().select(
+        "day",
+        F.explode(F.array(*[F.lit(t) for t in types])).alias("event_type"),
+    )
+    typed = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            # ISO weekday Mon=1..Sun=7 == DuckDB isodow
+            (F.weekday("day") + F.lit(1)).alias("dow"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    typed = _persist(typed)
+    prof = typed.groupBy("event_type", "dow").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    overall = typed.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_all")
+    )
+    return prof.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n_events",
+        "n_days",
+        qround(F.col("dow_mean"), 4).alias("dow_mean"),
+        qround(F.col("dow_mean") / F.col("mean_all"), 6).alias(
+            "seasonal_index"
+        ),
+    )

@@ -640,3 +640,51 @@ def test_funnel_stream_equals_batch_on_two_batch_drop(spark, tmp_path, sf_dir):
     release_cached()
     assert got == exp
     assert any(v[3] == 3 for v in exp.values())  # a non-vacuous funnel
+
+
+def test_multitouch_attribution_matches_brute_force(spark, sf_dir):
+    """Per-purchase touch sets recomputed by brute force: counts,
+    deterministic first/last picks, linear credit, and the zero-touch
+    spine rows."""
+    import math
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_temporal import (
+        CONVERSION_WINDOW_US,
+        q_multitouch_attribution,
+    )
+
+    rows = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+    views: dict = {}
+    purchases = []
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1e6)
+        if r["event_type"] == "view":
+            views.setdefault(r["user_id"], []).append((us, r["event_id"]))
+        elif r["event_type"] == "purchase":
+            purchases.append((r["event_id"], r["user_id"], us))
+    exp = {}
+    for pid, uid, pus in purchases:
+        touch = [
+            (us, vid) for us, vid in views.get(uid, [])
+            if 0 < pus - us <= CONVERSION_WINDOW_US
+        ]
+        if touch:
+            exp[pid] = (
+                len(touch), min(touch)[1], max(touch)[1],
+                math.floor(1.0 / len(touch) * 1e6 + 0.5) / 1e6,
+            )
+        else:
+            exp[pid] = (0, None, None, None)
+    got = {
+        r["event_id"]: (
+            r["n_touches"], r["first_view_id"], r["last_view_id"],
+            r["linear_credit"],
+        )
+        for r in q_multitouch_attribution(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert any(v[0] == 0 for v in exp.values()) or len(exp) > 0
+    assert any(v[0] > 1 for v in exp.values())  # real multi-touch rows

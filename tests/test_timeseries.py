@@ -1015,3 +1015,48 @@ def test_trigram_live_stream_drain_equals_batch(spark, tmp_path, sf_dir):
     }
     assert got == exp
     assert len(exp) > 500
+
+
+def test_dow_seasonality_matches_pandas_twin(spark, sf_dir):
+    """Zero-filled dow means and seasonal indices recomputed with
+    pandas on the real corpus."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_dow_seasonality
+
+    pdf = _t(spark, sf_dir, "events").select("event_type", "ts").toPandas()
+    pdf["day"] = pdf["ts"].dt.date
+    daily = pdf.groupby(["event_type", "day"]).size()
+    days = sorted(pdf["day"].unique())
+    types = sorted(pdf["event_type"].unique())
+    exp = {}
+    for t in types:
+        counts = {d: int(daily.get((t, d), 0)) for d in days}
+        mean_all = float(sum(counts.values())) / len(days)
+        for dow in range(1, 8):
+            dd = [d for d in days if d.isoweekday() == dow]
+            if not dd:
+                continue
+            s = sum(counts[d] for d in dd)
+            m = float(s) / len(dd)
+            exp[(t, dow)] = (
+                s, len(dd),
+                math.floor(m * 1e4 + 0.5) / 1e4,
+                math.floor(m / mean_all * 1e6 + 0.5) / 1e6,
+            )
+    got = {
+        (r["event_type"], r["dow"]): (
+            r["n_events"], r["n_days"], r["dow_mean"], r["seasonal_index"]
+        )
+        for r in q_dow_seasonality(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0] and got[k][1] == exp[k][1]
+        assert got[k][2] == pytest.approx(exp[k][2], abs=1e-9)
+        assert got[k][3] == pytest.approx(exp[k][3], abs=1e-9)
+    # the seasonal indices of each type average ~1 over the week
+    # (weighted by day counts they telescope to exactly the overall
+    # mean, so an unweighted mean sits near 1 on a dense grid)
+    for t in types:
+        idx = [exp[(t, d)][3] for d in range(1, 8) if (t, d) in exp]
+        assert 0.5 < sum(idx) / len(idx) < 1.5
