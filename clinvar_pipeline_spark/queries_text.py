@@ -251,3 +251,67 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "lexical_diversity",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKENIZE_SQL.format(col='text')}) AS w
+        FROM documents),
+    wc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           floor(CAST(count(*) AS DOUBLE) / sum(c)
+                 * 1000000 + 0.5) / 1000000 AS ttr,
+           floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS hapax_ratio
+    FROM wc GROUP BY source
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness report per source: token count, type
+    (distinct-token) count, hapax legomena count, type-token ratio,
+    and hapax share of the vocabulary — the corpus-health screen for
+    template/boilerplate farms (synthetic or spun sources show
+    abnormally LOW TTR and hapax ratio: many tokens, few types,
+    nothing rare). Complements source_divergence (which compares
+    source distributions to the corpus; this scores each source's
+    internal richness) on the shared tokenizer.
+
+    Scale: one exploded (source, token) count — map-side-combined,
+    output bounded by sources × vocabulary — then a sources-row
+    aggregate. The two ratios are exact-integer ÷ exact-integer, one
+    IEEE divide each with the floor-form quantizer."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        _spread(d)
+        .select("source", F.explode(normalized_tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        hapax.alias("n_hapax"),
+        (
+            F.floor(
+                F.count(F.lit(1)).cast("double")
+                / F.sum("c")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("ttr"),
+        (
+            F.floor(
+                hapax.cast("double") / F.count(F.lit(1)) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("hapax_ratio"),
+    )

@@ -985,3 +985,156 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index"
         ),
     )
+
+
+@register(
+    "trigram_lift",
+    """
+    WITH s AS (
+        SELECT event_type AS t1,
+               lead(event_type) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+        SELECT t1, t2, t3, count(*) AS n3
+        FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+    bi AS (
+        SELECT t1 AS b1, t2 AS b2, count(*) AS n2
+        FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2),
+    mar AS (
+        SELECT t2 AS m2, t3 AS m3, count(*) AS nm
+        FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+        SELECT t2 AS o2, count(*) AS n1
+        FROM s WHERE t3 IS NOT NULL GROUP BY 1)
+    SELECT t1, t2, t3, n3,
+           floor((CAST(n3 AS DOUBLE) / bi.n2)
+                 / (CAST(mar.nm AS DOUBLE) / tot.n1)
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM tri
+    JOIN bi  ON bi.b1 = tri.t1 AND bi.b2 = tri.t2
+    JOIN mar ON mar.m2 = tri.t2 AND mar.m3 = tri.t3
+    JOIN tot ON tot.o2 = tri.t2
+    WHERE n3 >= 5
+    """,
+)
+def q_trigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order structure detector: for each (t1 → t2 → t3) path,
+    the lift P(t3 | t1,t2) / P(t3 | t2) — how much the two-step
+    context changes the next-step distribution vs the first-order
+    Markov model. Lift ≈ 1 everywhere means the chain is genuinely
+    first-order and q_event_transitions is a sufficient model; the
+    rows far from 1 are exactly where depth-3 mining
+    (q_event_trigrams) earns its cost. All four count frames condition
+    on the same completed-window population (t3 known), so the two
+    conditionals are comparable.
+
+    Scale: ONE window pass (shared by all four aggregates off the
+    same projection), then groupBys over ≤ |types|³ / |types|² /
+    |types| rows — every join after the pass is dim-sized and
+    broadcast. The ratio-of-ratios is double-spelled identically in
+    the oracle with the floor-form quantizer."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    s = _persist(s)
+    tri = s.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n3"))
+    bi = s.groupBy(
+        F.col("t1").alias("b1"), F.col("t2").alias("b2")
+    ).agg(F.count(F.lit(1)).alias("n2"))
+    mar = s.groupBy(
+        F.col("t2").alias("m2"), F.col("t3").alias("m3")
+    ).agg(F.count(F.lit(1)).alias("nm"))
+    tot = s.groupBy(F.col("t2").alias("o2")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    lift = (F.col("n3").cast("double") / F.col("n2")) / (
+        F.col("nm").cast("double") / F.col("n1")
+    )
+    return (
+        tri.join(
+            F.broadcast(bi),
+            (F.col("b1") == F.col("t1")) & (F.col("b2") == F.col("t2")),
+        )
+        .join(
+            F.broadcast(mar),
+            (F.col("m2") == F.col("t2")) & (F.col("m3") == F.col("t3")),
+        )
+        .join(F.broadcast(tot), F.col("o2") == F.col("t2"))
+        .filter(F.col("n3") >= 5)
+        .select("t1", "t2", "t3", "n3", qround(lift, 6).alias("lift"))
+    )
+
+
+@register(
+    "interarrival_stats",
+    """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_us
+        FROM events),
+    f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+    SELECT event_type, count(*) AS n_gaps,
+           floor(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000
+                 * 10000 + 0.5) / 10000 AS mean_gap_s,
+           floor(sqrt(greatest(
+                   (CAST(sum(CAST(gap_us AS DECIMAL(38,0)) * gap_us) AS DOUBLE)
+                    - CAST(sum(gap_us) AS DOUBLE) * sum(gap_us) / count(*))
+                   / count(*), 0))
+                 / (CAST(sum(gap_us) AS DOUBLE) / count(*))
+                 * 10000 + 0.5) / 10000 AS cv
+    FROM f GROUP BY event_type
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile per event type: mean gap between a
+    user's consecutive events (any type → that type boundary — the
+    lag is over the user's FULL stream, so the gap measures stream
+    tempo at each type's arrivals) and the coefficient of variation —
+    the burstiness scalar (CV ≈ 1 Poisson, > 1 bursty, < 1 regular).
+
+    Portability: gaps are integer microseconds; Σgap and Σgap² are
+    EXACT integer sums (gap² ≤ (31 days)² µs² ≈ 7e24 — beyond int64,
+    so the square is summed in DECIMAL(38,0), still exact), and the
+    variance/mean/CV are then a fixed IEEE expression over two exact
+    integers and a count, spelled identically in the oracle. No
+    float accumulation anywhere.
+
+    Scale: one user_id window pass (same exchange as the other
+    sequence queries), then a |types|-row aggregate with map-side
+    partials."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        # Σgap in DECIMAL: at ~1e6 users × month-long spans the int64
+        # sum would sit within 3 bits of overflow — same width the
+        # oracle's DuckDB sum(BIGINT)→DECIMAL(38,0) already has
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us"))
+        ).alias("s2"),
+    )
+    mean_us = F.col("s1").cast("double") / F.col("n_gaps")
+    var_us2 = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_gaps")
+    ) / F.col("n_gaps")
+    cv = F.sqrt(F.greatest(var_us2, F.lit(0.0))) / mean_us
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        qround(mean_us / F.lit(1e6), 4).alias("mean_gap_s"),
+        qround(cv, 4).alias("cv"),
+    )

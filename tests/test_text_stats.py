@@ -90,3 +90,35 @@ def test_containment_matches_pure_python_and_is_asymmetric(
         sa, sb = shingle_sets[a], shingle_sets[b]
         j = len(sa & sb) / len(sa | sb)
         assert c >= math.floor(j * 10000 + 0.5) / 10000 - 1e-9
+
+
+def test_lexical_diversity_matches_counter_twin(spark, sf_dir, corpus):
+    from collections import Counter
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_text import q_lexical_diversity
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in _t(spark, sf_dir, "documents").collect()
+    }
+    per_src: dict = {}
+    for d, toks in corpus.items():
+        per_src.setdefault(src_of[d], Counter()).update(toks)
+    got = {r["source"]: r for r in
+           q_lexical_diversity(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for s, wc in per_src.items():
+        n_tok = sum(wc.values())
+        n_typ = len(wc)
+        n_hap = sum(1 for c in wc.values() if c == 1)
+        r = got[s]
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (
+            n_tok, n_typ, n_hap
+        )
+        assert r["ttr"] == pytest.approx(
+            math.floor(n_typ / n_tok * 1e6 + 0.5) / 1e6, abs=1e-9
+        )
+        assert r["hapax_ratio"] == pytest.approx(
+            math.floor(n_hap / n_typ * 1e6 + 0.5) / 1e6, abs=1e-9
+        )

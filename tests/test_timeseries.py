@@ -1060,3 +1060,79 @@ def test_dow_seasonality_matches_pandas_twin(spark, sf_dir):
     for t in types:
         idx = [exp[(t, d)][3] for d in range(1, 8) if (t, d) in exp]
         assert 0.5 < sum(idx) / len(idx) < 1.5
+
+
+def test_trigram_lift_matches_counter_twin(spark, sf_dir):
+    """Lift = P(t3|t1,t2)/P(t3|t2) recomputed from Counters on the
+    same completed-window population; lift must hover near 1 when the
+    generator is first-order."""
+    from collections import Counter
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_trigram_lift
+
+    rows = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    tri, bi, mar, tot = Counter(), Counter(), Counter(), Counter()
+    for seq in by_user.values():
+        seq.sort()
+        t = [x for _, _, x in seq]
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tri[(a, b, c)] += 1
+            bi[(a, b)] += 1
+            mar[(b, c)] += 1
+            tot[b] += 1
+    exp = {}
+    for (a, b, c), n3 in tri.items():
+        if n3 >= 5:
+            v = (n3 / bi[(a, b)]) / (mar[(b, c)] / tot[b])
+            exp[(a, b, c)] = (n3, math.floor(v * 1e6 + 0.5) / 1e6)
+    got = {
+        (r["t1"], r["t2"], r["t3"]): (r["n3"], r["lift"])
+        for r in q_trigram_lift(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1], abs=1e-9)
+
+
+def test_interarrival_stats_matches_numpy_twin(spark, sf_dir):
+    import numpy as np
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_interarrival_stats,
+    )
+
+    rows = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1e6)
+        by_user.setdefault(r["user_id"], []).append(
+            (us, r["event_id"], r["event_type"])
+        )
+    gaps: dict = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (pu, _, _), (cu, _, ct) in zip(seq, seq[1:]):
+            gaps.setdefault(ct, []).append(cu - pu)
+    got = {r["event_type"]: r for r in
+           q_interarrival_stats(spark, sf_dir).collect()}
+    assert set(got) == set(gaps)
+    for t, gs in gaps.items():
+        a = np.array(gs, dtype=np.float64)
+        mean = a.sum() / len(a)
+        var = (np.square(a).sum() - a.sum() * a.sum() / len(a)) / len(a)
+        cv = math.sqrt(max(var, 0.0)) / mean
+        assert got[t]["n_gaps"] == len(gs)
+        assert got[t]["mean_gap_s"] == pytest.approx(mean / 1e6, abs=1e-3)
+        assert got[t]["cv"] == pytest.approx(cv, abs=1e-3)
