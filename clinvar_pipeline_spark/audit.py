@@ -147,3 +147,67 @@ def skew_report(spark: SparkSession, sf_dir: str) -> list[str]:
         f"BLOCK_CAP={q.BLOCK_CAP} dropped from the pair join"
     )
     return lines
+
+
+# ---------------------------------------------------------------------
+# Plan-shape regression baseline
+# ---------------------------------------------------------------------
+
+# operator classes whose COUNT is the scale contract of a plan: a new
+# Exchange is a new shuffle, a SortMergeJoin degrading to
+# BroadcastNestedLoopJoin is a nested loop, a new Python-eval node is
+# a new JVM<->Arrow boundary. Counting them per query and diffing
+# against a committed baseline turns "the plan regressed" into a CI
+# failure instead of a bench-time surprise.
+_SIG_OPS = [
+    ("shuffle", r"\(\d+\)\s+Exchange\b"),
+    ("broadcast", r"\(\d+\)\s+BroadcastExchange\b"),
+    ("smj", r"\(\d+\)\s+SortMergeJoin\b"),
+    ("bhj", r"\(\d+\)\s+BroadcastHashJoin\b"),
+    ("shj", r"\(\d+\)\s+ShuffledHashJoin\b"),
+    ("bnlj", r"\(\d+\)\s+BroadcastNestedLoopJoin\b"),
+    ("cartesian", r"\(\d+\)\s+CartesianProduct\b"),
+    ("aggregate", r"\(\d+\)\s+(?:Hash|Sort|ObjectHash)Aggregate\b"),
+    ("window", r"\(\d+\)\s+Window\b"),
+    ("sort", r"\(\d+\)\s+Sort\b"),
+    ("topk", r"\(\d+\)\s+TakeOrderedAndProject\b"),
+    ("scan", r"\(\d+\)\s+Scan parquet\b"),
+    ("generate", r"\(\d+\)\s+Generate\b"),
+    (
+        "python",
+        r"\(\d+\)\s+(?:ArrowEvalPython|BatchEvalPython|MapInPandas"
+        r"|FlatMapGroupsInPandas(?:WithState)?|MapInArrow)\b",
+    ),
+]
+
+
+def plan_signature(plan: str) -> dict[str, int]:
+    """Scale-relevant operator counts of one formatted physical plan
+    (zero counts omitted so baselines read tersely)."""
+    sig = {}
+    for key, pat in _SIG_OPS:
+        n = len(re.findall(pat, plan))
+        if n:
+            sig[key] = n
+    return sig
+
+
+def plan_signatures(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, dict[str, int]]:
+    """plan_signature for every registry query (insertion order)."""
+    import clinvar_pipeline_spark.queries as q
+    from clinvar_pipeline_spark.caching import release_cached
+
+    registry = q.queries()
+    out = {}
+    for name in names or registry:
+        df = registry[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        release_cached()  # see explain_audit: avoid InMemoryRelation leaks
+        out[name] = plan_signature(plan)
+    return out
