@@ -23,7 +23,7 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 39 landed stages: 38 registry
+        (LLM corpus-prep chain — 42 landed stages: 41 registry
         queries + the raw-text PII scrub, plus SemDeDup, the
         embedding-curation screens, and the IVF/PQ index artifacts
         when embeddings exist: language ID +
@@ -309,6 +309,12 @@ CORPUS_PREP_STAGES = [
     "zipf_fit",
     "source_divergence",
     "group_sample",
+    # late r8 session: vocabulary-richness per source (the template-
+    # farm screen), PMI phrase mining, and the asymmetric containment
+    # (quote/subset) near-dup view next to the Jaccard pairs
+    "lexical_diversity",
+    "pmi_collocations",
+    "shingle_containment",
     # r7: per-language distinct-token estimate via the mergeable
     # engine-portable HLL register sketch + pairwise vocabulary
     # overlap by inclusion-exclusion over the same registers
@@ -954,6 +960,12 @@ EVENT_REPORT_QUERIES = [
     "mad_outliers",
     "event_trigrams",
     "skew_salted_join",
+    # last r8 batch: the attribution-model family beyond last-touch,
+    # weekday seasonality, second-order path structure, burstiness
+    "multitouch_attribution",
+    "dow_seasonality",
+    "trigram_lift",
+    "interarrival_stats",
 ]
 
 
