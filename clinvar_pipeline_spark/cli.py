@@ -557,6 +557,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         save_quality_model,
         scrub_stream,
         divergence_snapshot,
+        lexical_snapshot,
         token_count_stream,
         train_dsir_weights,
         train_quality_weights,
@@ -714,6 +715,9 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     divergence_snapshot(spark, f"{args.out}/_token_counts").write.mode(
         "overwrite"
     ).parquet(f"{args.out}/source_divergence")
+    lexical_snapshot(spark, f"{args.out}/_token_counts").write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/lexical_diversity")
     counters = []
     for name in (
         "pii_scrub",

@@ -293,6 +293,16 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return lexical_diversity_from_counts(wc)
+
+
+def lexical_diversity_from_counts(wc: DataFrame) -> DataFrame:
+    """The lexical-diversity aggregate over a (source, w, c) count
+    table — shared by the batch query above and the streamed serve
+    path (streaming/corpus.lexical_snapshot reads the SAME ADD-merged
+    token-count sink that serves zipf/divergence: per-token counts
+    are sufficient statistics for tokens/types/hapax, so the sink
+    needs no new schema)."""
     hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
     return wc.groupBy("source").agg(
         F.sum("c").alias("n_tokens"),

@@ -1008,3 +1008,19 @@ def divergence_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
     return source_divergence_from_counts(
         token_counts_snapshot(spark, deltas_path)
     )
+
+
+def lexical_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Per-source lexical diversity under everything drained — equals
+    batch q_lexical_diversity. Third report off the ONE token-count
+    sink: (source, token) counts are sufficient statistics for
+    tokens/types/hapax, so no new stream, schema, or state."""
+    from clinvar_pipeline_spark.queries_text import (
+        lexical_diversity_from_counts,
+    )
+
+    return lexical_diversity_from_counts(
+        token_counts_snapshot(spark, deltas_path).select(
+            "source", F.col("t").alias("w"), F.col("cst").alias("c")
+        )
+    )

@@ -171,3 +171,37 @@ def test_token_count_stream_zipf_and_kl_equal_batch(spark, tmp_path):
         for r in q_source_divergence(spark, SF).collect()
     }
     assert ds == db and len(db) > 0
+
+
+def test_token_count_stream_serves_lexical_diversity(spark, tmp_path):
+    """Third report off the same sink: lexical_snapshot equals the
+    batch q_lexical_diversity after a two-batch drain (compaction
+    on), including the hapax counts — the statistic most sensitive
+    to a double-landed epoch (every re-added count turns a hapax
+    into a non-hapax)."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_text import q_lexical_diversity
+    from clinvar_pipeline_spark.streaming.corpus import (
+        lexical_snapshot,
+        token_count_stream,
+    )
+
+    docs = _t(spark, SF, "documents").select("doc_id", "source", "text")
+    drop = tmp_path / "docs"
+    docs.repartition(2).write.parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    deltas, ckpt = str(tmp_path / "tok"), str(tmp_path / "ckpt_tok")
+    q = token_count_stream(stream, deltas, ckpt, compact_every=1)
+    q.awaitTermination(120)
+
+    key = lambda r: (
+        r["n_tokens"], r["n_types"], r["n_hapax"], r["ttr"], r["hapax_ratio"]
+    )
+    got = {r["source"]: key(r) for r in lexical_snapshot(spark, deltas).collect()}
+    exp = {r["source"]: key(r) for r in q_lexical_diversity(spark, SF).collect()}
+    assert got == exp and len(exp) > 0
