@@ -23,7 +23,7 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         (ops report: skew-cap drop counts + plan smell audit)
     python -m clinvar_pipeline_spark --corpusPrep [--sf TABLE_DIR]
         [--jsonl DOCS.jsonl] --out OUT
-        (LLM corpus-prep chain — 42 landed stages: 41 registry
+        (LLM corpus-prep chain — 43 landed stages: 42 registry
         queries + the raw-text PII scrub, plus SemDeDup, the
         embedding-curation screens, and the IVF/PQ index artifacts
         when embeddings exist: language ID +
@@ -39,7 +39,9 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         mixing plan + applied
         mix, stratified sample, packing
         manifest, token histogram, Zipf power-law fit, per-source KL
-        drift screen, per-group spot-check sample,
+        drift screen, per-group spot-check sample, lexical diversity
+        + unigram entropy (both also served streamed off the
+        token-count sink), PMI collocations, shingle containment,
         HLL distinct sketch + pairwise
         vocabulary overlap, Count-Min heavy hitters, filter
         funnel, split report +
@@ -313,6 +315,7 @@ CORPUS_PREP_STAGES = [
     # farm screen), PMI phrase mining, and the asymmetric containment
     # (quote/subset) near-dup view next to the Jaccard pairs
     "lexical_diversity",
+    "token_entropy",
     "pmi_collocations",
     "shingle_containment",
     # r7: per-language distinct-token estimate via the mergeable
@@ -557,6 +560,7 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         save_quality_model,
         scrub_stream,
         divergence_snapshot,
+        entropy_snapshot,
         lexical_snapshot,
         token_count_stream,
         train_dsir_weights,
@@ -718,6 +722,9 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
     lexical_snapshot(spark, f"{args.out}/_token_counts").write.mode(
         "overwrite"
     ).parquet(f"{args.out}/lexical_diversity")
+    entropy_snapshot(spark, f"{args.out}/_token_counts").write.mode(
+        "overwrite"
+    ).parquet(f"{args.out}/token_entropy")
     counters = []
     for name in (
         "pii_scrub",
@@ -970,6 +977,7 @@ EVENT_REPORT_QUERIES = [
     "dow_seasonality",
     "trigram_lift",
     "interarrival_stats",
+    "weekly_growth",
 ]
 
 

@@ -325,3 +325,78 @@ def lexical_diversity_from_counts(wc: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("hapax_ratio"),
     )
+
+
+@register(
+    "token_entropy",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKENIZE_SQL.format(col='text')}) AS w
+        FROM documents),
+    wc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n FROM wc GROUP BY 1)
+    SELECT wc.source,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           floor(sum(-(CAST(wc.c AS DOUBLE) / t.n)
+                     * ln(CAST(wc.c AS DOUBLE) / t.n))
+                 * 1000000 + 0.5) / 1000000 AS entropy_nats,
+           floor(exp(sum(-(CAST(wc.c AS DOUBLE) / t.n)
+                         * ln(CAST(wc.c AS DOUBLE) / t.n)))
+                 * 10000 + 0.5) / 10000 AS unigram_ppl
+    FROM wc JOIN tot t ON t.source = wc.source
+    GROUP BY wc.source, t.n
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy (nats) and its exp — the unigram
+    perplexity — per source: the information-density companion to
+    lexical_diversity (TTR counts types; entropy weighs them — a
+    source spamming one template shows low entropy even with a
+    normal-looking vocabulary). Same sufficient statistics: the
+    (source, token) count table, so the streamed serve path reads
+    the one ADD-merged token-count sink (entropy_snapshot).
+
+    Portability note: the entropy SUM is over per-term doubles, so
+    unlike the engine's exact-integer sums its value could in
+    principle depend on summation order — but both engines sum the
+    IDENTICAL multiset of term values and the floor-quantizer at 1e-6
+    absorbs the ~1e-12 reassociation residue (same argument as the
+    KL sum in source_divergence, which has survived every dual-SF
+    gate since r8 landed it). Σ(-p·ln p) with the same per-term
+    operation order both sides.
+
+    Scale: vocab × sources count table (map-side combined), then a
+    sources-row aggregate — the lexical_diversity envelope plus one
+    ln per vocabulary term."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        _spread(d)
+        .select("source", F.explode(normalized_tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return token_entropy_from_counts(wc)
+
+
+def token_entropy_from_counts(wc: DataFrame) -> DataFrame:
+    """The entropy aggregate over a (source, w, c) count table —
+    shared by the batch query and streaming/corpus.entropy_snapshot."""
+    tot = wc.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    h = F.sum(-p * F.log(p))
+    return (
+        wc.join(F.broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(h.alias("_h"))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            (F.floor(F.col("_h") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "entropy_nats"
+            ),
+            (
+                F.floor(F.exp(F.col("_h")) * F.lit(1e4) + F.lit(0.5))
+                / F.lit(1e4)
+            ).alias("unigram_ppl"),
+        )
+    )

@@ -1138,3 +1138,64 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround(mean_us / F.lit(1e6), 4).alias("mean_gap_s"),
         qround(cv, 4).alias("cv"),
     )
+
+
+@register(
+    "weekly_growth",
+    """
+    WITH w AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                 AS total_value
+        FROM events GROUP BY 1, 2),
+    g AS (
+        SELECT *,
+               lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                 AS prev_n
+        FROM w)
+    SELECT event_type, week, n, total_value,
+           CASE WHEN prev_n IS NOT NULL AND prev_n > 0 THEN
+               floor((CAST(n AS DOUBLE) - prev_n) / prev_n
+                     * 1000000 + 0.5) / 1000000
+           END AS wow_growth
+    FROM g
+    """,
+)
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts + exact
+    DECIMAL value totals, and the WoW growth rate ((n − prev)/prev)
+    against the previous CALENDAR week bucket (date_trunc both
+    engines; a silent week simply has no row, so the lag compares
+    adjacent OBSERVED weeks — the convention BI tools call
+    'vs previous period with data'; the zero-filled alternative is
+    dow_seasonality's spine pattern). NULL growth on the first
+    observed week.
+
+    Scale: one map-side-combined groupBy to |types| × |weeks| rows
+    (time-span bounded); the lag window runs over those tiny frames,
+    partitioned by type — never a single-partition global window."""
+    e = _t(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast(DEC4)).cast("double"), 4
+        ).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    growth = F.when(
+        prev.isNotNull() & (prev > 0),
+        F.floor(
+            (F.col("n").cast("double") - prev) / prev * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return wk.select(
+        "event_type", "week", "n", "total_value",
+        growth.alias("wow_growth"),
+    )

@@ -1024,3 +1024,18 @@ def lexical_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
             "source", F.col("t").alias("w"), F.col("cst").alias("c")
         )
     )
+
+
+def entropy_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Per-source unigram entropy/perplexity under everything drained
+    — equals batch q_token_entropy; fourth report off the one
+    token-count sink."""
+    from clinvar_pipeline_spark.queries_text import (
+        token_entropy_from_counts,
+    )
+
+    return token_entropy_from_counts(
+        token_counts_snapshot(spark, deltas_path).select(
+            "source", F.col("t").alias("w"), F.col("cst").alias("c")
+        )
+    )

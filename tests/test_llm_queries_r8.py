@@ -205,3 +205,31 @@ def test_token_count_stream_serves_lexical_diversity(spark, tmp_path):
     got = {r["source"]: key(r) for r in lexical_snapshot(spark, deltas).collect()}
     exp = {r["source"]: key(r) for r in q_lexical_diversity(spark, SF).collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_token_count_stream_serves_entropy(spark, tmp_path):
+    """Fourth report off the same sink: entropy_snapshot equals batch
+    q_token_entropy after a two-batch drain."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_text import q_token_entropy
+    from clinvar_pipeline_spark.streaming.corpus import (
+        entropy_snapshot,
+        token_count_stream,
+    )
+
+    docs = _t(spark, SF, "documents").select("doc_id", "source", "text")
+    drop = tmp_path / "docs"
+    docs.repartition(2).write.parquet(str(drop))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    deltas, ckpt = str(tmp_path / "tok"), str(tmp_path / "ckpt_tok")
+    q = token_count_stream(stream, deltas, ckpt, compact_every=1)
+    q.awaitTermination(120)
+
+    key = lambda r: (r["n_tokens"], r["entropy_nats"], r["unigram_ppl"])
+    got = {r["source"]: key(r) for r in entropy_snapshot(spark, deltas).collect()}
+    exp = {r["source"]: key(r) for r in q_token_entropy(spark, SF).collect()}
+    assert got == exp and len(exp) > 0

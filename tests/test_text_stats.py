@@ -122,3 +122,29 @@ def test_lexical_diversity_matches_counter_twin(spark, sf_dir, corpus):
         assert r["hapax_ratio"] == pytest.approx(
             math.floor(n_hap / n_typ * 1e6 + 0.5) / 1e6, abs=1e-9
         )
+
+
+def test_token_entropy_matches_counter_twin(spark, sf_dir, corpus):
+    from collections import Counter
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_text import q_token_entropy
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in _t(spark, sf_dir, "documents").collect()
+    }
+    per_src: dict = {}
+    for d, toks in corpus.items():
+        per_src.setdefault(src_of[d], Counter()).update(toks)
+    got = {r["source"]: r for r in q_token_entropy(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for s, wc in per_src.items():
+        n = float(sum(wc.values()))
+        h = sum(-(c / n) * math.log(c / n) for c in wc.values())
+        r = got[s]
+        assert r["n_tokens"] == int(n)
+        assert r["entropy_nats"] == pytest.approx(h, abs=1e-5)
+        assert r["unigram_ppl"] == pytest.approx(math.exp(h), abs=1e-3)
+        # perplexity can never exceed the vocabulary size
+        assert r["unigram_ppl"] <= len(wc) + 1e-9

@@ -1136,3 +1136,37 @@ def test_interarrival_stats_matches_numpy_twin(spark, sf_dir):
         assert got[t]["n_gaps"] == len(gs)
         assert got[t]["mean_gap_s"] == pytest.approx(mean / 1e6, abs=1e-3)
         assert got[t]["cv"] == pytest.approx(cv, abs=1e-3)
+
+
+def test_weekly_growth_matches_pandas_twin(spark, sf_dir):
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_weekly_growth
+
+    pdf = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).toPandas()
+    pdf["week"] = pdf["ts"].dt.to_period("W-SUN").dt.start_time
+    g = pdf.groupby(["event_type", "week"]).agg(
+        n=("ts", "size"), v=("value", "sum")
+    ).reset_index().sort_values(["event_type", "week"])
+    exp = {}
+    for t, sub in g.groupby("event_type"):
+        prev = None
+        for _, row in sub.iterrows():
+            wow = (
+                math.floor((row["n"] - prev) / prev * 1e6 + 0.5) / 1e6
+                if prev else None
+            )
+            exp[(t, row["week"].to_pydatetime())] = (int(row["n"]), wow)
+            prev = row["n"]
+    got = {
+        (r["event_type"], r["week"]): (r["n"], r["wow_growth"])
+        for r in q_weekly_growth(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for k, (n, wow) in exp.items():
+        assert got[k][0] == n
+        if wow is None:
+            assert got[k][1] is None
+        else:
+            assert got[k][1] == pytest.approx(wow, abs=1e-9)
