@@ -782,6 +782,11 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     - live anomaly verdicts (anomalies_live_stream): per-event
       z-scores vs the trailing 7-day exclusive baseline at
       out/anomalies, batch-exact on finalized events;
+    - calendar reports (daily_count_stream): one ADD-merged
+      (event_type, day) count/value sink serves weekday seasonality,
+      the cross-type Pearson matrix and WoW growth post-drain
+      (out/dow_seasonality, out/type_correlation, out/weekly_growth),
+      each equal to its batch registry query;
     - DAU/WAU/MAU (active_users_stream): the user-day set under the
       idempotent set-union merge, report at out/active_users
       (q_active_users' exact schema). The per-user
@@ -813,10 +818,14 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         active_users_snapshot,
         active_users_stream,
         anomalies_live_stream,
+        correlation_snapshot,
+        daily_count_stream,
+        dow_snapshot,
         ngrams_live_stream,
         ohlc_snapshot,
         ohlc_stream,
         transitions_live_stream,
+        weekly_growth_snapshot,
     )
 
     src = args.sf or "/root/testdata/sf0.001"
@@ -893,6 +902,14 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         .option("checkpointLocation", f"{args.out}/_ckpt/anomalies")
         .trigger(availableNow=True)
         .start(),
+        # daily (event_type, day) counts: one ADD-merged sink serves
+        # the three calendar reports post-drain
+        daily_count_stream(
+            stream,
+            f"{args.out}/_daily_epochs",
+            f"{args.out}/_ckpt/daily",
+            compact_every=16,
+        ),
         # user-day set for DAU/WAU/MAU (idempotent set-union merge)
         active_users_stream(
             stream,
@@ -909,6 +926,14 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     ohlc.write.mode("overwrite").parquet(f"{args.out}/ohlc")
     au = active_users_snapshot(spark, f"{args.out}/_active_epochs")
     au.write.mode("overwrite").parquet(f"{args.out}/active_users")
+    for nm, snap in (
+        ("dow_seasonality", dow_snapshot),
+        ("type_correlation", correlation_snapshot),
+        ("weekly_growth", weekly_growth_snapshot),
+    ):
+        snap(spark, f"{args.out}/_daily_epochs").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/{nm}")
     pairs = spark.read.parquet(f"{args.out}/transition_pairs")
     (
         pairs.groupBy("from_type", "to_type")

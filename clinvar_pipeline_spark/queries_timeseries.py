@@ -685,6 +685,90 @@ def q_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_counts(e: DataFrame) -> DataFrame:
+    """The shared sufficient statistics for the calendar reports:
+    (event_type, day, n, vsum) with vsum an EXACT DECIMAL(18,4) sum —
+    dow_seasonality and type_correlation consume n; weekly_growth
+    consumes n + vsum (per-day decimal sums re-sum to the identical
+    week totals by associativity). The streamed serve path
+    (streaming/timeseries.daily_count_stream) lands THIS frame as an
+    ADD-merged epoch sink, so all three reports come off one sink —
+    the token-count-sink pattern on the events table."""
+    return e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC4)).alias("vsum"),
+    )
+
+
+def dow_seasonality_from_daily(daily: DataFrame) -> DataFrame:
+    """The dow_seasonality aggregate over a (event_type, day, n)
+    frame (zero-filled spine built here)."""
+    daily = _persist(daily)
+    types = sorted(
+        r[0] for r in daily.select("event_type").distinct().collect()
+    )
+    spine = daily.select("day").distinct().select(
+        "day",
+        F.explode(F.array(*[F.lit(t) for t in types])).alias("event_type"),
+    )
+    typed = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            (F.weekday("day") + F.lit(1)).alias("dow"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    typed = _persist(typed)
+    prof = typed.groupBy("event_type", "dow").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    overall = typed.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_all")
+    )
+    return prof.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n_events",
+        "n_days",
+        qround(F.col("dow_mean"), 4).alias("dow_mean"),
+        qround(F.col("dow_mean") / F.col("mean_all"), 6).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+def weekly_growth_from_daily(daily: DataFrame) -> DataFrame:
+    """The weekly_growth aggregate over (event_type, day, n, vsum)."""
+    wk = daily.groupBy(
+        "event_type", F.date_trunc("week", "day").alias("week")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("vsum").cast(DEC4).cast("double"), 4).alias(
+            "total_value"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    growth = F.when(
+        prev.isNotNull() & (prev > 0),
+        F.floor(
+            (F.col("n").cast("double") - prev) / prev * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return wk.select(
+        "event_type", "week", "n", "total_value",
+        growth.alias("wow_growth"),
+    )
+
+
+
 @register(
     "type_correlation",
     """
@@ -734,9 +818,15 @@ def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, the correlation formula a double expression spelled
     identically in the oracle with the qround quantizer."""
     e = _t(spark, sf_dir, "events")
-    d = e.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    d = daily_counts(e).select("day", "event_type", "n")
+    return type_correlation_from_daily(d)
+
+
+def type_correlation_from_daily(d: DataFrame) -> DataFrame:
+    """The correlation aggregate over a (day, event_type, n) daily
+    frame — shared by the batch query and the streamed serve path
+    (streaming/timeseries.correlation_snapshot off the daily-count
+    sink)."""
     d = _persist(d)
     types = sorted(
         r[0] for r in d.select("event_type").distinct().collect()
@@ -943,47 +1033,8 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 7 × |types| rows. The spine frame is computed once and reused
     by both the per-dow and overall aggregates."""
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    daily = _persist(daily)
-    # bounded |types| list collected once (the type_correlation
-    # sanctioned scalar — a crossJoin would plan
-    # BroadcastNestedLoopJoin, audit-rejected)
-    types = sorted(
-        r[0] for r in daily.select("event_type").distinct().collect()
-    )
-    spine = daily.select("day").distinct().select(
-        "day",
-        F.explode(F.array(*[F.lit(t) for t in types])).alias("event_type"),
-    )
-    typed = (
-        spine.join(daily, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            # ISO weekday Mon=1..Sun=7 == DuckDB isodow
-            (F.weekday("day") + F.lit(1)).alias("dow"),
-            F.coalesce("n", F.lit(0)).alias("n"),
-        )
-    )
-    typed = _persist(typed)
-    prof = typed.groupBy("event_type", "dow").agg(
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
-        F.sum("n").alias("n_events"),
-        F.count(F.lit(1)).alias("n_days"),
-    )
-    overall = typed.groupBy("event_type").agg(
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_all")
-    )
-    return prof.join(F.broadcast(overall), "event_type").select(
-        "event_type",
-        F.col("dow").cast("int").alias("dow"),
-        "n_events",
-        "n_days",
-        qround(F.col("dow_mean"), 4).alias("dow_mean"),
-        qround(F.col("dow_mean") / F.col("mean_all"), 6).alias(
-            "seasonal_index"
-        ),
+    return dow_seasonality_from_daily(
+        daily_counts(e).select("event_type", "day", "n")
     )
 
 
@@ -1177,25 +1228,4 @@ def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (time-span bounded); the lag window runs over those tiny frames,
     partitioned by type — never a single-partition global window."""
     e = _t(spark, sf_dir, "events")
-    wk = e.groupBy(
-        "event_type", F.date_trunc("week", "ts").alias("week")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.col("value").cast(DEC4)).cast("double"), 4
-        ).alias("total_value"),
-    )
-    w = Window.partitionBy("event_type").orderBy("week")
-    prev = F.lag("n").over(w)
-    growth = F.when(
-        prev.isNotNull() & (prev > 0),
-        F.floor(
-            (F.col("n").cast("double") - prev) / prev * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        / F.lit(1e6),
-    )
-    return wk.select(
-        "event_type", "week", "n", "total_value",
-        growth.alias("wow_growth"),
-    )
+    return weekly_growth_from_daily(daily_counts(e))

@@ -538,3 +538,107 @@ def active_users_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
             [], "day date, dau long, wau long, mau long"
         )
     return active_user_counts(parts.select("day", "user_id").distinct())
+
+
+# ---------------------------------------------------------------------
+# Streamed daily-count sink: one ADD-merged (event_type, day) frame
+# serves the three calendar reports (the token-count-sink pattern on
+# the events table)
+# ---------------------------------------------------------------------
+
+
+def daily_count_stream(
+    events: DataFrame,
+    deltas_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+):
+    """Streaming (event_type, day) count/value sink: each micro-batch
+    lands its daily partials as an epoch-keyed ADD-merge delta
+    (exactly-once: a replayed epoch overwrites its own dir). The
+    frame is queries_timeseries.daily_counts' exact shape — the
+    sufficient statistics for dow_seasonality, type_correlation and
+    weekly_growth — so one sink serves all three calendar reports.
+    Compaction fold is the re-sum (linear by associativity of + on
+    counts and DECIMAL value sums); deltas are |types| × |days|
+    bounded per epoch."""
+    from clinvar_pipeline_spark.queries_timeseries import daily_counts
+
+    def _do(batch_df: DataFrame, epoch_id: int) -> None:
+        daily_counts(batch_df).write.mode("overwrite").parquet(
+            f"{deltas_path}/epoch={int(epoch_id)}"
+        )
+        if compact_every:
+            from clinvar_pipeline_spark.streaming.compaction import (
+                compact,
+                list_live_epochs,
+            )
+
+            spark = batch_df.sparkSession
+            if len(list_live_epochs(spark, deltas_path)) > compact_every:
+                compact(spark, deltas_path, fold=_merge_daily)
+
+    return (
+        events.writeStream.foreachBatch(_do)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _merge_daily(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type", "day").agg(
+        F.sum("n").alias("n"),
+        F.sum("vsum").cast(DEC4).alias("vsum"),
+    )
+
+
+def daily_counts_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """The merged (event_type, day, n, vsum) table under everything
+    drained so far."""
+    from clinvar_pipeline_spark.streaming.compaction import snapshot_parts
+
+    parts = snapshot_parts(spark, deltas_path)
+    if parts is None:
+        return spark.createDataFrame(
+            [], "event_type string, day date, n long, vsum decimal(18,4)"
+        )
+    return _merge_daily(parts)
+
+
+def dow_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Weekday seasonality under everything drained — equals batch
+    q_dow_seasonality."""
+    from clinvar_pipeline_spark.queries_timeseries import (
+        dow_seasonality_from_daily,
+    )
+
+    return dow_seasonality_from_daily(
+        daily_counts_snapshot(spark, deltas_path).select(
+            "event_type", "day", "n"
+        )
+    )
+
+
+def weekly_growth_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """WoW growth under everything drained — equals batch
+    q_weekly_growth."""
+    from clinvar_pipeline_spark.queries_timeseries import (
+        weekly_growth_from_daily,
+    )
+
+    return weekly_growth_from_daily(daily_counts_snapshot(spark, deltas_path))
+
+
+def correlation_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Cross-type Pearson matrix under everything drained — equals
+    batch q_type_correlation; third report off the daily-count sink."""
+    from clinvar_pipeline_spark.queries_timeseries import (
+        type_correlation_from_daily,
+    )
+
+    return type_correlation_from_daily(
+        daily_counts_snapshot(spark, deltas_path).select(
+            "day", "event_type", "n"
+        )
+    )

@@ -1170,3 +1170,52 @@ def test_weekly_growth_matches_pandas_twin(spark, sf_dir):
             assert got[k][1] is None
         else:
             assert got[k][1] == pytest.approx(wow, abs=1e-9)
+
+
+def test_daily_count_stream_serves_three_calendar_reports(
+    spark, tmp_path, sf_dir
+):
+    """One ADD-merged (event_type, day) sink drained in two batches
+    with compaction on: dow_snapshot, correlation_snapshot and
+    weekly_growth_snapshot each equal their batch registry query —
+    the token-count-sink pattern on the events table."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_dow_seasonality,
+        q_type_correlation,
+        q_weekly_growth,
+    )
+    from clinvar_pipeline_spark.streaming.timeseries import (
+        correlation_snapshot,
+        daily_count_stream,
+        dow_snapshot,
+        weekly_growth_snapshot,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    drop = tmp_path / "events"
+    ev.repartition(2).write.parquet(str(drop))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    deltas, ckpt = str(tmp_path / "daily"), str(tmp_path / "ckpt")
+    q = daily_count_stream(stream, deltas, ckpt, compact_every=1)
+    q.awaitTermination(120)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(dow_snapshot(spark, deltas)) == rows(
+        q_dow_seasonality(spark, sf_dir)
+    )
+    assert rows(correlation_snapshot(spark, deltas)) == rows(
+        q_type_correlation(spark, sf_dir)
+    )
+    assert rows(weekly_growth_snapshot(spark, deltas)) == rows(
+        q_weekly_growth(spark, sf_dir)
+    )
