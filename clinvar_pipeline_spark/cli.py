@@ -1033,15 +1033,33 @@ def cmd_event_report(spark: SparkSession, args) -> None:
 
 def cmd_audit(spark: SparkSession, args) -> None:
     """--audit: the ops-facing counterpart of the reference's run-stat
-    counter email — skew-cap drop counts plus a physical-plan smell
-    audit over the whole query registry (clinvar_pipeline_spark.audit).
-    Exits nonzero if any un-waivered plan smell is found."""
-    from clinvar_pipeline_spark.audit import explain_audit, skew_report
+    counter email — skew-cap drop counts, a physical-plan smell audit,
+    and the plan-shape drift check against PLAN_BASELINE.json (all in
+    clinvar_pipeline_spark.audit / tools/plan_baseline.py). Exits
+    nonzero on any un-waivered smell or signature drift."""
+    import json
+    import os
+
+    from clinvar_pipeline_spark.audit import (
+        explain_audit,
+        plan_signatures,
+        skew_report,
+    )
 
     sf = args.sf or "/root/testdata/sf0.01"
     for line in skew_report(spark, sf):
         print(line)
     bad = explain_audit(spark, sf)
+    baseline = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLAN_BASELINE.json")
+    if os.path.exists(baseline):
+        with open(baseline) as f:
+            base = json.load(f)
+        sigs = plan_signatures(spark, sf)
+        drift = [n for n, s in sigs.items() if base.get(n) != s]
+        print(f"plan baseline: {len(sigs) - len(drift)}/{len(sigs)} match"
+              + (f"; DRIFT: {drift}" if drift else ""))
+        bad += len(drift)
     if bad:
         sys.exit(1)
 
