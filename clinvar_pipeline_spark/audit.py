@@ -58,6 +58,9 @@ WAIVERS: dict[str, set[str]] = {
     # the Nuni/Nbi totals are a 1-row frame broadcast against the
     # vocabulary-bounded pair-count table — the scalar-subquery plan
     "pmi_collocations": {"nested-loop-join"},
+    # the min/max bounds frame is ONE row broadcast against the scan
+    # (the scalar-subquery shape); the interleave itself is map-only
+    "zorder_key": {"nested-loop-join"},
 }
 
 

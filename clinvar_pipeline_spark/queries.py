@@ -1338,6 +1338,7 @@ from clinvar_pipeline_spark import queries_temporal  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_timeseries  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_relational  # noqa: E402,F401
 from clinvar_pipeline_spark import queries_text  # noqa: E402,F401
+from clinvar_pipeline_spark import queries_warehouse  # noqa: E402,F401
 
 # ---------------------------------------------------------------------
 # Registry order IS the attestation surface: the correctness driver
@@ -1417,7 +1418,8 @@ def _reorder_registry() -> None:
         not hasattr(_m, "__spec__") or getattr(_m.__spec__, "_initializing", False)
         for _m in (queries_domain, queries_domain2, queries_llm,
                    queries_curation, queries_temporal,
-                   queries_timeseries, queries_relational, queries_text)
+                   queries_timeseries, queries_relational, queries_text,
+                   queries_warehouse)
     ):
         return  # mid-circular-import; re-run when the registry is full
     assert not missing, f"check window names unknown queries: {missing}"

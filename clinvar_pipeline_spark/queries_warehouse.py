@@ -1,0 +1,455 @@
+"""Warehouse / lakehouse staples (round 8): the table-maintenance and
+layout operators a production Spark shop runs daily, each attested
+against a DuckDB oracle:
+
+- scd2_history — Slowly-Changing-Dimension Type 2 interval build from
+  a change feed (gaps-and-islands run collapse + validity intervals).
+  The reference's nightly upsert (Loader.java:25-87, our
+  operators/diff_sync.py) is exactly SCD Type 1 — newest value wins,
+  history discarded; SCD2 is the history-keeping variant every
+  warehouse needs next to it.
+- table_profile — deequ-style one-pass column profile (null count,
+  distinct count, min/max per column) emitted long-format, the data-
+  quality screen run before a table is promoted.
+- pagerank — the canonical iterative dataflow (Page et al. 1999) over
+  the customer↔supplier purchase graph, next to the dedup family's
+  connected components (operators/graph.py): fixed-iteration,
+  engine-deterministic by the qround + DECIMAL-sum discipline, so the
+  oracle (the same iterations unrolled as SQL CTEs) matches every
+  rank bit-for-bit.
+- zorder_key — the Z-order (Morton) interleave key used for
+  multi-dimensional data-skipping file layout; operators/layout.py
+  writes the clustered files and tests prove the row-group pruning
+  both ways (a time-sorted layout prunes time probes only; Z-order
+  prunes user AND time probes).
+
+Scale notes are per-query. None of these shapes collects unbounded
+state to the driver; pagerank's only scalar is the node count (a
+1-row action, the sanctioned-collect list in audit.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.operators.graph import _release_checkpoint
+from clinvar_pipeline_spark.queries import _persist, _t, qround, register
+
+# ---------------------------------------------------------------------
+# SCD Type 2
+# ---------------------------------------------------------------------
+
+
+@register(
+    "scd2_history",
+    """
+    WITH seq AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS attr,
+               o_orderdate AS ts, o_orderkey AS ok,
+               lag(o_orderpriority) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS prev
+        FROM orders),
+    runs AS (
+        SELECT custkey, attr, ts,
+               sum(CASE WHEN prev IS NULL OR prev <> attr THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY custkey ORDER BY ts, ok
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS version
+        FROM seq),
+    grp AS (
+        SELECT custkey, version, min(attr) AS priority,
+               min(ts) AS valid_from, count(*) AS n_orders
+        FROM runs GROUP BY custkey, version)
+    SELECT custkey, CAST(version AS BIGINT) AS version, priority, valid_from,
+           lead(valid_from) OVER
+               (PARTITION BY custkey ORDER BY version) AS valid_to,
+           n_orders,
+           CAST(CASE WHEN lead(valid_from) OVER
+                    (PARTITION BY custkey ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM grp
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build: treat each customer's order stream
+    as a change feed for the `o_orderpriority` attribute and emit one
+    validity-interval row per attribute RUN — [valid_from, valid_to)
+    half-open, NULL-open current row flagged. The run collapse is the
+    gaps-and-islands idiom: a change flag from lag(), a running sum of
+    flags as the run (version) id, one group per run. Total order
+    within a customer is (o_orderdate, o_orderkey) — the key tiebreak
+    makes same-day orders deterministic (the DEC4/rounded-rank
+    discipline applied to ordering).
+
+    Scale: both windows and the groupBy partition by custkey — the
+    change feed never forms a global sequence, so the build is
+    parallel at any customer count. Three exchanges total (custkey
+    window; (custkey, version) group; custkey window for lead); the
+    run count per key is bounded by that key's row count, so state
+    per task is one partition's rows, exactly like the reference's
+    per-variant diff but with history kept (diff_sync.py:40 keeps
+    only the newest value — SCD1)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("custkey").orderBy("ts", "ok")
+    seq = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ok"),
+    ).withColumn("prev", F.lag("attr").over(w))
+    runs = seq.withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("attr")), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    grp = runs.groupBy("custkey", "version").agg(
+        F.min("attr").alias("priority"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("version")
+    nxt = F.lead("valid_from").over(w2)
+    return grp.select(
+        "custkey",
+        F.col("version").cast("long").alias("version"),
+        "priority",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "n_orders",
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "is_current"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# Column profiler
+# ---------------------------------------------------------------------
+
+# (column, kind) in a fixed order; kind drives which min/max slot the
+# profile fills. Timestamps profile as epoch microseconds (exact in a
+# double up to year ~2255) — engine-neutral, unlike rendered strings.
+_PROFILE_COLS = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            lo = f"round(CAST(min({c}) AS DOUBLE), 4)"
+            hi = f"round(CAST(max({c}) AS DOUBLE), 4)"
+            los, his = "NULL", "NULL"
+        elif kind == "ts":
+            lo = f"round(CAST(epoch_us(min({c})) AS DOUBLE), 4)"
+            hi = f"round(CAST(epoch_us(max({c})) AS DOUBLE), 4)"
+            los, his = "NULL", "NULL"
+        else:
+            lo, hi = "NULL", "NULL"
+            los, his = f"min({c})", f"max({c})"
+        parts.append(
+            f"""SELECT '{c}' AS col_name, '{kind}' AS kind,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   {lo} AS min_num, {hi} AS max_num,
+                   CAST({los} AS VARCHAR) AS min_str,
+                   CAST({his} AS VARCHAR) AS max_str
+            FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("table_profile", _profile_oracle())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of `lineitem` (deequ/DQ-gate shape):
+    per column its null count, exact distinct count, and min/max —
+    numeric/timestamp columns in the numeric slots (timestamps as
+    epoch micros: exact in a double, engine-neutral where rendered
+    timestamp strings are not), strings in the string slots. Emitted
+    long-format (one row per column) so the profile's schema is
+    stable under table-schema drift.
+
+    Scale: a single scan; Spark plans the N distinct aggregates via
+    Expand (one row per distinct-column per input row) — the same
+    multi-distinct strategy every engine uses, shuffle keyed by the
+    grouping-set id so no single reducer sees the whole table. At
+    extreme width, the sketch family (operators/sketch.py
+    approx_count_distinct / the HLL register frame) is the documented
+    approximate twin for the distinct slot; min/max/null are always
+    one map-side-combined pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs, rows = [], []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__null")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        if kind == "num":
+            aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"))
+            aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"))
+        elif kind == "ts":
+            aggs.append(
+                F.round(F.unix_micros(F.min(c)).cast("double"), 4).alias(
+                    f"{c}__min"
+                )
+            )
+            aggs.append(
+                F.round(F.unix_micros(F.max(c)).cast("double"), 4).alias(
+                    f"{c}__max"
+                )
+            )
+        else:
+            aggs.append(F.min(c).alias(f"{c}__min"))
+            aggs.append(F.max(c).alias(f"{c}__max"))
+    one = li.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    for c, kind in _PROFILE_COLS:
+        is_num = kind in ("num", "ts")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(kind).alias("kind"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__dist").alias("n_distinct"),
+                (F.col(f"{c}__min") if is_num else null_d).alias("min_num"),
+                (F.col(f"{c}__max") if is_num else null_d).alias("max_num"),
+                (
+                    F.col(f"{c}__min").cast("string") if not is_num else null_s
+                ).alias("min_str"),
+                (
+                    F.col(f"{c}__max").cast("string") if not is_num else null_s
+                ).alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------
+
+_PR_ITERS = 6
+_PR_DAMP = 0.85
+_PR_Q = "1000000000000.0"  # 10^12 — qround scale 12, spelled textually
+
+
+def _pagerank_oracle() -> str:
+    """The same six iterations unrolled as SQL CTEs. Every arithmetic
+    step is spelled as the identical IEEE sequence the Spark side
+    executes (qround = floor(x*1e12+0.5)/1e12; contribution sums in
+    DECIMAL(38,12)), so the ranks match bit-for-bit — the engine-
+    portable-iteration discipline from the CC/recursive-CTE pairing
+    applied to a numeric fixpoint."""
+    ctes = [
+        """eraw AS (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS u,
+                        's:' || CAST(l_suppkey AS VARCHAR) AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS (
+        SELECT u AS src, v AS dst FROM eraw
+        UNION ALL
+        SELECT v AS src, u AS dst FROM eraw)""",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS r FROM deg)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+        SELECT d.node, d.deg,
+               floor((0.15 / (SELECT n FROM nn) + 0.85 * CAST(
+                   sum(CAST(floor(p.r / p.deg * {_PR_Q} + 0.5) / {_PR_Q}
+                       AS DECIMAL(38,12))) AS DOUBLE)) * {_PR_Q} + 0.5)
+                   / {_PR_Q} AS r
+        FROM deg d
+        JOIN edges e ON e.dst = d.node
+        JOIN r{i - 1} p ON p.node = e.src
+        GROUP BY d.node, d.deg)"""
+        )
+    body = ",\n    ".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, CAST(deg AS BIGINT) AS deg, r AS rank\n"
+        f"FROM r{_PR_ITERS}"
+    )
+
+
+@register("pagerank", _pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (6 iterations, d=0.85) over the bidirected
+    customer↔supplier purchase graph (an edge per distinct
+    (customer, supplier) trade pair from orders⋈lineitem) — the
+    canonical iterative dataflow, the numeric sibling of the dedup
+    family's connected components (operators/graph.py).
+
+    Engine determinism: each iteration's contribution r/deg is
+    quantized to 12 dp (qround — floor/multiply/add, the same IEEE
+    sequence both engines), contributions SUM IN DECIMAL(38,12)
+    (exact, order-independent — the centroid-mean lesson), and the
+    damped update is re-quantized; the oracle unrolls the identical
+    iterations as CTEs, so ranks match bit-for-bit, not just within
+    tolerance.
+
+    Scale: per iteration one shuffle join (ranks⋈edges on src; the
+    rank frame is node-sized — broadcast at test SF by AQE, a
+    co-partitioned shuffle join at 100 TB where nodes outgrow
+    broadcast) and one dst-keyed groupBy whose DECIMAL sum combines
+    map-side. The evolving state is one node-sized frame,
+    localCheckpoint-ed per round so the logical plan stays flat (the
+    CC lineage lesson, graph.py:72). The only driver scalar is the
+    node count (1-row action, sanctioned)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eraw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+        .distinct()
+    )
+    edges = _persist(
+        eraw.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            eraw.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    deg = _persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                   .withColumnRenamed("src", "node"))
+    n_nodes = deg.count()  # 1-row driver scalar (sanctioned)
+    base = 0.15 / n_nodes  # same IEEE division the oracle's 0.15/n does
+    ranks = deg.select("node", "deg", F.lit(1.0 / n_nodes).alias("r"))
+    prev = None
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                qround(F.col("r") / F.col("deg"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, deg.node == contrib.dst)
+            .select(
+                "node",
+                "deg",
+                qround(
+                    F.lit(base) + F.lit(_PR_DAMP) * F.col("s").cast("double"),
+                    12,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+        if prev is not None:
+            _release_checkpoint(prev)  # free the superseded round now
+        prev = ranks
+    return ranks.select(
+        "node", F.col("deg").cast("long").alias("deg"), F.col("r").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------
+# Z-order layout key
+# ---------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_sql_norm(col: str, lo: str, hi: str) -> str:
+    """Min-max normalize to [0, 65535] — floor of an IEEE quotient,
+    identical text both engines; constant column → 0."""
+    return (
+        f"CASE WHEN {hi} = {lo} THEN 0 ELSE CAST(floor((CAST({col} AS DOUBLE)"
+        f" - {lo}) * 65535.0 / ({hi} - {lo})) AS BIGINT) END"
+    )
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((ub >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((tb >> {i}) & 1) << {2 * i})")
+    z = " + ".join(terms)
+    un = _z_sql_norm("user_id", "(SELECT min(user_id) FROM events)",
+                     "(SELECT max(user_id) FROM events)")
+    tn = _z_sql_norm(
+        "epoch_us(ts)",
+        "(SELECT min(epoch_us(ts)) FROM events)",
+        "(SELECT max(epoch_us(ts)) FROM events)",
+    )
+    return f"""
+    WITH nrm AS (
+        SELECT event_id, {un} AS ub, {tn} AS tb FROM events)
+    SELECT event_id, CAST({z} AS BIGINT) AS zkey FROM nrm
+    """
+
+
+@register("zorder_key", _zorder_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave key over (user_id, event time):
+    both dimensions min-max-normalized to 16 bits, bits interleaved
+    user-high — the multi-dimensional clustering key behind
+    OPTIMIZE ZORDER BY-style data skipping. Sorting files by this key
+    gives every file a tight min/max box in BOTH dimensions, so a
+    point or range predicate on EITHER column prunes row groups —
+    where a single-column sort prunes only its own column.
+    operators/layout.py writes the clustered layout;
+    tests/test_layout.py proves the two-way pruning on real parquet
+    footers.
+
+    Scale: map-only expression work after two 1-row min/max
+    aggregates (broadcast back as literals via a window-free join on
+    a constant — no per-row driver state); the interleave itself is
+    16 shift/mask terms per dimension, all whole-stage codegen."""
+    ev = _t(spark, sf_dir, "events")
+    # 1-row bounds frame; crossJoin of a 1-row broadcast is the
+    # documented idle_rich_customers waiver shape (audit.py).
+    bounds = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min(F.unix_micros("ts")).alias("tlo"),
+        F.max(F.unix_micros("ts")).alias("thi"),
+    )
+    j = ev.select("event_id", "user_id", F.unix_micros("ts").alias("tus")).join(
+        F.broadcast(bounds)
+    )
+
+    def norm(col: Column, lo: Column, hi: Column) -> Column:
+        return (
+            F.when(hi == lo, F.lit(0))
+            .otherwise(
+                F.floor(
+                    (col.cast("double") - lo) * F.lit(65535.0) / (hi - lo)
+                )
+            )
+            .cast("long")
+        )
+
+    ub = norm(F.col("user_id"), F.col("ulo"), F.col("uhi"))
+    tb = norm(F.col("tus"), F.col("tlo"), F.col("thi"))
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(ub, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = z + F.shiftleft(F.shiftright(tb, i).bitwiseAND(F.lit(1)), 2 * i)
+    return j.select("event_id", z.cast("long").alias("zkey"))

@@ -1,0 +1,176 @@
+"""Contract tests for the warehouse staples (queries_warehouse.py)
+and the Z-order layout writer (operators/layout.py).
+
+The registry queries are oracle-attested by the DuckDB gate; these
+tests pin the invariants the SQL comparison can't express — interval
+algebra for SCD2, the exact quantized fixpoint for PageRank against
+an independent pure-Python power iteration, and the two-way file
+pruning a Z-ordered layout exists for (real parquet footers, not
+simulated stats).
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_pipeline_spark.operators import layout
+from clinvar_pipeline_spark.queries_warehouse import (
+    q_pagerank,
+    q_scd2_history,
+    q_zorder_key,
+)
+
+
+# ---------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    out = q_scd2_history(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+
+    by_cust: dict[int, list] = {}
+    for r in out:
+        by_cust.setdefault(r["custkey"], []).append(r)
+    assert len(by_cust) == n_cust
+    assert sum(r["n_orders"] for r in out) == n_orders
+
+    for rows in by_cust.values():
+        rows.sort(key=lambda r: r["version"])
+        # versions are 1..k dense
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        # exactly one open (current) interval, and it is the last
+        assert [bool(r["is_current"]) for r in rows] == [False] * (
+            len(rows) - 1
+        ) + [True]
+        for a, b in zip(rows, rows[1:]):
+            # half-open adjacency: next run starts where this one ends
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
+            # a run BOUNDARY means the attribute actually changed
+            assert a["priority"] != b["priority"]
+
+
+# ---------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------
+
+
+def _qround(x: float, s: int = 12) -> float:
+    p = float(10**s)
+    return math.floor(x * p + 0.5) / p
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark, sf_dir):
+    got = {r["node"]: r["rank"] for r in q_pagerank(spark, sf_dir).collect()}
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    adj: dict[str, list[str]] = {}
+    for r in pairs:
+        c, s = f"c:{r['o_custkey']}", f"s:{r['l_suppkey']}"
+        adj.setdefault(c, []).append(s)
+        adj.setdefault(s, []).append(c)
+    n = len(adj)
+    base = 0.15 / n
+    rank = {v: 1.0 / n for v in adj}
+    for _ in range(6):
+        # decimal accumulators replicate the DECIMAL(38,12) sum exactly
+        acc = {v: decimal.Decimal(0) for v in adj}
+        for u, nbrs in adj.items():
+            c = decimal.Decimal(_qround(rank[u] / len(nbrs))).quantize(
+                decimal.Decimal("1e-12"), rounding=decimal.ROUND_HALF_UP
+            )
+            for v in nbrs:
+                acc[v] += c
+        rank = {v: _qround(base + 0.85 * float(acc[v])) for v in adj}
+
+    assert set(got) == set(rank)
+    for v in rank:
+        assert got[v] == rank[v], v  # bit-for-bit, not approximately
+
+    total = sum(rank.values())
+    assert abs(total - 1.0) < 1e-6  # no dangling mass on a bidirected graph
+    assert all(r > 0 for r in rank.values())
+
+
+# ---------------------------------------------------------------------
+# Z-order key + layout pruning
+# ---------------------------------------------------------------------
+
+
+def test_morton_key_bit_interleave(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 0), (0, 3), (65535, 65535)], "u long, t long"
+    )
+    rows = df.select(
+        layout.morton_key(F.col("u"), F.col("t")).alias("z")
+    ).collect()
+    assert [r["z"] for r in rows] == [2, 1, 10, 5, (1 << 32) - 1]
+
+
+def test_zorder_key_is_dense_and_total(spark, sf_dir):
+    out = q_zorder_key(spark, sf_dir)
+    n = out.count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    zmax = out.agg(F.max("zkey")).first()[0]
+    assert 0 <= zmax < (1 << 32)
+
+
+@pytest.fixture(scope="module")
+def event_layouts(spark, sf_dir, tmp_path_factory):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tmp_path_factory.mktemp("layouts")
+    zp, tp = str(root / "z"), str(root / "t")
+    layout.zorder_write(ev, ("user_id", "ts"), zp, n_files=16)
+    # the single-dimension strawman: perfectly time-clustered
+    (
+        ev.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tp)
+    )
+    return ev, zp, tp
+
+
+def test_zorder_prunes_both_dimensions(event_layouts):
+    ev, zp, tp = event_layouts
+    zs = layout.file_stats(zp, ["user_id", "ts"])
+    ts = layout.file_stats(tp, ["user_id", "ts"])
+    assert len(zs) == 16 and len(ts) == 16
+
+    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+    times = [r["ts"] for r in ev.select("ts").collect()]
+    times.sort()
+    probes_u = sorted(users)[:: max(1, len(users) // 7)][:7]
+    probes_t = times[:: max(1, len(times) // 7)][:7]
+
+    def avg(stats, col, probes):
+        return sum(layout.files_containing(stats, col, p) for p in probes) / len(
+            probes
+        )
+
+    z_user, t_user = avg(zs, "user_id", probes_u), avg(ts, "user_id", probes_u)
+    z_time, t_time = avg(zs, "ts", probes_t), avg(ts, "ts", probes_t)
+
+    # time-sorted layout: every file spans ~all users -> no user pruning
+    assert t_user >= 15.0
+    # Z-order: a user probe touches a strict subset of files...
+    assert z_user <= 0.6 * t_user
+    # ...while still pruning time probes far below scan-everything
+    assert z_time <= 8.0
+    # and the time-sorted layout stays the time-probe optimum
+    assert t_time <= z_time
