@@ -785,7 +785,8 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     - calendar reports (daily_count_stream): one ADD-merged
       (event_type, day) count/value sink serves weekday seasonality,
       the cross-type Pearson matrix and WoW growth post-drain
-      (out/dow_seasonality, out/type_correlation, out/weekly_growth),
+      (out/dow_seasonality, out/type_correlation, out/weekly_growth,
+      out/ewma_daily),
       each equal to its batch registry query;
     - DAU/WAU/MAU (active_users_stream): the user-day set under the
       idempotent set-union merge, report at out/active_users
@@ -825,6 +826,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         ohlc_snapshot,
         ohlc_stream,
         transitions_live_stream,
+        ewma_snapshot,
         weekly_growth_snapshot,
     )
 
@@ -930,6 +932,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         ("dow_seasonality", dow_snapshot),
         ("type_correlation", correlation_snapshot),
         ("weekly_growth", weekly_growth_snapshot),
+        ("ewma_daily", ewma_snapshot),
     ):
         snap(spark, f"{args.out}/_daily_epochs").write.mode(
             "overwrite"
@@ -1003,6 +1006,9 @@ EVENT_REPORT_QUERIES = [
     "trigram_lift",
     "interarrival_stats",
     "weekly_growth",
+    # continued-r8: the dyadic-exact daily smoother (served off the
+    # same daily-count sink on the streaming side)
+    "ewma_daily",
 ]
 
 

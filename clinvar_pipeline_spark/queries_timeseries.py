@@ -1229,3 +1229,98 @@ def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by type — never a single-partition global window."""
     e = _t(spark, sf_dir, "events")
     return weekly_growth_from_daily(daily_counts(e))
+
+
+def ewma_from_daily(daily: DataFrame) -> DataFrame:
+    """The ewma_daily smoother over a (event_type, day, n) frame —
+    factored so the streamed daily-count sink
+    (streaming/timeseries.daily_count_stream) can serve it too."""
+    daily = _persist(daily.select("event_type", "day", "n"))
+    b = daily.groupBy("event_type").agg(
+        F.min("day").alias("dlo"), F.max("day").alias("dhi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("dlo", "dhi")).alias("day"),
+    )
+    sp = _persist(
+        spine.join(daily, ["event_type", "day"], "left").select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("x")
+        )
+    )
+    contrib = (
+        sp.select(
+            "event_type",
+            "day",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(27))).alias("g"),
+        )
+        .select(
+            "event_type",
+            F.date_add("day", F.col("g").cast("int")).alias("day"),
+            (
+                F.col("x").cast("double")
+                / F.expr("CAST(shiftleft(1, g) AS DOUBLE)")
+            ).alias("w"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("w").alias("ewma"))
+    )
+    return sp.join(contrib, ["event_type", "day"]).select(
+        "event_type", "day", F.col("x").alias("n"), "ewma"
+    )
+
+
+@register(
+    "ewma_daily",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS dlo, max(day) AS dhi
+          FROM daily GROUP BY 1),
+    spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(CAST(dlo AS TIMESTAMP),
+                                           CAST(dhi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+    sp AS (
+        SELECT s.event_type, s.day, coalesce(d.n, 0) AS x
+        FROM spine s LEFT JOIN daily d
+          ON s.event_type = d.event_type AND s.day = d.day),
+    contrib AS (
+        SELECT sp.event_type,
+               sp.day + CAST(t.g AS INTEGER) AS day,
+               CAST(sp.x AS DOUBLE) / (1 << t.g) AS w
+        FROM sp CROSS JOIN range(0, 28) t(g)),
+    agg AS (
+        SELECT event_type, day, sum(w) AS ewma
+        FROM contrib GROUP BY 1, 2)
+    SELECT sp.event_type, sp.day, sp.x AS n, a.ewma
+    FROM sp JOIN agg a ON sp.event_type = a.event_type AND sp.day = a.day
+    """,
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-decay EWMA over the zero-filled per-type daily count
+    series: s(t) = sum over g in [0, 27] of x(t-g) / 2^g — the
+    trailing exponential smoother next to rolling_stats' flat window
+    and rolling_anomalies' z-screen.
+
+    The decay base is deliberately 1/2 with a 28-day horizon: every
+    term x/2^g is a dyadic rational with <= ~46 mantissa bits (counts
+    < 2^19 at any tested SF, g <= 27), so every partial sum is EXACTLY
+    representable in a double — the sum is order-independent and
+    engine-portable WITHOUT the DECIMAL detour, and no rounding
+    boundary is needed at all (the weight is spelled as integer
+    shiftleft + one division both engines — pow() is not guaranteed
+    correctly rounded, 1 << g is exact by construction).
+
+    Scale: the spine is time-span x |types| bounded (never corpus-
+    sized); the decay fans each spine day out 28x through an explode
+    (map-only, fixed fan-out — the active_users bounded-fan-out
+    shape), one (type, day)-keyed map-side-combined sum, one narrow
+    join back to the spine. No window operator at all, so no
+    per-partition ordering cost."""
+    e = _t(spark, sf_dir, "events")
+    return ewma_from_daily(daily_counts(e))

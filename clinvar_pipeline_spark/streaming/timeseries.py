@@ -642,3 +642,16 @@ def correlation_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
             "day", "event_type", "n"
         )
     )
+
+
+def ewma_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Dyadic-decay daily EWMA under everything drained — equals batch
+    q_ewma_daily; fourth report off the daily-count sink (the smoother
+    consumes only the (event_type, day, n) sufficient statistics)."""
+    from clinvar_pipeline_spark.queries_timeseries import ewma_from_daily
+
+    return ewma_from_daily(
+        daily_counts_snapshot(spark, deltas_path).select(
+            "event_type", "day", "n"
+        )
+    )

@@ -1176,19 +1176,22 @@ def test_daily_count_stream_serves_three_calendar_reports(
     spark, tmp_path, sf_dir
 ):
     """One ADD-merged (event_type, day) sink drained in two batches
-    with compaction on: dow_snapshot, correlation_snapshot and
-    weekly_growth_snapshot each equal their batch registry query —
-    the token-count-sink pattern on the events table."""
+    with compaction on: dow_snapshot, correlation_snapshot,
+    weekly_growth_snapshot and ewma_snapshot each equal their batch
+    registry query — the token-count-sink pattern on the events
+    table."""
     from clinvar_pipeline_spark.queries import _t
     from clinvar_pipeline_spark.queries_timeseries import (
         q_dow_seasonality,
         q_type_correlation,
         q_weekly_growth,
     )
+    from clinvar_pipeline_spark.queries_timeseries import q_ewma_daily
     from clinvar_pipeline_spark.streaming.timeseries import (
         correlation_snapshot,
         daily_count_stream,
         dow_snapshot,
+        ewma_snapshot,
         weekly_growth_snapshot,
     )
 
@@ -1219,3 +1222,52 @@ def test_daily_count_stream_serves_three_calendar_reports(
     assert rows(weekly_growth_snapshot(spark, deltas)) == rows(
         q_weekly_growth(spark, sf_dir)
     )
+    assert rows(ewma_snapshot(spark, deltas)) == rows(
+        q_ewma_daily(spark, sf_dir)
+    )
+
+
+def test_ewma_daily_exact_dyadic_vs_fraction_twin(spark, sf_dir):
+    """Every EWMA value equals the Fraction-arithmetic ground truth
+    EXACTLY — not approximately: with decay base 1/2, a 28-day
+    horizon and integer daily counts, every term x/2^g and every
+    partial sum is a dyadic rational representable in a double, so
+    the distributed float sum is order-independent and lossless."""
+    import datetime
+    from fractions import Fraction
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_ewma_daily
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    counts: dict[tuple, int] = {}
+    for r in ev.collect():
+        counts[(r["event_type"], r["day"])] = (
+            counts.get((r["event_type"], r["day"]), 0) + 1
+        )
+    bounds: dict[str, tuple] = {}
+    for (t, d) in counts:
+        lo, hi = bounds.get(t, (d, d))
+        bounds[t] = (min(lo, d), max(hi, d))
+    exp = {}
+    for t, (lo, hi) in bounds.items():
+        d = lo
+        while d <= hi:
+            s = Fraction(0)
+            for g in range(28):
+                s += Fraction(
+                    counts.get((t, d - datetime.timedelta(days=g)), 0), 1 << g
+                )
+            exp[(t, d)] = (counts.get((t, d), 0), s)
+            d += datetime.timedelta(days=1)
+
+    got = {
+        (r["event_type"], r["day"]): (r["n"], r["ewma"])
+        for r in q_ewma_daily(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for k, (n, s) in exp.items():
+        assert got[k][0] == n
+        assert Fraction(got[k][1]) == s, k  # bit-exact, by construction
