@@ -62,7 +62,9 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         --out OUT
         (temporal suite served as streaming ingest: arriving
         purchases -> as-of attribution + conversion funnel against
-        frozen view/click history; OUT/_events_drop is the ingest
+        frozen view/click history, plus click->purchase conversion
+        pairs with BOTH sides live through Spark's native
+        stream-stream interval join; OUT/_events_drop is the ingest
         surface — append event files and rerun to drain only the
         new ones)
 
@@ -814,6 +816,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         asof_stream,
         funnel_snapshot,
         funnel_stream,
+        range_live_stream,
     )
     from clinvar_pipeline_spark.streaming.timeseries import (
         active_users_snapshot,
@@ -872,6 +875,14 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
             f"{args.out}/_ckpt/funnel",
             window_us=CONVERSION_WINDOW_US,
             compact_every=16,
+        ),
+        # conversion pairs: BOTH sides live through Spark's native
+        # stream-stream interval join (the file sink's commit log is
+        # the exactly-once story for the append-only pair output)
+        range_live_stream(
+            stream,
+            f"{args.out}/conversion_pairs",
+            f"{args.out}/_ckpt/conversions",
         ),
         # the OHLC sink filters to purchases itself — hand it the
         # full stream so its slice stays self-contained

@@ -383,3 +383,88 @@ def asof_live_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Native stream-stream interval join (both sides live)
+# ---------------------------------------------------------------------
+
+
+def range_live_stream(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    window_us: int = 86_400_000_000,
+    watermark_delay: str = "10 seconds",
+):
+    """The click→purchase interval join with BOTH sides arriving live,
+    as Spark's NATIVE stream-stream inner join — the built-in
+    Structured Streaming capability, complementing the custom
+    applyInPandasWithState tier (asof_live_stream): where the as-of
+    needed per-key ordered state no built-in join expresses, the
+    interval pair join is exactly what the engine's own join +
+    watermark machinery is for, so the engine does the state
+    management (buffering both sides, evicting rows the join-range
+    watermark proves unmatchable).
+
+    The join condition is spelled as timestamp arithmetic
+    (``p_ts > ts AND p_ts <= ts + window``) rather than epoch-micros
+    subtraction ON PURPOSE: Spark's watermark-range analyzer extracts
+    state-eviction bounds from interval comparisons between the two
+    event-time columns — an equivalent unix_micros() inequality is
+    opaque to it and the buffers would grow forever. Semantically both
+    are the same microsecond-exact half-open window the batch
+    operators/temporal.range_join implements by bucketing.
+
+    Sink: the parquet FILE sink (not foreachBatch) — its _spark_metadata
+    transaction log is the exactly-once story for append-only pair
+    output, no epoch-keyed overwrite needed (each pair is emitted by
+    exactly one micro-batch, the inner join emits matches as they
+    form).
+
+    Output schema matches the batch pair frame
+    (event_id, user_id, ts, ts_r, value); tests pin a two-micro-batch
+    drain row-equal to batch range_join — cross-batch pairs included
+    (a purchase arriving a batch after its click still matches off the
+    buffered click state).
+    """
+    secs = window_us / 1_000_000.0
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp_ltz").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", watermark_delay)
+    )
+    pairs = clicks.join(
+        purch,
+        F.expr(
+            "user_id = p_user AND p_ts > ts AND "
+            f"p_ts <= ts + make_dt_interval(0, 0, 0, {secs})"
+        ),
+        "inner",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_ts").alias("ts_r"),
+        "value",
+    )
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -688,3 +688,83 @@ def test_multitouch_attribution_matches_brute_force(spark, sf_dir):
     assert got == exp
     assert any(v[0] == 0 for v in exp.values()) or len(exp) > 0
     assert any(v[0] > 1 for v in exp.values())  # real multi-touch rows
+
+
+def test_range_live_stream_native_join_equals_batch(spark, tmp_path, sf_dir):
+    """Both sides live through Spark's NATIVE stream-stream inner
+    join: real sf0.001 events drained in two micro-batches must emit
+    exactly the batch range_join pair set — including cross-batch
+    pairs (a purchase arriving a micro-batch after its click matches
+    off the engine-buffered click state, which is the capability the
+    native join exists for)."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.streaming.temporal import range_live_stream
+
+    ev = _t(spark, sf_dir, "events")
+    drop = tmp_path / "events"
+    ev.repartition(2).write.parquet(str(drop))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = range_live_stream(
+        stream, str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["event_id"], r["user_id"], r["ts"], r["ts_r"], r["value"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    exp = {
+        (r["event_id"], r["user_id"], r["ts"], r["ts_r"], r["value"])
+        for r in range_join(
+            clicks, purch, on="ts", by=["user_id"],
+            lower_us=0, upper_us=86_400_000_000,
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_range_live_stream_pairs_across_micro_batches(spark, tmp_path):
+    """Constructed proof of cross-batch buffering: the click arrives
+    in micro-batch 1, its converting purchase only in micro-batch 2 —
+    the native join must still emit the pair (and not emit the
+    out-of-window one)."""
+    from clinvar_pipeline_spark.streaming.temporal import range_live_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+    drop = tmp_path / "events"
+    b1 = [(1, _ts(100.0), 10, "click", 0.0, "{}")]
+    b2 = [
+        (2, _ts(500.0), 10, "purchase", 9.5, "{}"),  # in window
+        (3, _ts(100.0 + 90_000.0), 10, "purchase", 1.0, "{}"),  # > 24 h
+    ]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = range_live_stream(
+        stream, str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    assert [(r["event_id"], r["value"]) for r in rows] == [(1, 9.5)]
