@@ -34,17 +34,16 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clinvar_pipeline_spark.operators.graph import _release_checkpoint
+from clinvar_pipeline_spark.operators.temporal import asof_join
 from clinvar_pipeline_spark.queries import _persist, _t, qround, register
 
 # ---------------------------------------------------------------------
 # SCD Type 2
 # ---------------------------------------------------------------------
 
-
-@register(
-    "scd2_history",
-    """
-    WITH seq AS (
+# the run-collapse CTE chain, shared by the scd2_history oracle and the
+# point-in-time lookup's oracle (which re-derives the same intervals)
+_SCD2_CTES = """seq AS (
         SELECT o_custkey AS custkey, o_orderpriority AS attr,
                o_orderdate AS ts, o_orderkey AS ok,
                lag(o_orderpriority) OVER
@@ -61,39 +60,22 @@ from clinvar_pipeline_spark.queries import _persist, _t, qround, register
     grp AS (
         SELECT custkey, version, min(attr) AS priority,
                min(ts) AS valid_from, count(*) AS n_orders
-        FROM runs GROUP BY custkey, version)
-    SELECT custkey, CAST(version AS BIGINT) AS version, priority, valid_from,
-           lead(valid_from) OVER
-               (PARTITION BY custkey ORDER BY version) AS valid_to,
-           n_orders,
-           CAST(CASE WHEN lead(valid_from) OVER
-                    (PARTITION BY custkey ORDER BY version) IS NULL
-                THEN 1 ELSE 0 END AS BIGINT) AS is_current
-    FROM grp
-    """,
-)
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type 2 dimension build: treat each customer's order stream
-    as a change feed for the `o_orderpriority` attribute and emit one
-    validity-interval row per attribute RUN — [valid_from, valid_to)
-    half-open, NULL-open current row flagged. The run collapse is the
-    gaps-and-islands idiom: a change flag from lag(), a running sum of
-    flags as the run (version) id, one group per run. Total order
-    within a customer is (o_orderdate, o_orderkey) — the key tiebreak
-    makes same-day orders deterministic (the DEC4/rounded-rank
-    discipline applied to ordering).
+        FROM runs GROUP BY custkey, version),
+    hist AS (
+        SELECT custkey, CAST(version AS BIGINT) AS version, priority,
+               valid_from,
+               lead(valid_from) OVER
+                   (PARTITION BY custkey ORDER BY version) AS valid_to,
+               n_orders
+        FROM grp)"""
 
-    Scale: both windows and the groupBy partition by custkey — the
-    change feed never forms a global sequence, so the build is
-    parallel at any customer count. Three exchanges total (custkey
-    window; (custkey, version) group; custkey window for lead); the
-    run count per key is bounded by that key's row count, so state
-    per task is one partition's rows, exactly like the reference's
-    per-variant diff but with history kept (diff_sync.py:40 keeps
-    only the newest value — SCD1)."""
-    o = _t(spark, sf_dir, "orders")
+
+def scd2_frame(orders: DataFrame) -> DataFrame:
+    """The SCD2 interval frame (custkey, version, priority, valid_from,
+    valid_to, n_orders, is_current) — shared by the history query and
+    the point-in-time lookup."""
     w = Window.partitionBy("custkey").orderBy("ts", "ok")
-    seq = o.select(
+    seq = orders.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderpriority").alias("attr"),
         F.col("o_orderdate").alias("ts"),
@@ -124,6 +106,107 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
             "is_current"
         ),
+    )
+
+
+@register(
+    "scd2_history",
+    f"""
+    WITH {_SCD2_CTES}
+    SELECT custkey, version, priority, valid_from, valid_to, n_orders,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM hist
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build: treat each customer's order stream
+    as a change feed for the `o_orderpriority` attribute and emit one
+    validity-interval row per attribute RUN — [valid_from, valid_to)
+    half-open, NULL-open current row flagged. The run collapse is the
+    gaps-and-islands idiom: a change flag from lag(), a running sum of
+    flags as the run (version) id, one group per run. Total order
+    within a customer is (o_orderdate, o_orderkey) — the key tiebreak
+    makes same-day orders deterministic (the DEC4/rounded-rank
+    discipline applied to ordering).
+
+    Scale: both windows and the groupBy partition by custkey — the
+    change feed never forms a global sequence, so the build is
+    parallel at any customer count. Three exchanges total (custkey
+    window; (custkey, version) group; custkey window for lead); the
+    run count per key is bounded by that key's row count, so state
+    per task is one partition's rows, exactly like the reference's
+    per-variant diff but with history kept (diff_sync.py:40 keeps
+    only the newest value — SCD1)."""
+    return scd2_frame(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "scd2_point_in_time",
+    f"""
+    WITH {_SCD2_CTES}
+    SELECT o.o_orderkey AS ok, o.o_custkey AS custkey,
+           o.o_orderdate AS ts, h.version, h.priority,
+           CAST(CASE WHEN h.priority = o.o_orderpriority
+                THEN 1 ELSE 0 END AS BIGINT) AS matches_own
+    FROM orders o JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND h.valid_from <= o.o_orderdate
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the CONSUMPTION side of SCD2:
+    each order is enriched with the priority version valid AT its
+    order date. The oracle states the semantics as interval
+    containment (valid_from <= d < valid_to); the Spark side executes
+    it as a backward AS-OF join on valid_from with the max-version
+    tiebreak (operators/temporal.asof_join) — the two are equivalent
+    because versions partition the timeline per key: the highest
+    version whose valid_from <= d is exactly the interval containing
+    d, and on same-instant version boundaries (two runs starting the
+    same day) the max-version tiebreak picks the interval the
+    containment rule keeps non-empty.
+
+    ``matches_own`` audits the round-trip: an order's looked-up
+    priority equals its own except for orders superseded INSIDE their
+    own day by a later same-day run — surfaced as data, not hidden.
+
+    Scale: the interval containment join would be a nested loop in
+    naive form; the as-of formulation is one union + one per-key
+    window pass (no join operator at all) — the asof_attribution plan
+    shape applied to dimension lookup."""
+    o = _t(spark, sf_dir, "orders")
+    probe = o.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("own"),
+    )
+    hist = scd2_frame(o).select(
+        "custkey",
+        F.col("valid_from").alias("ts"),
+        "version",
+        "priority",
+    )
+    looked = asof_join(
+        probe,
+        hist,
+        on="ts",
+        by=["custkey"],
+        direction="backward",
+        tiebreak_col="version",
+    )
+    return looked.select(
+        "ok",
+        "custkey",
+        "ts",
+        "version",
+        "priority",
+        F.when(F.col("priority") == F.col("own"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("matches_own"),
     )
 
 

@@ -21,6 +21,7 @@ from clinvar_pipeline_spark.operators import layout
 from clinvar_pipeline_spark.queries_warehouse import (
     q_pagerank,
     q_scd2_history,
+    q_scd2_point_in_time,
     q_zorder_key,
 )
 
@@ -174,3 +175,58 @@ def test_zorder_prunes_both_dimensions(event_layouts):
     assert z_time <= 8.0
     # and the time-sorted layout stays the time-probe optimum
     assert t_time <= z_time
+
+
+def test_scd2_point_in_time_every_order_matched_once(spark, sf_dir):
+    out = q_scd2_point_in_time(spark, sf_dir)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert out.count() == n_orders  # 1:1 — intervals partition the timeline
+    assert out.select("ok").distinct().count() == n_orders
+    # the round-trip audit: the overwhelming majority of orders look up
+    # their own priority; mismatches exist only when a later same-day
+    # run supersedes (asserted exactly below on a constructed case)
+    frac = out.agg(F.avg("matches_own")).first()[0]
+    assert frac > 0.9
+
+
+def test_scd2_point_in_time_same_day_supersede(spark):
+    import datetime as dt
+
+    from clinvar_pipeline_spark.queries_warehouse import scd2_frame
+    from clinvar_pipeline_spark.operators.temporal import asof_join
+
+    d0 = dt.datetime(2024, 1, 1)
+    d1 = dt.datetime(2024, 1, 5)
+    orders = spark.createDataFrame(
+        [
+            (1, 7, "LOW", d0),    # run 1 starts Jan 1
+            (2, 7, "HIGH", d0),   # run 2 ALSO starts Jan 1 (same day)
+            (3, 7, "HIGH", d1),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_orderdate timestamp",
+    )
+    hist = scd2_frame(orders)
+    rows = {r["version"]: r for r in hist.collect()}
+    assert len(rows) == 2
+    # run 1 is an EMPTY interval at day granularity: [Jan1, Jan1)
+    assert rows[1]["valid_from"] == rows[1]["valid_to"] == d0
+    probe = orders.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    looked = asof_join(
+        probe,
+        hist.select(
+            "custkey", F.col("valid_from").alias("ts"), "version", "priority"
+        ),
+        on="ts",
+        by=["custkey"],
+        tiebreak_col="version",
+    )
+    got = {r["ok"]: (r["version"], r["priority"]) for r in looked.collect()}
+    # the same-day boundary: EVERY Jan-1 probe resolves to run 2 (the
+    # containing, non-empty interval), so order 1's own LOW priority is
+    # superseded inside its own day
+    assert got == {1: (2, "HIGH"), 2: (2, "HIGH"), 3: (2, "HIGH")}
