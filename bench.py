@@ -100,6 +100,12 @@ BENCH_QUERIES_V2 = [
     "mad_outliers",
     "skew_salted_join",
     "customer_distribution",
+    # continued r8: the warehouse staples' heavy members — the
+    # 6-iteration PageRank loop (join+agg per round), the Expand-based
+    # multi-distinct profile scan, and the three-exchange SCD2 build
+    "pagerank",
+    "table_profile",
+    "scd2_history",
 ]
 
 

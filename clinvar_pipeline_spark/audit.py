@@ -61,6 +61,11 @@ WAIVERS: dict[str, set[str]] = {
     # the min/max bounds frame is ONE row broadcast against the scan
     # (the scalar-subquery shape); the interleave itself is map-only
     "zorder_key": {"nested-loop-join"},
+    # per relationship three 1-ROW aggregates (child stats, orphan
+    # count, childless count) combine into one report row — 1x1 cross
+    # joins by construction; the distributed work upstream is anti
+    # joins + partial aggregates
+    "fk_integrity": {"nested-loop-join"},
 }
 
 

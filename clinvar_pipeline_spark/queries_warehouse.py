@@ -536,3 +536,90 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = z + F.shiftleft(F.shiftright(ub, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         z = z + F.shiftleft(F.shiftright(tb, i).bitwiseAND(F.lit(1)), 2 * i)
     return j.select("event_id", z.cast("long").alias("zkey"))
+
+
+# ---------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------
+
+# (relationship, child table, fk col, parent table, pk col) — the
+# star schema's declared foreign keys, audited as data instead of
+# trusted as metadata.
+_FK_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for rel, child, fk, parent, pk in _FK_EDGES:
+        parts.append(
+            f"""SELECT '{rel}' AS relationship,
+                   (SELECT count(*) FROM {child}) AS n_child,
+                   (SELECT count(*) FROM {child} c
+                    WHERE c.{fk} IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+                       AS n_orphan,
+                   (SELECT count(*) FROM {child} WHERE {fk} IS NULL)
+                       AS n_null_fk,
+                   (SELECT count(*) FROM {parent} p WHERE NOT EXISTS
+                      (SELECT 1 FROM {child} c WHERE c.{fk} = p.{pk}))
+                       AS n_childless_parent"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("fk_integrity", _fk_oracle())
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's seven
+    declared foreign keys: per relationship the child row count,
+    orphan count (non-null FK with no parent), null-FK count, and
+    childless-parent count — the constraint check a lake has to run
+    as a query because parquet enforces nothing (the deequ/DBT-test
+    shape, completing table_profile's single-table profile with the
+    cross-table half).
+
+    Scale: each relationship is one LEFT ANTI join child→parent for
+    orphans and one parent→child for childless parents; dims
+    broadcast, the two fact-fact edges (lineitem→orders,
+    orders→customer) shuffle on their join key exactly once each.
+    Counts are 1-row aggregates unioned into the fixed 7-row report —
+    the per-edge work is independent and Spark schedules the branches
+    concurrently."""
+    frames = []
+    for rel, child, fk, parent, pk in _FK_EDGES:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk)
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, c[fk] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphan"))
+        )
+        childless = p.join(
+            c.select(fk), c[fk] == p[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_childless_parent"))
+        base = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        frames.append(
+            base.join(orphans).join(childless).select(
+                F.lit(rel).alias("relationship"),
+                "n_child",
+                "n_orphan",
+                "n_null_fk",
+                "n_childless_parent",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

@@ -230,3 +230,81 @@ def test_scd2_point_in_time_same_day_supersede(spark):
     # containing, non-empty interval), so order 1's own LOW priority is
     # superseded inside its own day
     assert got == {1: (2, "HIGH"), 2: (2, "HIGH"), 3: (2, "HIGH")}
+
+
+# ---------------------------------------------------------------------
+# Partitioned layout: dynamic partition pruning
+# ---------------------------------------------------------------------
+
+
+def test_partitioned_write_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A fact table partitioned on the join column + a filtered dim:
+    Catalyst injects a DynamicPruning subquery so only the matching
+    partition directories are scanned at runtime — asserted from the
+    physical plan, with results cross-checked against the plain
+    filter."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    layout.partitioned_write(orders, "o_orderpriority", path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 0), ("3-MEDIUM", 0)],
+        "prio string, flag int",
+    ).filter(F.col("flag") == 1)  # DPP needs a selective dim predicate
+    q = fact.join(dim, fact.o_orderpriority == dim.prio).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    exp = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert q.first()["n"] == exp > 0
+
+
+# ---------------------------------------------------------------------
+# Bucketed layout: exchange-free co-located join
+# ---------------------------------------------------------------------
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """orders and lineitem bucketed 8-ways on the order key: the join
+    plan contains NO Exchange (the shuffle was paid once at write
+    time) while the unbucketed plan shuffles both sides; results match
+    the plain join."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    layout.bucketed_write(
+        orders, "t_orders_b", "o_orderkey", 8, str(tmp_path / "ob")
+    )
+    layout.bucketed_write(
+        li, "t_lineitem_b", "l_orderkey", 8, str(tmp_path / "lb")
+    )
+    try:
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        with_bcast_off = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+        old = {
+            k: spark.conf.get(k, None) for k in with_bcast_off
+        }
+        for k, v in with_bcast_off.items():
+            spark.conf.set(k, v)
+        try:
+            j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            # strawman: the same join over the raw parquet shuffles
+            raw = orders.join(li, orders.o_orderkey == li.l_orderkey)
+            raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in raw_plan
+            assert j.count() == raw.count() > 0
+        finally:
+            for k, v in old.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
