@@ -52,6 +52,10 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         from JSONL with corrupt lines counted; --warc ingests from
         WARC archives — the Common Crawl format — with skipped
         record types and corrupt tails counted)
+    python -m clinvar_pipeline_spark --optimize [--sf TABLE_DIR] --out OUT
+        (physical-layout maintenance: Z-order-clustered events +
+        Hive-partitioned orders + a footer-derived data-skipping
+        report — the lake OPTIMIZE job)
     python -m clinvar_pipeline_spark --eventReport [--sf TABLE_DIR]
         --out OUT
         (batch event-analytics suite: windows, gap-fill/rolling/OHLC/
@@ -1048,6 +1052,56 @@ def cmd_event_report(spark: SparkSession, args) -> None:
     release_cached()
 
 
+def cmd_optimize(spark: SparkSession, args) -> None:
+    """--optimize: apply the physical-layout suite to a table dir —
+    the OPTIMIZE-style maintenance job a lake runs between ingest and
+    query. Lands under --out:
+
+    - events_zorder/   events Z-order-clustered on (user_id, ts)
+      (operators/layout.zorder_write — multi-dim data skipping);
+    - orders_part/     orders Hive-partitioned on o_orderpriority
+      (planning-time dir pruning + runtime DPP for dim joins);
+    - layout_report/   per-file (min, max) spans of the clustered
+      columns read back from the real parquet footers, for the
+      Z-ordered layout vs a time-sorted strawman — the data-skipping
+      evidence as a table (files_containing's pruning rule).
+    """
+    from clinvar_pipeline_spark.operators import layout
+    from clinvar_pipeline_spark.queries import _t
+
+    sf = args.sf or "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    zp = f"{args.out}/events_zorder"
+    layout.zorder_write(ev, ("user_id", "ts"), zp, n_files=16)
+    tp = f"{args.out}/events_timesorted"
+    (
+        ev.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tp)
+    )
+    layout.partitioned_write(
+        _t(spark, sf, "orders"), "o_orderpriority", f"{args.out}/orders_part"
+    )
+    rows = []
+    for lname, path in (("zorder", zp), ("timesorted", tp)):
+        for i, st in enumerate(layout.file_stats(path, ["user_id"])):
+            lo, hi = st["user_id"]
+            rows.append((lname, i, int(lo), int(hi), int(hi) - int(lo)))
+    rep = spark.createDataFrame(
+        rows,
+        "layout string, file_idx int, user_min long, user_max long,"
+        " user_span long",
+    )
+    rep.write.mode("overwrite").parquet(f"{args.out}/layout_report")
+    for r in (
+        rep.groupBy("layout").agg(F.avg("user_span").alias("avg_span"))
+        .orderBy("layout")
+        .collect()
+    ):
+        print(f"{r['layout']}: avg user span/file = {r['avg_span']:.1f}")
+
+
 def cmd_audit(spark: SparkSession, args) -> None:
     """--audit: the ops-facing counterpart of the reference's run-stat
     counter email — skew-cap drop counts, a physical-plan smell audit,
@@ -1094,6 +1148,7 @@ def main(argv: list[str] | None = None) -> None:
         "--corpusPrep",
         "--eventStream",
         "--eventReport",
+        "--optimize",
         "--audit",
     ):
         mode.add_argument(flag, action="store_true")
@@ -1155,6 +1210,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_event_stream(spark, args)
     elif args.eventReport:
         cmd_event_report(spark, args)
+    elif args.optimize:
+        cmd_optimize(spark, args)
     elif args.audit:
         cmd_audit(spark, args)
 

@@ -1032,3 +1032,27 @@ def test_cli_event_report_lands_every_stage(spark, tmp_path):
         assert landed == counters[name]
         assert landed == reg[name](spark, sf).count(), name
         assert landed > 0, name
+
+
+def test_cli_optimize_lands_layouts_and_report(spark, tmp_path):
+    """--optimize: the Z-ordered, time-sorted and Hive-partitioned
+    layouts land with the footer-derived skipping report, and the
+    report shows the Z-order layout's per-file user span far below
+    the time-sorted strawman's (the pruning evidence, as data)."""
+    out = tmp_path / "opt"
+    main(["--optimize", "--sf", "/root/testdata/sf0.001", "--out", str(out)])
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    z = spark.read.parquet(str(out / "events_zorder"))
+    assert z.count() == ev.count()
+    part = spark.read.parquet(str(out / "orders_part"))
+    assert part.count() == spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
+    rep = {
+        r["layout"]: r["avg"]
+        for r in spark.read.parquet(str(out / "layout_report"))
+        .groupBy("layout")
+        .agg(F.avg("user_span").alias("avg"))
+        .collect()
+    }
+    assert rep["zorder"] < 0.6 * rep["timesorted"]
