@@ -308,3 +308,136 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+# ---------------------------------------------------------------------
+# Streaming SCD2 maintenance
+# ---------------------------------------------------------------------
+
+
+def _order_stream(spark, drop):
+    return (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+
+
+def test_scd2_live_stream_equals_batch_closed_intervals(
+    spark, sf_dir, tmp_path
+):
+    """Real orders drained in two micro-batches: the appended closed
+    intervals equal the batch SCD2 history's closed intervals whose
+    valid_to the final watermark passed (the transitions-stream pin
+    applied to run collapse)."""
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_warehouse import scd2_frame
+    from clinvar_pipeline_spark.streaming.scd2 import scd2_live_stream
+
+    orders = _t(spark, sf_dir, "orders")
+    drop = tmp_path / "orders"
+    orders.repartition(2).write.parquet(str(drop))
+
+    out = (
+        scd2_live_stream(_order_stream(spark, drop))
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "closed"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(180)
+
+    max_us = orders.agg(F.max(F.unix_micros("o_orderdate"))).first()[0]
+    wm_us = (max_us // 1000 - 10_000) * 1000
+    exp = {
+        (
+            r["custkey"],
+            r["version"],
+            r["priority"],
+            r["valid_from"],
+            r["valid_to"],
+            r["n_orders"],
+        )
+        for r in scd2_frame(orders)
+        .filter(
+            F.col("valid_to").isNotNull()
+            & (F.unix_micros("valid_to") <= wm_us)
+        )
+        .select(
+            "custkey",
+            "version",
+            "priority",
+            F.unix_micros("valid_from").alias("valid_from"),
+            F.unix_micros("valid_to").alias("valid_to"),
+            "n_orders",
+        )
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "closed"))
+        .select(
+            "custkey", "version", "priority",
+            "valid_from_us", "valid_to_us", "n_orders",
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 100
+
+
+def test_scd2_live_stream_late_row_splits_run(spark, tmp_path):
+    """A late-but-in-horizon arrival lands BETWEEN two already-seen
+    rows and must SPLIT the run it falls inside — the watermark gate
+    is what makes that correct rather than racy."""
+    import datetime as dt
+
+    from clinvar_pipeline_spark.streaming.scd2 import scd2_live_stream
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    )
+    b1 = [(1, 7, "O", 0.0, t(100), "LOW"), (3, 7, "O", 0.0, t(205), "LOW")]
+    # ok=2 arrives a batch late but inside the 10 s horizon (batch-1
+    # watermark is 205-10=195 < 200); ok=4 only advances the clock
+    b2 = [(2, 7, "O", 0.0, t(200), "HIGH"), (4, 7, "O", 0.0, t(400), "XX")]
+    drop = tmp_path / "orders"
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(drop))
+
+    out = (
+        scd2_live_stream(_order_stream(spark, drop))
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "closed"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = sorted(
+        (r["version"], r["priority"], r["valid_from_us"], r["valid_to_us"],
+         r["n_orders"])
+        for r in spark.read.parquet(str(tmp_path / "closed")).collect()
+    )
+
+    def us(s):
+        return int(dt.datetime(2024, 1, 1).timestamp() * 1e6) + s * 1_000_000
+
+    # the late HIGH row split LOW's run: [100,200) LOW, [200,205) HIGH;
+    # the reopened LOW run closes at 400 only if the watermark passed
+    # 400 — it did not (max ts 400, delay 10 s), so exactly two closed
+    assert got == [
+        (1, "LOW", us(100), us(200), 1),
+        (2, "HIGH", us(200), us(205), 1),
+    ]
