@@ -834,6 +834,9 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         ohlc_stream,
         transitions_live_stream,
         ewma_snapshot,
+        hist_quantiles_snapshot,
+        hist_stream,
+        save_hist_bounds,
         weekly_growth_snapshot,
     )
 
@@ -856,6 +859,11 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     # files there and rerun to drain only the new ones). --sf seeds
     # it at first run with the normalized batch read, which also
     # settles the NTZ->LTZ timestamp cast before the stream schema.
+    bounds_path = f"{args.out}/_hist_bounds"
+    if not _artifact_exists(spark, bounds_path):
+        b = ev.agg(F.min("value"), F.max("value")).first()
+        save_hist_bounds(spark, float(b[0]), float(b[1]), bounds_path)
+
     drop = f"{args.out}/_events_drop"
     if not _artifact_exists(spark, drop):
         ev.write.mode("overwrite").parquet(drop)
@@ -927,6 +935,15 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
             f"{args.out}/_ckpt/daily",
             compact_every=16,
         ),
+        # value-histogram registers over the frozen bin domain (the
+        # quantile sketch's ADD-merged sink)
+        hist_stream(
+            stream,
+            bounds_path,
+            f"{args.out}/_hist_epochs",
+            f"{args.out}/_ckpt/hist",
+            compact_every=16,
+        ),
         # user-day set for DAU/WAU/MAU (idempotent set-union merge)
         active_users_stream(
             stream,
@@ -943,6 +960,9 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
     ohlc.write.mode("overwrite").parquet(f"{args.out}/ohlc")
     au = active_users_snapshot(spark, f"{args.out}/_active_epochs")
     au.write.mode("overwrite").parquet(f"{args.out}/active_users")
+    hist_quantiles_snapshot(
+        spark, bounds_path, f"{args.out}/_hist_epochs"
+    ).write.mode("overwrite").parquet(f"{args.out}/histogram_quantiles")
     for nm, snap in (
         ("dow_seasonality", dow_snapshot),
         ("type_correlation", correlation_snapshot),

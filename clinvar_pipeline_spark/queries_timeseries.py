@@ -1324,3 +1324,72 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition ordering cost."""
     e = _t(spark, sf_dir, "events")
     return ewma_from_daily(daily_counts(e))
+
+
+@register(
+    "histogram_quantiles",
+    """
+    WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    h AS (
+        SELECT event_type AS key,
+               CAST(least(greatest(floor((value - (SELECT vmin FROM b))
+                   * 1024.0 / ((SELECT vmax FROM b) - (SELECT vmin FROM b))),
+                   0), 1023) AS BIGINT) AS bin,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+    cum AS (
+        SELECT key, bin, c,
+               sum(c) OVER (PARTITION BY key ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY key) AS n
+        FROM h),
+    q AS (SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99))
+          t(q_label, qv)),
+    j AS (
+        SELECT c.key, q.q_label, CAST(c.n AS BIGINT) AS n,
+               CAST(ceil(q.qv * c.n) AS BIGINT) AS k, c.bin, c.cum
+        FROM cum c CROSS JOIN q),
+    pick AS (
+        SELECT key, q_label, min(n) AS n, min(k) AS k, min(bin) AS bin
+        FROM j WHERE cum >= k GROUP BY key, q_label)
+    SELECT key, q_label, n, k, bin,
+           (SELECT vmin FROM b) + bin * ((SELECT vmax FROM b)
+               - (SELECT vmin FROM b)) / 1024.0 AS lo,
+           (SELECT vmin FROM b) + (bin + 1) * ((SELECT vmax FROM b)
+               - (SELECT vmin FROM b)) / 1024.0 AS hi
+    FROM pick
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTILE member of the engine-portable sketch family
+    (cardinality: hll_distinct; frequency: cm_heavy_hitters;
+    membership: bloom_decontaminate; quantiles: this): per event type
+    the p50/p90/p99 BRACKET from a fixed 1024-bin equal-width
+    histogram over the value domain — the smallest bin whose running
+    count reaches ceil(q·n), with its [lo, hi) bounds; the true
+    quantile provably lies inside (error ≤ one bin width). Spark's
+    own percentile_approx carries engine-private sketch state; these
+    registers DuckDB recomputes bit-for-bit, and two shards' register
+    frames ADD-merge into the union's exactly (mergeability pinned by
+    test; the streamed serve freezes the bin domain at first run —
+    the DSIR/langid artifact lifecycle — and post-freeze out-of-range
+    arrivals clamp into the edge bins, counted, never dropped).
+
+    Scale: one 1-row min/max aggregate (driver scalar, sanctioned),
+    one map-side-combined groupBy to ≤ types × 1024 register rows,
+    windows over ≤1024-row frames — shuffle volume independent of
+    input size, exactly like the other three sketches. value_quantiles
+    is the exact-order-statistics twin."""
+    from clinvar_pipeline_spark.operators.sketch import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax")).first()
+    vmin, vmax = float(b["vmin"]), float(b["vmax"])
+    hist = value_histogram(e, "event_type", "value", vmin, vmax)
+    return quantiles_from_histogram(hist, vmin, vmax).withColumnRenamed(
+        "key", "key"
+    )

@@ -655,3 +655,88 @@ def ewma_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
             "event_type", "day", "n"
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Histogram quantile sketch, streamed: one ADD-merged register sink
+# with a frozen bin domain (the DSIR/langid artifact lifecycle)
+# ---------------------------------------------------------------------
+
+
+def save_hist_bounds(spark: SparkSession, vmin: float, vmax: float,
+                     path: str) -> None:
+    spark.createDataFrame(
+        [(float(vmin), float(vmax))], "vmin double, vmax double"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_hist_bounds(spark: SparkSession, path: str) -> tuple[float, float]:
+    r = spark.read.parquet(path).first()
+    return float(r["vmin"]), float(r["vmax"])
+
+
+def hist_stream(
+    events: DataFrame,
+    bounds_path: str,
+    deltas_path: str,
+    checkpoint: str,
+    compact_every: int | None = None,
+):
+    """Streaming value-histogram register sink: each micro-batch bins
+    its values over the FROZEN [vmin, vmax] domain (saved once by the
+    caller from the seed corpus — save_hist_bounds; post-freeze
+    out-of-range arrivals clamp into the edge bins, counted never
+    dropped) and lands the (key, bin, c) partials as an epoch-keyed
+    ADD-merge delta. Registers are ≤ types × 1024 rows per epoch at
+    any input size; the compaction fold is the re-sum (linear by
+    associativity of +)."""
+    from clinvar_pipeline_spark.operators.sketch import value_histogram
+
+    def _do(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vmin, vmax = load_hist_bounds(spark, bounds_path)
+        value_histogram(batch_df, "event_type", "value", vmin, vmax).write.mode(
+            "overwrite"
+        ).parquet(f"{deltas_path}/epoch={int(epoch_id)}")
+        if compact_every:
+            from clinvar_pipeline_spark.streaming.compaction import (
+                compact,
+                list_live_epochs,
+            )
+
+            if len(list_live_epochs(spark, deltas_path)) > compact_every:
+                compact(spark, deltas_path, fold=_merge_hist)
+
+    return (
+        events.writeStream.foreachBatch(_do)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _merge_hist(df: DataFrame) -> DataFrame:
+    return df.groupBy("key", "bin").agg(F.sum("c").alias("c"))
+
+
+def hist_quantiles_snapshot(
+    spark: SparkSession, bounds_path: str, deltas_path: str
+) -> DataFrame:
+    """Quantile brackets under everything drained — equals batch
+    q_histogram_quantiles when the frozen domain is the seed corpus's
+    (the CLI seeds it from the full drop, so a static-drop drain is
+    exactly the batch sketch)."""
+    from clinvar_pipeline_spark.operators.sketch import (
+        quantiles_from_histogram,
+    )
+    from clinvar_pipeline_spark.streaming.compaction import snapshot_parts
+
+    vmin, vmax = load_hist_bounds(spark, bounds_path)
+    parts = snapshot_parts(spark, deltas_path)
+    if parts is None:
+        return spark.createDataFrame(
+            [],
+            "key string, q_label string, n long, k long, bin long,"
+            " lo double, hi double",
+        )
+    return quantiles_from_histogram(_merge_hist(parts), vmin, vmax)
