@@ -1393,3 +1393,125 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_histogram(hist, vmin, vmax).withColumnRenamed(
         "key", "key"
     )
+
+
+@register(
+    "peak_concurrency",
+    """
+    WITH s AS (
+        SELECT event_type, ts AS st, ts + INTERVAL 30 MINUTE AS en
+        FROM events),
+    d AS (
+        SELECT event_type, st, en,
+               unnest(generate_series(
+                   CAST(date_trunc('day', st) AS TIMESTAMP),
+                   CAST(date_trunc('day', en - INTERVAL 1 MICROSECOND)
+                        AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS day
+        FROM s),
+    c AS (
+        SELECT event_type, day,
+               greatest(st, day) AS st,
+               least(en, day + INTERVAL 1 DAY) AS en
+        FROM d),
+    b AS (
+        SELECT event_type, day, st AS bts, 1 AS delta FROM c
+        UNION ALL
+        SELECT event_type, day, en AS bts, -1 AS delta FROM c),
+    r AS (
+        SELECT event_type, day, bts,
+               sum(delta) OVER (PARTITION BY event_type, day
+                                ORDER BY bts, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run
+        FROM b),
+    p AS (SELECT event_type, day, max(run) AS peak
+          FROM r GROUP BY event_type, day)
+    SELECT r.event_type, CAST(r.day AS DATE) AS day,
+           CAST(p.peak AS BIGINT) AS peak,
+           min(r.bts) AS peak_ts
+    FROM r JOIN p ON r.event_type = p.event_type AND r.day = p.day
+    WHERE r.run = p.peak
+    GROUP BY r.event_type, r.day, p.peak
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency (occupancy) per event type and calendar day:
+    treat each event as a 30-minute session, clip sessions at
+    midnight (a crossing session counts in both days — bounded ≤2×
+    fan-out), and sweep-line count: +1/−1 boundary rows, a running
+    sum ordered by (time, delta) — ends sort before starts at the
+    same instant, the half-open [st, en) convention — whose maximum
+    is the day's peak, emitted with the first instant that reaches
+    it. The max-concurrent-sessions / room-occupancy staple no
+    aggregate function expresses directly.
+
+    Determinism under boundary ties: rows with identical
+    (bts, delta) permute only among themselves, so the running sum
+    passes through the same value set at that instant — max(run) and
+    min(bts at peak) are total regardless of intra-tie order (the
+    asof tiebreak discipline applied to a sweep).
+
+    Scale: the sweep partitions by (type, day) — frames are bounded
+    by one day's boundary rows per type, never a global sort; the
+    day-split explode is ≤2× and the peak pick is one groupBy + one
+    equi-join back. At extreme per-day cardinality the same sweep
+    re-partitions by (type, day, hour) with carry-in counts — the
+    two-phase prefix-sum idiom; not needed at any tested SF."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        F.col("ts").alias("st"),
+        F.expr("ts + INTERVAL 30 MINUTE").alias("en"),
+    )
+    d = s.select(
+        "event_type",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("st")),
+                F.date_trunc(
+                    "day", F.expr("en - INTERVAL 1 MICROSECOND")
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    c = d.select(
+        "event_type",
+        "day",
+        F.greatest("st", "day").alias("st"),
+        F.least("en", F.expr("day + INTERVAL 1 DAY")).alias("en"),
+    )
+    b = c.select(
+        "event_type", "day", F.col("st").alias("bts"), F.lit(1).alias("delta")
+    ).unionAll(
+        c.select(
+            "event_type",
+            "day",
+            F.col("en").alias("bts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("bts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = _persist(
+        b.withColumn("run", F.sum("delta").over(w))
+    )
+    p = r.groupBy("event_type", "day").agg(F.max("run").alias("peak"))
+    return (
+        r.join(p, ["event_type", "day"])
+        .filter(F.col("run") == F.col("peak"))
+        .groupBy("event_type", "day", "peak")
+        .agg(F.min("bts").alias("peak_ts"))
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            F.col("peak").cast("long").alias("peak"),
+            "peak_ts",
+        )
+    )

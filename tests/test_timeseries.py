@@ -1271,3 +1271,42 @@ def test_ewma_daily_exact_dyadic_vs_fraction_twin(spark, sf_dir):
     for k, (n, s) in exp.items():
         assert got[k][0] == n
         assert Fraction(got[k][1]) == s, k  # bit-exact, by construction
+
+
+def test_peak_concurrency_matches_plain_python_sweep(spark, sf_dir):
+    """The sweep-line result equals a pure-Python interval sweep over
+    the same clipped 30-minute sessions (max concurrency AND the first
+    instant reaching it)."""
+    import datetime as dt
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_peak_concurrency
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts").collect()
+    DAY = dt.timedelta(days=1)
+    bounds: dict[tuple, list] = {}
+    for r in ev:
+        st, en = r["ts"], r["ts"] + dt.timedelta(minutes=30)
+        day = dt.datetime(st.year, st.month, st.day)
+        while day < en:
+            cst, cen = max(st, day), min(en, day + DAY)
+            bounds.setdefault((r["event_type"], day.date()), []).append(
+                (cst, 1)
+            )
+            bounds[(r["event_type"], day.date())].append((cen, -1))
+            day += DAY
+    exp = {}
+    for k, bs in bounds.items():
+        bs.sort()  # (ts, delta): -1 sorts before +1 at the same instant
+        run = peak = 0
+        peak_ts = None
+        for t, dlt in bs:
+            run += dlt
+            if run > peak:
+                peak, peak_ts = run, t
+        exp[k] = (peak, peak_ts)
+    got = {
+        (r["event_type"], r["day"]): (r["peak"], r["peak_ts"])
+        for r in q_peak_concurrency(spark, sf_dir).collect()
+    }
+    assert got == exp
