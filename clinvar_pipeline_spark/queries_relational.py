@@ -24,10 +24,10 @@ instead of broadcast), and every aggregate is map-side partial first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clinvar_pipeline_spark.queries import DEC, _t, register
+from clinvar_pipeline_spark.queries import DEC, _persist, _t, register
 
 
 # ---------------------------------------------------------------------
@@ -397,4 +397,125 @@ def q_fuzzy_name_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("name_a", "name_b", "dist", "parts_a", "parts_b")
         .orderBy("name_a", "name_b")
+    )
+
+
+_FUZZY_PAIR_CTES = """names AS (
+        SELECT p_name, count(*) AS n_parts
+        FROM part GROUP BY p_name),
+    fpairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM names a
+        JOIN names b
+          ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2),
+    edges AS (
+        SELECT name_a AS s, name_b AS d FROM fpairs
+        UNION
+        SELECT name_b AS s, name_a AS d FROM fpairs),
+    reach(node, lbl) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+    comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node)"""
+
+
+@register(
+    "fuzzy_entity_clusters",
+    f"""
+    WITH RECURSIVE {_FUZZY_PAIR_CTES},
+    lab AS (
+        SELECT n.p_name AS name, n.n_parts,
+               coalesce(c.cid, n.p_name) AS cid
+        FROM names n LEFT JOIN comp c ON c.node = n.p_name),
+    canon AS (
+        SELECT cid, name AS canonical
+        FROM (SELECT cid, name,
+                     row_number() OVER (PARTITION BY cid
+                         ORDER BY n_parts DESC, name) AS rn
+              FROM lab)
+        WHERE rn = 1),
+    stats AS (
+        SELECT cid, count(*) AS cluster_spellings,
+               sum(n_parts) AS cluster_parts
+        FROM lab GROUP BY cid)
+    SELECT l.name, l.n_parts, c.canonical,
+           CAST(s.cluster_spellings AS BIGINT) AS cluster_spellings,
+           CAST(s.cluster_parts AS BIGINT) AS cluster_parts
+    FROM lab l
+    JOIN canon c ON c.cid = l.cid
+    JOIN stats s ON s.cid = l.cid
+    """,
+)
+def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: the blocked-Levenshtein candidate
+    pairs (q_fuzzy_name_dedup) become edges, transitive clusters come
+    from the SAME distributed connected-components operator the dedup
+    family uses (operators/graph.py — chains A~B~C resolve to one
+    entity even when A and C never pair directly), and each cluster
+    elects a canonical spelling by impact (max row coverage, name
+    tiebreak — total by construction). Every name row is labeled:
+    singletons are their own canonical (left join + coalesce).
+
+    Scale: pairwise work stays on the DISTINCT name vocabulary
+    (data-size independent); CC runs on the tiny pair set in
+    O(log² n) rounds; the canonical election is one per-cluster
+    window over cluster-sized frames. Oracle: the same pairs feed a
+    recursive-CTE closure — exact at test scale, which is the
+    oracle's job; the star-contraction side is the one that scales
+    (the dedup_clusters pairing, applied to ER)."""
+    from clinvar_pipeline_spark.operators.graph import connected_components
+
+    p = _t(spark, sf_dir, "part")
+    names = _persist(
+        p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.split("p_name", " ").getItem(1).alias("blk_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.split("p_name", " ").getItem(1).alias("blk_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("name_a", "name_b")
+    )
+    cc = connected_components(
+        pairs.select(
+            F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+        )
+    )
+    lab = names.join(
+        cc, names.p_name == cc.node, "left"
+    ).select(
+        F.col("p_name").alias("name"),
+        "n_parts",
+        F.coalesce("component", "p_name").alias("cid"),
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("n_parts").desc(), F.col("name")
+    )
+    ranked = lab.withColumn("rn", F.row_number().over(w))
+    canon = ranked.filter(F.col("rn") == 1).select(
+        "cid", F.col("name").alias("canonical")
+    )
+    stats = lab.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("cluster_spellings"),
+        F.sum("n_parts").alias("cluster_parts"),
+    )
+    return (
+        lab.join(canon, "cid")
+        .join(stats, "cid")
+        .select(
+            "name", "n_parts", "canonical",
+            "cluster_spellings", "cluster_parts",
+        )
     )

@@ -130,3 +130,41 @@ def test_fuzzy_impact_counts_cover_parts(spark, sf_dir):
     for r in q_fuzzy_name_dedup(spark, sf_dir).collect():
         assert r["parts_a"] == counts[r["name_a"]]
         assert r["parts_b"] == counts[r["name_b"]]
+
+
+def test_fuzzy_entity_clusters_invariants(spark, sf_dir):
+    """Every distinct spelling labeled exactly once; the canonical is
+    a cluster member with maximal row coverage (name tiebreak);
+    singletons are their own canonical; cluster stats are consistent."""
+    from clinvar_pipeline_spark.queries_relational import (
+        q_fuzzy_entity_clusters,
+    )
+
+    rows = q_fuzzy_entity_clusters(spark, sf_dir).collect()
+    n_names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_name")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_names
+    by_canon: dict[str, list] = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical"], []).append(r)
+    for canon, members in by_canon.items():
+        names = {m["name"] for m in members}
+        assert canon in names  # canonical is a member
+        assert len(names) == len(members)  # one row per spelling
+        spellings = members[0]["cluster_spellings"]
+        assert all(m["cluster_spellings"] == spellings for m in members)
+        assert spellings == len(members)
+        total = sum(m["n_parts"] for m in members)
+        assert all(m["cluster_parts"] == total for m in members)
+        best = max(members, key=lambda m: (m["n_parts"], ))["n_parts"]
+        canon_row = next(m for m in members if m["name"] == canon)
+        assert canon_row["n_parts"] == best
+        assert canon == min(
+            m["name"] for m in members if m["n_parts"] == best
+        )
+    # the sf fixture actually exercises multi-spelling clusters
+    assert any(len(m) > 1 for m in by_canon.values())
