@@ -101,3 +101,41 @@ def test_jsonl_gzip_ingest_transparent(spark, tmp_path):
     assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
     c = {r["counter"]: r["value"] for r in counters.collect()}
     assert c == {"DOCS_GOOD": 2, "DOCS_CORRUPT": 1}
+
+
+def test_csv_quarantine_counts_and_preserves_bad_rows(spark, tmp_path):
+    from clinvar_pipeline_spark.sources.csvq import read_csv_quarantined
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,2.5\n"
+        "not-a-number,beta,1.0\n"   # id fails the long cast
+        "2,gamma,3.25\n"
+        "3,delta\n"                 # short row: missing column
+        "4,epsilon,oops\n"          # score fails the double cast
+    )
+    good, quarantine, counters = read_csv_quarantined(
+        spark, str(p), "id long, name string, score double"
+    )
+    assert sorted(map(tuple, good.collect())) == [
+        (1, "alpha", 2.5),
+        (2, "gamma", 3.25),
+    ]
+    bad = sorted(r["raw_line"] for r in quarantine.collect())
+    assert bad == ["3,delta", "4,epsilon,oops", "not-a-number,beta,1.0"]
+    cts = {r["counter"]: r["value"] for r in counters.collect()}
+    assert cts == {"ROWS_GOOD": 2, "ROWS_QUARANTINED": 3}
+
+
+def test_csv_quarantine_clean_feed_has_empty_lane(spark, tmp_path):
+    from clinvar_pipeline_spark.sources.csvq import read_csv_quarantined
+
+    p = tmp_path / "clean.csv"
+    p.write_text("id,name,score\n1,a,1.0\n2,b,2.0\n")
+    good, quarantine, counters = read_csv_quarantined(
+        spark, str(p), "id long, name string, score double"
+    )
+    assert good.count() == 2 and quarantine.count() == 0
+    cts = {r["counter"]: r["value"] for r in counters.collect()}
+    assert cts == {"ROWS_GOOD": 2}
