@@ -106,6 +106,12 @@ BENCH_QUERIES_V2 = [
     "pagerank",
     "table_profile",
     "scd2_history",
+    # continued r8: the seven-edge FK audit (14 anti-join branches),
+    # the ER composition (blocked Levenshtein + CC + election), and
+    # the day-partitioned sweep-line with its 2x boundary explode
+    "fk_integrity",
+    "fuzzy_entity_clusters",
+    "peak_concurrency",
 ]
 
 

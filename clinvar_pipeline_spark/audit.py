@@ -66,6 +66,9 @@ WAIVERS: dict[str, set[str]] = {
     # joins by construction; the distributed work upstream is anti
     # joins + partial aggregates
     "fk_integrity": {"nested-loop-join"},
+    # same 1-row stat-combine shape: per table the purged and total
+    # counts join into one audit row; the cascade itself is semi joins
+    "erasure_audit": {"nested-loop-join"},
 }
 
 

@@ -637,3 +637,76 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+# ---------------------------------------------------------------------
+# Cascade erasure (right-to-be-forgotten) audit
+# ---------------------------------------------------------------------
+
+
+@register(
+    "erasure_audit",
+    """
+    WITH victims AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0),
+    vorders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+    t AS (
+        SELECT 'customer' AS table_name,
+               (SELECT count(*) FROM victims) AS purged,
+               (SELECT count(*) FROM customer) AS total
+        UNION ALL
+        SELECT 'orders',
+               (SELECT count(*) FROM vorders),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM vorders)),
+               (SELECT count(*) FROM lineitem))
+    SELECT table_name, purged, total - purged AS kept
+    FROM t
+    """,
+)
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade erasure audit — the right-to-be-forgotten job a lake
+    runs as queries: a deletion-request set (deterministic stand-in:
+    c_custkey % 101 = 0) propagates through the FK graph
+    customer → orders → lineitem, and the audit emits per-table purge
+    and survivor counts (the compliance evidence; the actual purge is
+    the same anti-joins written back as a new snapshot — the W4/W5
+    guarded-delete pattern without the threshold).
+
+    Scale: each hop is one semi-join down the FK chain (victims and
+    their order keys broadcast while they fit — a deletion batch is
+    request-sized, not corpus-sized); counts are map-side-combined
+    aggregates. No row of any fact table is ever collected."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    victims = _persist(
+        cust.filter(F.col("c_custkey") % 101 == 0).select("c_custkey")
+    )
+    vorders = _persist(
+        orders.join(
+            victims, orders.o_custkey == victims.c_custkey, "left_semi"
+        ).select("o_orderkey")
+    )
+    vline = li.join(
+        vorders, li.l_orderkey == vorders.o_orderkey, "left_semi"
+    )
+
+    def stat(name: str, purged_df: DataFrame, total_df: DataFrame):
+        p = purged_df.agg(F.count(F.lit(1)).alias("purged"))
+        t = total_df.agg(F.count(F.lit(1)).alias("total"))
+        return p.join(t).select(
+            F.lit(name).alias("table_name"),
+            "purged",
+            (F.col("total") - F.col("purged")).alias("kept"),
+        )
+    return (
+        stat("customer", victims, cust)
+        .unionAll(stat("orders", vorders, orders))
+        .unionAll(stat("lineitem", vline, li))
+    )
