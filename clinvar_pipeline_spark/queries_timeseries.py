@@ -1515,3 +1515,182 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_ts",
         )
     )
+
+
+@register(
+    "trend_test",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS dlo, max(day) AS dhi
+          FROM daily GROUP BY 1),
+    spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(CAST(dlo AS TIMESTAMP),
+                                           CAST(dhi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+    sp AS (
+        SELECT s.event_type, s.day, coalesce(d.n, 0) AS y
+        FROM spine s LEFT JOIN daily d
+          ON s.event_type = d.event_type AND s.day = d.day),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                    ELSE 0 END AS sgn,
+               floor((CAST(b.y AS DOUBLE) - a.y)
+                     / date_diff('day', a.day, b.day)
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS slope
+        FROM sp a JOIN sp b
+          ON a.event_type = b.event_type AND a.day < b.day),
+    s_stat AS (
+        SELECT event_type, sum(sgn) AS s, count(*) AS n_pairs
+        FROM pairs GROUP BY event_type),
+    nd AS (SELECT event_type, count(*) AS n FROM sp GROUP BY event_type),
+    ties AS (
+        SELECT event_type,
+               sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+        FROM (SELECT event_type, y, count(*) AS t
+              FROM sp GROUP BY event_type, y)
+        GROUP BY event_type),
+    med AS (
+        SELECT event_type, slope AS slope_med
+        FROM (SELECT event_type, slope,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY slope) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS c
+              FROM pairs)
+        WHERE rn = CAST(ceil(c / 2.0) AS BIGINT)),
+    z AS (
+        SELECT s.event_type, nd.n, s.n_pairs, s.s,
+               (nd.n * (nd.n - 1) * (2 * nd.n + 5) - t.tie_term) / 18.0
+                   AS var_s
+        FROM s_stat s JOIN nd USING (event_type)
+        JOIN ties t USING (event_type))
+    SELECT z.event_type, CAST(z.n AS BIGINT) AS n_days,
+           CAST(z.n_pairs AS BIGINT) AS n_pairs,
+           CAST(z.s AS BIGINT) AS s_stat,
+           floor(CASE WHEN z.s > 0 THEN (z.s - 1) / sqrt(z.var_s)
+                      WHEN z.s < 0 THEN (z.s + 1) / sqrt(z.var_s)
+                      ELSE 0.0 END * 1000000000.0 + 0.5)
+               / 1000000000.0 AS z_stat,
+           m.slope_med,
+           CASE WHEN (CASE WHEN z.s > 0 THEN (z.s - 1) / sqrt(z.var_s)
+                           WHEN z.s < 0 THEN (z.s + 1) / sqrt(z.var_s)
+                           ELSE 0.0 END) > 1.959963984540054
+                THEN 'increasing'
+                WHEN (CASE WHEN z.s > 0 THEN (z.s - 1) / sqrt(z.var_s)
+                           WHEN z.s < 0 THEN (z.s + 1) / sqrt(z.var_s)
+                           ELSE 0.0 END) < -1.959963984540054
+                THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM z JOIN med m USING (event_type)
+    """,
+)
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per event type over
+    the zero-filled daily count series — the ROBUST trend detector
+    next to mad_outliers (both are rank/median statistics a single
+    spike cannot move, where a least-squares slope can): S = Σ
+    sign(y_j − y_i) over all day pairs (pure INTEGER counting —
+    exact), variance with the FULL ties correction
+    (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 (integers again — zero-filled
+    silent days tie heavily, so the no-ties formula would overstate
+    significance), z with the continuity correction, and the
+    Theil-Sen slope = lower median of all pairwise slopes (each
+    slope a qround(9) quotient; the median pick is a ROW_NUMBER
+    order statistic — total because ROW_NUMBER ties broken by the
+    deterministic slope order suffice: equal slopes are
+    interchangeable at the median position).
+
+    Scale: the pair fan-out is span²-bounded per type (days², never
+    corpus rows — the active_users bounded-fan-out argument); one
+    (type-keyed) join + two aggregates + one ≤span²-row window.
+    sqrt is IEEE-correctly-rounded in both engines, so z matches
+    bit-for-bit after qround."""
+    e = _t(spark, sf_dir, "events")
+    daily = daily_counts(e).select("event_type", "day", "n")
+    b = daily.groupBy("event_type").agg(
+        F.min("day").alias("dlo"), F.max("day").alias("dhi")
+    )
+    spine = b.select(
+        "event_type", F.explode(F.sequence("dlo", "dhi")).alias("day")
+    )
+    sp = _persist(
+        spine.join(daily, ["event_type", "day"], "left").select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("y")
+        )
+    )
+    a = sp.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    bb = sp.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    pairs = a.join(bb, ["event_type"]).filter(F.col("da") < F.col("db")).select(
+        "event_type",
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        qround(
+            (F.col("yb").cast("double") - F.col("ya"))
+            / F.datediff("db", "da"),
+            9,
+        ).alias("slope"),
+    )
+    pairs = _persist(pairs)
+    s_stat = pairs.groupBy("event_type").agg(
+        F.sum("sgn").alias("s"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    nd = sp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        sp.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    wm = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    med = (
+        pairs.select(
+            "event_type",
+            "slope",
+            F.row_number().over(wm).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("c"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("c") / F.lit(2.0)))
+        .select("event_type", F.col("slope").alias("slope_med"))
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    zraw = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    crit = F.lit(1.959963984540054)
+    return (
+        s_stat.join(nd, "event_type")
+        .join(ties, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("s").cast("long").alias("s_stat"),
+            qround(zraw, 9).alias("z_stat"),
+            "slope_med",
+            F.when(zraw > crit, "increasing")
+            .when(zraw < -crit, "decreasing")
+            .otherwise("none")
+            .alias("trend"),
+        )
+    )

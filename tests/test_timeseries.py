@@ -1310,3 +1310,96 @@ def test_peak_concurrency_matches_plain_python_sweep(spark, sf_dir):
         for r in q_peak_concurrency(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_trend_test_matches_pure_python_mann_kendall(spark, sf_dir):
+    """S, the ties-corrected variance, z and the Theil-Sen lower
+    median replicate a pure-Python Mann-Kendall on the same
+    zero-filled series, bit-for-bit after the shared qround."""
+    import datetime as dt
+    import math
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_trend_test
+
+    def qr(x, s=9):
+        p = float(10**s)
+        return math.floor(x * p + 0.5) / p
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts").collect()
+    counts: dict[tuple, int] = {}
+    for r in ev:
+        d = r["ts"].date()
+        counts[(r["event_type"], d)] = counts.get((r["event_type"], d), 0) + 1
+    types = {t for t, _ in counts}
+    exp = {}
+    for t in types:
+        days = sorted(d for tt, d in counts if tt == t)
+        lo, hi = days[0], days[-1]
+        series = []
+        d = lo
+        while d <= hi:
+            series.append((d, counts.get((t, d), 0)))
+            d += dt.timedelta(days=1)
+        n = len(series)
+        s = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dy = series[j][1] - series[i][1]
+                s += (dy > 0) - (dy < 0)
+                slopes.append(
+                    qr(float(dy) / (series[j][0] - series[i][0]).days)
+                )
+        tie = 0
+        vals: dict[int, int] = {}
+        for _, y in series:
+            vals[y] = vals.get(y, 0) + 1
+        for c in vals.values():
+            tie += c * (c - 1) * (2 * c + 5)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = 0.0 if s == 0 else (s - (1 if s > 0 else -1) * 1) / math.sqrt(var)
+        slopes.sort()
+        med = slopes[math.ceil(len(slopes) / 2.0) - 1]
+        exp[t] = (n, len(slopes), s, qr(z), med)
+    got = {
+        r["event_type"]: (
+            r["n_days"], r["n_pairs"], r["s_stat"], r["z_stat"],
+            r["slope_med"],
+        )
+        for r in q_trend_test(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_trend_test_verdicts_on_constructed_series(spark, tmp_path):
+    """A strictly rising series must test 'increasing', a constant
+    one 'none' — the detector demonstrably detects."""
+    import datetime as dt
+
+    from clinvar_pipeline_spark.queries_timeseries import q_trend_test
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1)
+    for day in range(14):
+        for k in range(day + 1):  # rising: 1, 2, ..., 14 events/day
+            rows.append((eid, base + dt.timedelta(days=day, minutes=k),
+                         1, "rising", 1.0, "{}"))
+            eid += 1
+        for k in range(3):  # constant: 3 events every day
+            rows.append((eid, base + dt.timedelta(days=day, minutes=30 + k),
+                         2, "flat", 1.0, "{}"))
+            eid += 1
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(sfdir / "events.parquet"))
+    got = {r["event_type"]: r for r in q_trend_test(spark, str(sfdir)).collect()}
+    assert got["rising"]["trend"] == "increasing"
+    assert got["rising"]["slope_med"] == 1.0
+    assert got["flat"]["trend"] == "none"
+    assert got["flat"]["s_stat"] == 0
