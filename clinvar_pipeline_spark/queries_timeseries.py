@@ -1694,3 +1694,120 @@ def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+@register(
+    "changepoint_detect",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS dlo, max(day) AS dhi
+          FROM daily GROUP BY 1),
+    spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(CAST(dlo AS TIMESTAMP),
+                                           CAST(dhi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+    sp AS (
+        SELECT s.event_type, s.day, coalesce(d.n, 0) AS y
+        FROM spine s LEFT JOIN daily d
+          ON s.event_type = d.event_type AND s.day = d.day),
+    run AS (
+        SELECT event_type, day, y,
+               sum(y) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pre,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS k,
+               sum(y) OVER (PARTITION BY event_type) AS tot,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM sp),
+    scored AS (
+        -- n·CUSUM_k = n·pre_k − k·tot: INTEGER, no mean quotient
+        SELECT event_type, day, k, n, tot, pre,
+               abs(n * pre - k * tot) AS stat
+        FROM run WHERE k < n),
+    best AS (
+        SELECT event_type, day AS change_day, k, n, tot, pre,
+               CAST(stat AS BIGINT) AS cusum_stat
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                            ORDER BY stat DESC, day) AS rn
+              FROM scored)
+        WHERE rn = 1)
+    SELECT event_type, change_day,
+           CAST(n AS BIGINT) AS n_days, cusum_stat,
+           floor(CAST(pre AS DOUBLE) / k * 10000 + 0.5) / 10000
+               AS mean_before,
+           floor(CAST(tot - pre AS DOUBLE) / (n - k) * 10000 + 0.5) / 10000
+               AS mean_after
+    FROM best
+    """,
+)
+def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type over the zero-filled
+    daily series — the LEVEL-SHIFT detector beside trend_test's
+    monotone-trend test: the candidate split day maximizing
+    |CUSUM_k| = |Σ_{i≤k}(y_i − ȳ)|, with the pre/post means. The
+    statistic is kept INTEGER end-to-end by scaling out the mean
+    quotient (n·CUSUM_k = n·pre_k − k·tot — exact at any magnitude,
+    no float drift can flip the argmax), and the argmax is total via
+    the (stat DESC, day) ROW_NUMBER order; only the two reported
+    means are quotients, qround(4)-quantized.
+
+    Scale: one running-sum window per type over span-bounded frames
+    (the daily spine, never corpus rows), one argmax window over the
+    same frame — no pair fan-out at all (cheaper than trend_test),
+    the plan shape of a per-key prefix sum."""
+    e = _t(spark, sf_dir, "events")
+    daily = daily_counts(e).select("event_type", "day", "n")
+    b = daily.groupBy("event_type").agg(
+        F.min("day").alias("dlo"), F.max("day").alias("dhi")
+    )
+    spine = b.select(
+        "event_type", F.explode(F.sequence("dlo", "dhi")).alias("day")
+    )
+    sp = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("y")
+    )
+    ws = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    run = sp.select(
+        "event_type",
+        "day",
+        F.sum("y").over(ws).alias("pre"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ).alias("k"),
+        F.sum("y").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    scored = run.filter(F.col("k") < F.col("n")).withColumn(
+        "stat",
+        F.abs(F.col("n") * F.col("pre") - F.col("k") * F.col("tot")),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), F.col("day")
+    )
+    best = scored.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("day").alias("change_day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("stat").cast("long").alias("cusum_stat"),
+        qround(F.col("pre").cast("double") / F.col("k"), 4).alias(
+            "mean_before"
+        ),
+        qround(
+            (F.col("tot") - F.col("pre")).cast("double")
+            / (F.col("n") - F.col("k")),
+            4,
+        ).alias("mean_after"),
+    )

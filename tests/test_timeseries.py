@@ -1403,3 +1403,45 @@ def test_trend_test_verdicts_on_constructed_series(spark, tmp_path):
     assert got["rising"]["slope_med"] == 1.0
     assert got["flat"]["trend"] == "none"
     assert got["flat"]["s_stat"] == 0
+
+
+def test_changepoint_detects_planted_level_shift(spark, tmp_path):
+    """A series with a clean level shift (5/day for 10 days, then
+    25/day for 10 days) must locate the change at the shift boundary
+    with the right pre/post means; a flat series reports a tiny
+    statistic relative to the shifted one."""
+    import datetime as dt
+
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_changepoint_detect,
+    )
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 5, 1)
+    for day in range(20):
+        rate = 5 if day < 10 else 25
+        for k in range(rate):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=k),
+                         1, "shifted", 1.0, "{}"))
+            eid += 1
+        for k in range(7):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=100 + k),
+                         2, "steady", 1.0, "{}"))
+            eid += 1
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(sfdir / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in q_changepoint_detect(spark, str(sfdir)).collect()
+    }
+    sh = got["shifted"]
+    assert sh["change_day"] == (base + dt.timedelta(days=9)).date()
+    assert sh["mean_before"] == 5.0 and sh["mean_after"] == 25.0
+    # n*CUSUM at the true split: |20*50 - 10*300| = 2000
+    assert sh["cusum_stat"] == 2000
+    assert got["steady"]["cusum_stat"] == 0
