@@ -52,6 +52,12 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         from JSONL with corrupt lines counted; --warc ingests from
         WARC archives — the Common Crawl format — with skipped
         record types and corrupt tails counted)
+    python -m clinvar_pipeline_spark --warehouseReport [--sf TABLE_DIR]
+        --out OUT
+        (warehouse maintenance suite: column profile, FK integrity,
+        SCD2 history + point-in-time audit, PageRank, Z-order keys,
+        erasure audit, ER clusters — one parquet dir per query +
+        counters)
     python -m clinvar_pipeline_spark --optimize [--sf TABLE_DIR] --out OUT
         (physical-layout maintenance: Z-order-clustered events +
         Hive-partitioned orders + a footer-derived data-skipping
@@ -1042,24 +1048,40 @@ EVENT_REPORT_QUERIES = [
     "interarrival_stats",
     "weekly_growth",
     # continued-r8: the dyadic-exact daily smoother (served off the
-    # same daily-count sink on the streaming side)
+    # same daily-count sink on the streaming side), the histogram
+    # quantile sketch, the sweep-line occupancy peak, and the robust
+    # trend/changepoint detectors
     "ewma_daily",
+    "histogram_quantiles",
+    "peak_concurrency",
+    "trend_test",
+    "changepoint_detect",
+]
+
+# the warehouse/lakehouse suite as one maintenance job (the
+# eventReport discipline over the dimensional tables)
+WAREHOUSE_REPORT_QUERIES = [
+    "table_profile",
+    "fk_integrity",
+    "scd2_history",
+    "scd2_point_in_time",
+    "pagerank",
+    "zorder_key",
+    "erasure_audit",
+    "fuzzy_entity_clusters",
 ]
 
 
-def cmd_event_report(spark: SparkSession, args) -> None:
-    """--eventReport: the batch event-analytics suite over a table
-    directory — one parquet dir per query under --out plus a counters
-    frame (the --corpusPrep discipline applied to the events table;
-    --eventStream is the streaming counterpart of its incremental
-    subset)."""
+def _run_report(spark: SparkSession, args, names: list[str]) -> None:
+    """One parquet dir per registry query under --out + a counters
+    frame (the --corpusPrep discipline)."""
     from clinvar_pipeline_spark import queries as Q
     from clinvar_pipeline_spark.caching import release_cached
 
     sf = args.sf or "/root/testdata/sf0.001"
     reg = Q.queries()
     counters: list[tuple[str, int]] = []
-    for name in EVENT_REPORT_QUERIES:
+    for name in names:
         reg[name](spark, sf).write.mode("overwrite").parquet(
             f"{args.out}/{name}"
         )
@@ -1070,6 +1092,23 @@ def cmd_event_report(spark: SparkSession, args) -> None:
         counters, "stage string, n_rows long"
     ).write.mode("overwrite").parquet(f"{args.out}/run_counters")
     release_cached()
+
+
+def cmd_event_report(spark: SparkSession, args) -> None:
+    """--eventReport: the batch event-analytics suite over a table
+    directory (the --corpusPrep discipline applied to the events
+    table; --eventStream is the streaming counterpart of its
+    incremental subset)."""
+    _run_report(spark, args, EVENT_REPORT_QUERIES)
+
+
+def cmd_warehouse_report(spark: SparkSession, args) -> None:
+    """--warehouseReport: the warehouse/lakehouse maintenance suite —
+    column profile, FK integrity, SCD2 history + point-in-time audit,
+    PageRank over the purchase graph, the Z-order key frame, the
+    erasure (right-to-be-forgotten) audit and the ER clusters — as
+    one job over a table directory."""
+    _run_report(spark, args, WAREHOUSE_REPORT_QUERIES)
 
 
 def cmd_optimize(spark: SparkSession, args) -> None:
@@ -1168,6 +1207,7 @@ def main(argv: list[str] | None = None) -> None:
         "--corpusPrep",
         "--eventStream",
         "--eventReport",
+        "--warehouseReport",
         "--optimize",
         "--audit",
     ):
@@ -1230,6 +1270,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_event_stream(spark, args)
     elif args.eventReport:
         cmd_event_report(spark, args)
+    elif args.warehouseReport:
+        cmd_warehouse_report(spark, args)
     elif args.optimize:
         cmd_optimize(spark, args)
     elif args.audit:

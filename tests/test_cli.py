@@ -1056,3 +1056,21 @@ def test_cli_optimize_lands_layouts_and_report(spark, tmp_path):
         .collect()
     }
     assert rep["zorder"] < 0.6 * rep["timesorted"]
+
+
+def test_cli_warehouse_report_lands_every_stage(spark, tmp_path):
+    from clinvar_pipeline_spark.cli import WAREHOUSE_REPORT_QUERIES
+
+    out = tmp_path / "wh"
+    main(
+        ["--warehouseReport", "--sf", "/root/testdata/sf0.001",
+         "--out", str(out)]
+    )
+    counters = {
+        r["stage"]: r["n_rows"]
+        for r in spark.read.parquet(str(out / "run_counters")).collect()
+    }
+    assert set(counters) == set(WAREHOUSE_REPORT_QUERIES)
+    for name in WAREHOUSE_REPORT_QUERIES:
+        assert counters[name] > 0
+        assert spark.read.parquet(str(out / name)).count() == counters[name]
