@@ -839,10 +839,12 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         ohlc_snapshot,
         ohlc_stream,
         transitions_live_stream,
+        changepoint_snapshot,
         ewma_snapshot,
         hist_quantiles_snapshot,
         hist_stream,
         save_hist_bounds,
+        trend_snapshot,
         weekly_growth_snapshot,
     )
 
@@ -974,6 +976,8 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         ("type_correlation", correlation_snapshot),
         ("weekly_growth", weekly_growth_snapshot),
         ("ewma_daily", ewma_snapshot),
+        ("trend_test", trend_snapshot),
+        ("changepoint_detect", changepoint_snapshot),
     ):
         snap(spark, f"{args.out}/_daily_epochs").write.mode(
             "overwrite"

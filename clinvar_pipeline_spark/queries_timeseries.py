@@ -1610,7 +1610,12 @@ def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt is IEEE-correctly-rounded in both engines, so z matches
     bit-for-bit after qround."""
     e = _t(spark, sf_dir, "events")
-    daily = daily_counts(e).select("event_type", "day", "n")
+    return trend_from_daily(daily_counts(e).select("event_type", "day", "n"))
+
+
+def trend_from_daily(daily: DataFrame) -> DataFrame:
+    """The trend_test core over a (event_type, day, n) frame — factored
+    so the streamed daily-count sink serves it too."""
     b = daily.groupBy("event_type").agg(
         F.min("day").alias("dlo"), F.max("day").alias("dhi")
     )
@@ -1761,7 +1766,14 @@ def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     same frame — no pair fan-out at all (cheaper than trend_test),
     the plan shape of a per-key prefix sum."""
     e = _t(spark, sf_dir, "events")
-    daily = daily_counts(e).select("event_type", "day", "n")
+    return changepoint_from_daily(
+        daily_counts(e).select("event_type", "day", "n")
+    )
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """The changepoint_detect core over a (event_type, day, n) frame —
+    factored for the streamed daily-count sink."""
     b = daily.groupBy("event_type").agg(
         F.min("day").alias("dlo"), F.max("day").alias("dhi")
     )

@@ -740,3 +740,29 @@ def hist_quantiles_snapshot(
             " lo double, hi double",
         )
     return quantiles_from_histogram(_merge_hist(parts), vmin, vmax)
+
+
+def trend_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Mann-Kendall + Theil-Sen under everything drained — fifth
+    report off the daily-count sink."""
+    from clinvar_pipeline_spark.queries_timeseries import trend_from_daily
+
+    return trend_from_daily(
+        daily_counts_snapshot(spark, deltas_path).select(
+            "event_type", "day", "n"
+        )
+    )
+
+
+def changepoint_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """CUSUM changepoint under everything drained — sixth report off
+    the daily-count sink."""
+    from clinvar_pipeline_spark.queries_timeseries import (
+        changepoint_from_daily,
+    )
+
+    return changepoint_from_daily(
+        daily_counts_snapshot(spark, deltas_path).select(
+            "event_type", "day", "n"
+        )
+    )

@@ -1176,22 +1176,28 @@ def test_daily_count_stream_serves_three_calendar_reports(
     spark, tmp_path, sf_dir
 ):
     """One ADD-merged (event_type, day) sink drained in two batches
-    with compaction on: dow_snapshot, correlation_snapshot,
-    weekly_growth_snapshot and ewma_snapshot each equal their batch
-    registry query — the token-count-sink pattern on the events
-    table."""
+    with compaction on: the dow, correlation, weekly-growth, ewma,
+    trend and changepoint snapshots each equal their batch registry
+    query — six reports off one sufficient-statistics sink (the
+    token-count-sink pattern on the events table)."""
     from clinvar_pipeline_spark.queries import _t
     from clinvar_pipeline_spark.queries_timeseries import (
         q_dow_seasonality,
         q_type_correlation,
         q_weekly_growth,
     )
-    from clinvar_pipeline_spark.queries_timeseries import q_ewma_daily
+    from clinvar_pipeline_spark.queries_timeseries import (
+        q_changepoint_detect,
+        q_ewma_daily,
+        q_trend_test,
+    )
     from clinvar_pipeline_spark.streaming.timeseries import (
+        changepoint_snapshot,
         correlation_snapshot,
         daily_count_stream,
         dow_snapshot,
         ewma_snapshot,
+        trend_snapshot,
         weekly_growth_snapshot,
     )
 
@@ -1224,6 +1230,12 @@ def test_daily_count_stream_serves_three_calendar_reports(
     )
     assert rows(ewma_snapshot(spark, deltas)) == rows(
         q_ewma_daily(spark, sf_dir)
+    )
+    assert rows(trend_snapshot(spark, deltas)) == rows(
+        q_trend_test(spark, sf_dir)
+    )
+    assert rows(changepoint_snapshot(spark, deltas)) == rows(
+        q_changepoint_detect(spark, sf_dir)
     )
 
 
