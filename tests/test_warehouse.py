@@ -441,3 +441,91 @@ def test_scd2_live_stream_late_row_splits_run(spark, tmp_path):
         (1, "LOW", us(100), us(200), 1),
         (2, "HIGH", us(200), us(205), 1),
     ]
+
+
+# ---------------------------------------------------------------------
+# Property tests (hypothesis)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=24,
+        unique=True,
+    )
+)
+def test_morton_key_deinterleaves_exactly(spark, pairs):
+    """morton_key is a bijection on 16-bit pairs: a pure-Python
+    de-interleave recovers both dimensions from every key."""
+    df = spark.createDataFrame(pairs, "u long, t long")
+    rows = df.select(
+        "u", "t", layout.morton_key(F.col("u"), F.col("t")).alias("z")
+    ).collect()
+    for r in rows:
+        u = t = 0
+        for i in range(16):
+            u |= ((r["z"] >> (2 * i + 1)) & 1) << i
+            t |= ((r["z"] >> (2 * i)) & 1) << i
+        assert (u, t) == (r["u"], r["t"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # custkey
+            st.integers(min_value=0, max_value=6),  # day offset (ties!)
+            st.sampled_from(["A", "B", "C"]),       # attr
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_frame_matches_pure_python_run_collapse(spark, feed):
+    """scd2_frame equals a pure-Python run collapse over the same
+    (day, order-key) total order — random feeds incl. same-day ties
+    and repeated attrs."""
+    import datetime as dt
+
+    from clinvar_pipeline_spark.queries_warehouse import scd2_frame
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (ok, ck, attr, base + dt.timedelta(days=doff))
+        for ok, (ck, doff, attr) in enumerate(feed)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_orderdate timestamp",
+    )
+    got = sorted(
+        (r["custkey"], r["version"], r["priority"], r["valid_from"],
+         r["valid_to"], r["n_orders"], r["is_current"])
+        for r in scd2_frame(orders).collect()
+    )
+    exp = []
+    by_cust: dict[int, list] = {}
+    for ok, ck, attr, ts in rows:
+        by_cust.setdefault(ck, []).append((ts, ok, attr))
+    for ck, seq in by_cust.items():
+        seq.sort()
+        runs = []
+        for ts, _, attr in seq:
+            if not runs or runs[-1][0] != attr:
+                runs.append([attr, ts, 0])
+            runs[-1][2] += 1
+        for v, (attr, vf, cnt) in enumerate(runs, start=1):
+            vt = runs[v][1] if v < len(runs) else None
+            exp.append(
+                (ck, v, attr, vf, vt, cnt, 1 if vt is None else 0)
+            )
+    assert got == sorted(exp)
