@@ -529,3 +529,82 @@ def test_scd2_frame_matches_pure_python_run_collapse(spark, feed):
                 (ck, v, attr, vf, vt, cnt, 1 if vt is None else 0)
             )
     assert got == sorted(exp)
+
+
+def test_scd2_live_stream_recovers_across_runs(spark, tmp_path):
+    """Cross-RUN state-store recovery: run 1 drains batch 1 (run
+    state left open in the checkpoint), run 2 on the SAME checkpoint
+    drains batch 2 — the union of appended closed intervals equals a
+    one-shot drain over both batches."""
+    import datetime as dt
+
+    from clinvar_pipeline_spark.streaming.scd2 import scd2_live_stream
+
+    def t(s):
+        return dt.datetime(2024, 2, 1) + dt.timedelta(seconds=s)
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    )
+    b1 = [
+        (1, 7, "O", 0.0, t(0), "LOW"),
+        (2, 7, "O", 0.0, t(100), "HIGH"),   # closes LOW once finalized
+        (3, 7, "O", 0.0, t(200), "HIGH"),
+    ]
+    b2 = [
+        (4, 7, "O", 0.0, t(300), "LOW"),    # closes the HIGH run
+        (5, 7, "O", 0.0, t(500), "LOW"),    # advances the watermark
+    ]
+    drop = tmp_path / "orders"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "closed")
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(drop))
+    q = (
+        scd2_live_stream(_order_stream(spark, drop))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    after_run1 = {
+        tuple(r) for r in spark.read.parquet(out).collect()
+    }
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(drop))
+    q2 = (
+        scd2_live_stream(_order_stream(spark, drop))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = sorted(
+        (r["version"], r["priority"], r["valid_from_us"], r["valid_to_us"],
+         r["n_orders"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+    def us(s):
+        return int(dt.datetime(2024, 2, 1).timestamp() * 1e6) + s * 1_000_000
+
+    # run 2 closed the LOW run run 1 left open in its checkpointed
+    # state (v1) AND the HIGH run (v2) — both finalized by b2's
+    # watermark (500 - 10 s passes 300); v3 LOW stays open/pending
+    assert got == [
+        (1, "LOW", us(0), us(100), 1),
+        (2, "HIGH", us(100), us(300), 2),
+    ]
+    assert after_run1 <= set(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
