@@ -1060,6 +1060,7 @@ EVENT_REPORT_QUERIES = [
     "peak_concurrency",
     "trend_test",
     "changepoint_detect",
+    "autocorrelation",
 ]
 
 # the warehouse/lakehouse suite as one maintenance job (the

@@ -1823,3 +1823,106 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
             4,
         ).alias("mean_after"),
     )
+
+
+@register(
+    "autocorrelation",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(day) AS dlo, max(day) AS dhi
+          FROM daily GROUP BY 1),
+    spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(CAST(dlo AS TIMESTAMP),
+                                           CAST(dhi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+    sp AS (
+        SELECT s.event_type, s.day, coalesce(d.n, 0) AS y
+        FROM spine s LEFT JOIN daily d
+          ON s.event_type = d.event_type AND s.day = d.day),
+    lp AS (
+        SELECT a.event_type, t.lag, a.y AS ya, c.y AS yb
+        FROM sp a
+        CROSS JOIN range(1, 8) t(lag)
+        JOIN sp c ON c.event_type = a.event_type
+                 AND c.day = a.day + CAST(t.lag AS INTEGER)),
+    m AS (
+        SELECT event_type, lag,
+               count(*) AS np, sum(ya) AS sa, sum(yb) AS sb,
+               sum(ya * ya) AS saa, sum(yb * yb) AS sbb,
+               sum(ya * yb) AS sab
+        FROM lp GROUP BY event_type, lag)
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(np AS BIGINT) AS n,
+           CASE WHEN (np * saa - sa * sa) > 0 AND (np * sbb - sb * sb) > 0
+                THEN floor((np * sab - sa * sb)
+                     / sqrt(CAST(np * saa - sa * sa AS DOUBLE))
+                     / sqrt(CAST(np * sbb - sb * sb AS DOUBLE))
+                     * 1000000000.0 + 0.5) / 1000000000.0
+           END AS acf
+    FROM m
+    """,
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the zero-filled daily series at lags
+    1..7 — the periodicity detector completing the daily-statistics
+    family (dow_seasonality asserts a weekly shape; the ACF measures
+    it): Pearson r between (y_t, y_{t+lag}) pairs, computed from
+    EXACT integer moment sums (counts ≤ 2^20, squares ≤ 2^40, sums
+    over ≤ span rows — far inside int64), with exactly two IEEE
+    sqrt/divide steps both engines spell identically and one qround.
+    NULL when either margin is constant (zero variance — the
+    type_correlation convention).
+
+    Scale: the lag pairing is a bounded 7× self-join on the
+    span-sized spine (never corpus rows), moments are one map-side-
+    combined aggregate per (type, lag) — |types|×7 output rows at any
+    input size."""
+    e = _t(spark, sf_dir, "events")
+    daily = daily_counts(e).select("event_type", "day", "n")
+    b = daily.groupBy("event_type").agg(
+        F.min("day").alias("dlo"), F.max("day").alias("dhi")
+    )
+    spine = b.select(
+        "event_type", F.explode(F.sequence("dlo", "dhi")).alias("day")
+    )
+    sp = _persist(
+        spine.join(daily, ["event_type", "day"], "left").select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("y")
+        )
+    )
+    a = sp.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+        F.col("day"),
+        F.col("y").alias("ya"),
+    ).withColumn("day_b", F.date_add("day", F.col("lag").cast("int")))
+    c = sp.select(
+        "event_type", F.col("day").alias("day_b"), F.col("y").alias("yb")
+    )
+    lp = a.join(c, ["event_type", "day_b"])
+    m = lp.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+    )
+    va = F.col("np") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("np") * F.col("sbb") - F.col("sb") * F.col("sb")
+    cov = F.col("np") * F.col("sab") - F.col("sa") * F.col("sb")
+    return m.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("np").cast("long").alias("n"),
+        F.when(
+            (va > 0) & (vb > 0),
+            qround(
+                cov / F.sqrt(va.cast("double")) / F.sqrt(vb.cast("double")),
+                9,
+            ),
+        ).alias("acf"),
+    )

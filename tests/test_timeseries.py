@@ -1457,3 +1457,48 @@ def test_changepoint_detects_planted_level_shift(spark, tmp_path):
     # n*CUSUM at the true split: |20*50 - 10*300| = 2000
     assert sh["cusum_stat"] == 2000
     assert got["steady"]["cusum_stat"] == 0
+
+
+def test_autocorrelation_matches_numpy(spark, sf_dir):
+    """ACF values replicate numpy's Pearson r over the same lagged
+    pairs (within the 1e-9 quantization)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from clinvar_pipeline_spark.queries import _t
+    from clinvar_pipeline_spark.queries_timeseries import q_autocorrelation
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts").collect()
+    counts: dict[tuple, int] = {}
+    for r in ev:
+        d = r["ts"].date()
+        counts[(r["event_type"], d)] = counts.get((r["event_type"], d), 0) + 1
+    got = {
+        (r["event_type"], r["lag"]): (r["n"], r["acf"])
+        for r in q_autocorrelation(spark, sf_dir).collect()
+    }
+    types = {t for t, _ in counts}
+    n_checked = 0
+    for t in types:
+        days = sorted(d for tt, d in counts if tt == t)
+        lo, hi = days[0], days[-1]
+        series = []
+        d = lo
+        while d <= hi:
+            series.append(counts.get((t, d), 0))
+            d += dt.timedelta(days=1)
+        y = np.array(series, dtype=float)
+        for lag in range(1, 8):
+            if len(y) <= lag:
+                continue
+            a, b = y[:-lag], y[lag:]
+            n, acf = got[(t, lag)]
+            assert n == len(a)
+            if a.std() == 0 or b.std() == 0:
+                assert acf is None
+            else:
+                r = float(np.corrcoef(a, b)[0, 1])
+                assert acf == pytest.approx(r, abs=2e-9)
+            n_checked += 1
+    assert n_checked >= 25
