@@ -839,6 +839,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         ohlc_snapshot,
         ohlc_stream,
         transitions_live_stream,
+        acf_snapshot,
         changepoint_snapshot,
         ewma_snapshot,
         hist_quantiles_snapshot,
@@ -978,6 +979,7 @@ def cmd_event_stream(spark: SparkSession, args) -> None:
         ("ewma_daily", ewma_snapshot),
         ("trend_test", trend_snapshot),
         ("changepoint_detect", changepoint_snapshot),
+        ("autocorrelation", acf_snapshot),
     ):
         snap(spark, f"{args.out}/_daily_epochs").write.mode(
             "overwrite"

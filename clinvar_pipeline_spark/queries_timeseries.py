@@ -1881,7 +1881,12 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined aggregate per (type, lag) — |types|×7 output rows at any
     input size."""
     e = _t(spark, sf_dir, "events")
-    daily = daily_counts(e).select("event_type", "day", "n")
+    return acf_from_daily(daily_counts(e).select("event_type", "day", "n"))
+
+
+def acf_from_daily(daily: DataFrame) -> DataFrame:
+    """The autocorrelation core over a (event_type, day, n) frame —
+    factored for the streamed daily-count sink."""
     b = daily.groupBy("event_type").agg(
         F.min("day").alias("dlo"), F.max("day").alias("dhi")
     )

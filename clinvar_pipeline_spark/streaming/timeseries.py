@@ -766,3 +766,15 @@ def changepoint_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
             "event_type", "day", "n"
         )
     )
+
+
+def acf_snapshot(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Autocorrelation under everything drained — seventh report off
+    the daily-count sink."""
+    from clinvar_pipeline_spark.queries_timeseries import acf_from_daily
+
+    return acf_from_daily(
+        daily_counts_snapshot(spark, deltas_path).select(
+            "event_type", "day", "n"
+        )
+    )

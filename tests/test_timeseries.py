@@ -1177,9 +1177,9 @@ def test_daily_count_stream_serves_three_calendar_reports(
 ):
     """One ADD-merged (event_type, day) sink drained in two batches
     with compaction on: the dow, correlation, weekly-growth, ewma,
-    trend and changepoint snapshots each equal their batch registry
-    query — six reports off one sufficient-statistics sink (the
-    token-count-sink pattern on the events table)."""
+    trend, changepoint and acf snapshots each equal their batch
+    registry query — seven reports off one sufficient-statistics sink
+    (the token-count-sink pattern on the events table)."""
     from clinvar_pipeline_spark.queries import _t
     from clinvar_pipeline_spark.queries_timeseries import (
         q_dow_seasonality,
@@ -1187,11 +1187,13 @@ def test_daily_count_stream_serves_three_calendar_reports(
         q_weekly_growth,
     )
     from clinvar_pipeline_spark.queries_timeseries import (
+        q_autocorrelation,
         q_changepoint_detect,
         q_ewma_daily,
         q_trend_test,
     )
     from clinvar_pipeline_spark.streaming.timeseries import (
+        acf_snapshot,
         changepoint_snapshot,
         correlation_snapshot,
         daily_count_stream,
@@ -1236,6 +1238,9 @@ def test_daily_count_stream_serves_three_calendar_reports(
     )
     assert rows(changepoint_snapshot(spark, deltas)) == rows(
         q_changepoint_detect(spark, sf_dir)
+    )
+    assert rows(acf_snapshot(spark, deltas)) == rows(
+        q_autocorrelation(spark, sf_dir)
     )
 
 
