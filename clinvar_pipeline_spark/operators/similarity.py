@@ -304,6 +304,121 @@ def _derived_num_cells(n: int) -> int:
     return max(4, int(round(n ** 0.5)))
 
 
+_Q6 = 1_000_000.0  # quantization scale: 6 decimal digits
+
+
+def _q6_unit_np(V: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Q6 unit quantization: ``xq = floor(x·1e6 + 0.5)`` then
+    ``u = floor(xq/‖xq‖·1e6 + 0.5)`` — every component an
+    INTEGER-VALUED float64. Returns (U, nonzero_mask).
+
+    Why integers-as-doubles: a dot product or sum of integer-valued
+    doubles whose partials stay below 2^53 is EXACT in IEEE 754 —
+    independent of accumulation order, SIMD blocking, or engine. That
+    makes every downstream dot/argmax/mean bit-identical between
+    numpy, Spark's zip_with/aggregate fold, and DuckDB's
+    list_dot_product — the property the float cosine path can never
+    have (the k-means root cause behind the rows-only ANN family).
+    The remaining ops (sqrt, one division, ·1e6, +0.5, floor) are
+    single correctly-rounded IEEE ops both engines spell identically
+    (the qround discipline, queries.qround).
+
+    Exactness bound: d·(|x|·1e6)² < 2^53 ⇒ |x| < sqrt(9.0e15/(d·1e12))
+    (≈11.8 at d=64) — asserted, the caller rescales otherwise."""
+    if V.size == 0:
+        return V, np.zeros(0, dtype=bool)
+    d = V.shape[1]
+    lim = (9.0e15 / (d * 1e12)) ** 0.5
+    assert np.abs(V).max() < lim, (
+        f"component magnitude {np.abs(V).max():.3g} >= {lim:.3g} breaks "
+        f"Q6 integer-exactness at dim {d}; rescale the embedding"
+    )
+    Xq = np.floor(V * _Q6 + 0.5)
+    n2 = np.einsum("ij,ij->i", Xq, Xq)  # integer-exact at any order
+    nz = n2 > 0
+    U = np.zeros_like(Xq)
+    U[nz] = np.floor(Xq[nz] / np.sqrt(n2[nz])[:, None] * _Q6 + 0.5)
+    return U, nz
+
+
+def _train_centroids_q6(
+    corpus: DataFrame,
+    vec_col: str,
+    num_cells: int,
+    train_sample: int,
+    lloyd_iters: int,
+    id_col: str | None = None,
+    memo_key: str | None = None,
+) -> np.ndarray:
+    """Deterministic, ENGINE-PORTABLE k-means coarse quantizer: Q6
+    integer arithmetic end-to-end (see _q6_unit_np), strided init,
+    first-max tie-breaks. Returns a (k, dim) matrix of Q6
+    integer-valued float64 centroids (unit vectors scaled by 1e6).
+
+    The pagerank discipline (queries_warehouse.q_pagerank) applied to
+    a numeric fixpoint with a twist: instead of DECIMAL sums +
+    per-step qround, ALL state lives on the 10^-6 lattice so plain
+    float64 arithmetic is already exact —
+    - init: centroid j = sample row floor(j·n/k) of the id-ordered
+      sample (strided — deterministic, no RNG);
+    - assignment: argmax of integer dot products, ties to the LOWEST
+      cell (np.argmax first-max == SQL row_number ORDER BY dot DESC,
+      cell ASC);
+    - update: per-component integer member sums (exact), mean
+      re-quantized via floor(S/n + 0.5) BEFORE normalizing (keeping
+      the norm input integer), then floor(mq/‖mq‖·1e6 + 0.5);
+    - empty or zero-norm cells keep their previous centroid.
+    Every step unrolls to ANSI SQL (functions/kmeans_oracle.py), so a
+    DuckDB oracle reproduces cells — and everything downstream of
+    them — bit-for-bit at any SF.
+
+    Sample/memo semantics match the legacy float trainer: ≤
+    train_sample smallest ids when id_col is given (TakeOrdered —
+    partitioning-independent), memoized per corpus under caching.memo
+    (a quantizer is corpus state; see the r5 bench regression)."""
+    from clinvar_pipeline_spark.caching import memo
+
+    if memo_key is not None:
+        key = (
+            "ivf_centroids_q6", memo_key, vec_col, num_cells,
+            train_sample, lloyd_iters, id_col,
+        )
+        return memo(
+            key,
+            lambda: _train_centroids_q6(
+                corpus, vec_col, num_cells, train_sample, lloyd_iters,
+                id_col=id_col, memo_key=None,
+            ),
+        )
+    sel = corpus.select(
+        *([F.col(id_col)] if id_col else []),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if id_col:
+        sel = sel.orderBy(id_col)
+    sample = [r["_v"] for r in sel.limit(train_sample).collect()]
+    X = np.asarray(sample, dtype=np.float64)
+    U, nz = _q6_unit_np(X)
+    U = U[nz]  # zero vectors can't vote for a direction
+    n = len(U)
+    if n == 0:
+        raise ValueError("k-means training sample is empty (all-zero vectors?)")
+    k = min(num_cells, n)
+    C = U[(np.arange(k) * n) // k].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(U @ C.T, axis=1)  # exact dots; first-max ties
+        for ci in range(k):
+            members = U[assign == ci]
+            if not len(members):
+                continue
+            S = members.sum(axis=0)  # integer-exact (< 2^53)
+            mq = np.floor(S / len(members) + 0.5)
+            nn2 = float(np.einsum("i,i->", mq, mq))
+            if nn2 > 0:
+                C[ci] = np.floor(mq / np.sqrt(nn2) * _Q6 + 0.5)
+    return C  # (k, dim), Q6 integer-valued unit directions
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -314,68 +429,20 @@ def _train_centroids(
     id_col: str | None = None,
     memo_key: str | None = None,
 ) -> np.ndarray:
-    """Coarse quantizer for IVF-family operators: k-means (spherical,
-    cosine via unit-norm dot) over a bounded driver-side sample.
-
-    Bounded and deterministic: ≤``train_sample`` vectors are collected
-    (the one sanctioned ``collect`` in this module — standard IVF
-    practice trains the quantizer on a sample and applies it
-    distributively), init is seeded, and a fixed number of Lloyd
-    iterations runs in numpy. Returns (num_cells, dim) unit-norm
-    centroids, broadcast to executors via UDF closure capture.
-
-    When ``id_col`` is given the sample is the train_sample SMALLEST
-    ids (TakeOrderedAndProject — per-partition top-k then a driver
-    merge, scalable and partitioning-independent), making the trained
-    quantizer — and everything downstream of it — deterministic for a
-    given corpus. A bare ``limit`` on a shuffled input returns
-    whichever rows arrive first, which silently made repeated
-    semantic_dedup/IVF runs cluster differently.
-
-    When ``memo_key`` is given the trained centroid matrix is memoized
-    in the session-scoped registry (caching.memo) keyed by
-    (memo_key, vec_col, num_cells, train_sample, lloyd_iters, seed,
-    id_col) — a quantizer is CORPUS state, not query state, so
-    repeated invocations against the same corpus must not re-run the
-    TakeOrdered+collect training job (the r5 bench regression: every
-    warm ann_topk_ivf pass re-trained, landing slower than its own
-    cold pass). At cluster scale this is also the right shape: train
-    once, serve to every query."""
-    from clinvar_pipeline_spark.caching import memo
-
-    if memo_key is not None:
-        key = (
-            "ivf_centroids", memo_key, vec_col, num_cells,
-            train_sample, lloyd_iters, seed, id_col,
-        )
-        return memo(
-            key,
-            lambda: _train_centroids(
-                corpus, vec_col, num_cells, train_sample, lloyd_iters,
-                seed, id_col=id_col, memo_key=None,
-            ),
-        )
-    sel = corpus.select(
-        *( [F.col(id_col)] if id_col else [] ),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    if id_col:
-        sel = sel.orderBy(id_col)
-    sample = [r["_v"] for r in sel.limit(train_sample).collect()]
-    X = np.asarray(sample, dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    cent = X[rng.choice(len(X), size=min(num_cells, len(X)), replace=False)]
-    for _ in range(lloyd_iters):
-        assign = np.argmax(X @ cent.T, axis=1)  # cosine on unit vectors
-        for ci in range(len(cent)):
-            members = X[assign == ci]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    cent[ci] = m / n
-    return cent  # (num_cells, dim), unit-norm
+    """Coarse quantizer for IVF-family operators — the float-facing
+    wrapper over :func:`_train_centroids_q6`: the Q6 integer centroids
+    divided back to ~unit-norm float64. Since r9 the trainer is the
+    deterministic integer k-means (strided init, integer Lloyd steps),
+    so ``seed`` no longer influences the result — kept for API
+    stability; the quantizer for a given corpus is now unique, which
+    is what an INDEX should be (retrains can't silently re-cluster).
+    ‖centroid‖ ∈ [1-1e-6, 1+1e-6] — close enough to unit for every
+    argmax/probe consumer (the same rows-only float paths as before)."""
+    del seed  # deterministic since r9; see _train_centroids_q6
+    return _train_centroids_q6(
+        corpus, vec_col, num_cells, train_sample, lloyd_iters,
+        id_col=id_col, memo_key=memo_key,
+    ) / _Q6
 
 
 def save_centroids(spark, C: np.ndarray, path: str) -> None:
@@ -446,6 +513,7 @@ def semantic_dedup(
     cell_cap: int = 100_000,
     memo_key: str | None = None,
     centroids: np.ndarray | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then inside
@@ -478,40 +546,98 @@ def semantic_dedup(
     invocations — see _train_centroids. ``centroids`` bypasses
     training entirely with a pre-trained quantizer
     (save_centroids/load_centroids — the cross-session index
-    lifecycle)."""
-    if centroids is not None:
-        C = np.asarray(centroids, dtype=np.float64)
-    else:
-        if num_cells is None:
-            num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
-        C = _train_centroids(
-            corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
-            id_col=id_col, memo_key=memo_key,
-        )
-    from pyspark.sql.functions import pandas_udf
+    lifecycle).
 
-    @pandas_udf("int")
-    def nearest_cell(s: pd.Series) -> pd.Series:
-        V = np.asarray(s.tolist(), dtype=np.float64)
-        if V.size == 0:
-            return pd.Series([], dtype="int32")
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+    ``quantized=True`` runs the ENGINE-PORTABLE path: cells and pair
+    cosines both computed on the Q6 integer lattice (_q6_unit_np), so
+    the full drop-list — ids, keepers, AND sims — is reproducible
+    bit-for-bit by the DuckDB twin (functions/kmeans_oracle.py); the
+    quantization perturbs each cosine by < 1e-5, far inside any
+    sensible tau. Zero-norm vectors (cosine undefined) are excluded
+    from the search in this mode. Plan shape is identical: the pair
+    dot is a JVM-side zip_with/aggregate fold (exact on
+    integer-valued doubles), not a Python kernel."""
+    if num_cells is None and centroids is None:
+        num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
+    from pyspark.sql.functions import pandas_udf
 
     from clinvar_pipeline_spark.caching import register_persist
 
+    if quantized:
+        if centroids is not None:
+            Cq = np.floor(np.asarray(centroids, dtype=np.float64) * _Q6 + 0.5)
+        else:
+            Cq = _train_centroids_q6(
+                corpus, vec_col, num_cells, train_sample, lloyd_iters,
+                id_col=id_col, memo_key=memo_key,
+            )
+
+        from typing import Iterator as _It
+
+        def assign_q(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+                U, nzm = _q6_unit_np(V)
+                if not nzm.any():
+                    continue  # empty frame would type _qv float64, not list
+                cell = np.argmax(U @ Cq.T, axis=1).astype(np.int32)
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy()[nzm],
+                        "_cell": cell[nzm],
+                        "_qv": [row.tolist() for row in U[nzm]],
+                    }
+                )
+
+        assigned = register_persist(
+            corpus.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            ).mapInPandas(assign_q, "_id long, _cell int, _qv array<double>")
+        )
+        # exact integer dot (JVM fold over integer-valued doubles)
+        sim_dot = F.aggregate(
+            F.zip_with(F.col("a._qv"), F.col("b._qv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # tau·1e12 is the same single IEEE multiply the SQL twin spells
+        keep_pred = sim_dot >= F.lit(tau) * F.lit(1.0e12)
+        sim_out = F.floor(sim_dot / F.lit(1.0e12) * F.lit(1.0e6) + F.lit(0.5)) / F.lit(1.0e6)
+    else:
+        if centroids is not None:
+            C = np.asarray(centroids, dtype=np.float64)
+        else:
+            C = _train_centroids(
+                corpus, vec_col, num_cells, train_sample, lloyd_iters, seed,
+                id_col=id_col, memo_key=memo_key,
+            )
+
+        @pandas_udf("int")
+        def nearest_cell(s: pd.Series) -> pd.Series:
+            V = np.asarray(s.tolist(), dtype=np.float64)
+            if V.size == 0:
+                return pd.Series([], dtype="int32")
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+        assigned = register_persist(
+            corpus.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                nearest_cell(F.col(vec_col).cast("array<double>")).alias(
+                    "_cell"
+                ),
+            )
+        )
+        sim = cosine_similarity(F.col("a._v"), F.col("b._v"))
+        keep_pred = sim >= tau
+        sim_out = F.round(sim, 6)
     # persisted: the assignment kernel output feeds the oversize
     # guard AND both sides of the pair join — without a persist the
     # Arrow kernel reruns once per plan branch
-    assigned = register_persist(
-        corpus.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            nearest_cell(F.col(vec_col).cast("array<double>")).alias(
-                "_cell"
-            ),
-        )
-    )
     oversize = (
         assigned.groupBy("_cell")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -521,18 +647,17 @@ def semantic_dedup(
     assigned = assigned.join(F.broadcast(oversize), "_cell", "left_anti")
     a = assigned.alias("a")
     b = assigned.alias("b")
-    sim = cosine_similarity(F.col("a._v"), F.col("b._v"))
     pairs = (
         a.join(
             b,
             (F.col("a._cell") == F.col("b._cell"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .filter(sim >= tau)
+        .filter(keep_pred)
         .select(
             F.col("b._id").alias(id_col),
             F.col("a._id").alias("_keeper"),
-            F.round(sim, 6).alias("_sim"),
+            sim_out.alias("_sim"),
         )
     )
     # smallest-id qualifying neighbor wins; its sim rides along in the
@@ -904,6 +1029,7 @@ def ann_topk_ivf(
     seed: int = 42,
     memo_key: str | None = None,
     centroids: np.ndarray | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization:
     k-means cells over a bounded training sample, corpus rows assigned
@@ -928,9 +1054,24 @@ def ann_topk_ivf(
     explicit values to pin either. ``memo_key`` memoizes count +
     centroids across invocations (see _train_centroids); ``centroids``
     serves a pre-trained quantizer (save_centroids/load_centroids —
-    the cross-session index lifecycle) and skips training."""
+    the cross-session index lifecycle) and skips training.
+
+    ``quantized=True`` runs the ENGINE-PORTABLE path end-to-end:
+    quantizer, cell assignment, probe ranking, AND the final re-rank
+    all on the Q6 integer lattice (_q6_unit_np) — every dot product
+    exact, every tie broken (dot DESC, id/cell ASC) — so the emitted
+    (query_id, nn_id, cos_sim, rk) rows are reproducible bit-for-bit
+    by the DuckDB twin (functions/kmeans_oracle.py). cos_sim is the
+    Q6-lattice cosine (within 1e-5 of exact); zero-norm vectors are
+    excluded. Same plan shape as the float path: map-only Arrow
+    assignment, narrow (id, cell) candidate exchange, JVM fold dots."""
     from pyspark.sql.functions import pandas_udf
 
+    if quantized:
+        return _ann_topk_ivf_q(
+            queries, corpus, id_col, vec_col, k, num_cells,
+            n_probe_cells, train_sample, lloyd_iters, memo_key, centroids,
+        )
     if centroids is not None:
         C = np.asarray(centroids, dtype=np.float64)
     else:
@@ -1005,3 +1146,127 @@ def ann_topk_ivf(
         .dropDuplicates(["query_id", "nn_id"])
     )
     return _rerank_topk(pairs, queries, corpus, id_col, vec_col, k)
+
+
+def _ann_topk_ivf_q(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_cells: int | None,
+    n_probe_cells: int | None,
+    train_sample: int,
+    lloyd_iters: int,
+    memo_key: str | None,
+    centroids: np.ndarray | None,
+) -> DataFrame:
+    """Quantized (engine-portable) IVF — see ann_topk_ivf(quantized=
+    True). Same plan shape as the float path; all scoring on the Q6
+    integer lattice with explicit tie-breaks, so the DuckDB twin
+    (functions/kmeans_oracle.py) reproduces rows bit-for-bit."""
+    from typing import Iterator as _It
+
+    from clinvar_pipeline_spark.caching import register_persist
+
+    if centroids is not None:
+        Cq = np.floor(np.asarray(centroids, dtype=np.float64) * _Q6 + 0.5)
+    else:
+        if num_cells is None:
+            num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
+        Cq = _train_centroids_q6(
+            corpus, vec_col, num_cells, train_sample, lloyd_iters,
+            id_col=id_col, memo_key=memo_key,
+        )
+    if n_probe_cells is None:
+        n_probe_cells = max(4, len(Cq) // 4)
+    npr = min(n_probe_cells, len(Cq))
+
+    def probe_q(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            U, nzm = _q6_unit_np(V)
+            U = U[nzm]
+            if not len(U):
+                continue
+            dots = U @ Cq.T  # integer-exact
+            # stable sort on -dots: ties keep ascending cell order —
+            # the numpy twin of SQL row_number (dot DESC, cell ASC);
+            # argpartition would pick arbitrarily among boundary ties
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :npr]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy()[nzm],
+                    "_pc": [row.tolist() for row in order.astype(np.int32)],
+                    "_qv": [row.tolist() for row in U],
+                }
+            )
+
+    schema = "_id long, _pc array<int>, _qv array<double>"
+    sel = lambda df: df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if queries is corpus:
+        # one kernel pass serves both roles: the ranked probe list's
+        # head IS the argmax cell assignment (same ordering rule)
+        shared = register_persist(sel(corpus).mapInPandas(probe_q, schema))
+        c_side, q_side = shared, shared
+    else:
+        c_side = register_persist(sel(corpus).mapInPandas(probe_q, schema))
+        q_side = register_persist(sel(queries).mapInPandas(probe_q, schema))
+    c_cells = c_side.select(
+        F.col("_id").alias("nn_id"), F.col("_pc").getItem(0).alias("cell")
+    )
+    q_cells = q_side.select(
+        F.col("_id").alias("query_id"), F.explode("_pc").alias("cell")
+    )
+    pairs = (
+        q_cells.join(c_cells, "cell")
+        .filter(F.col("query_id") != F.col("nn_id"))
+        .select("query_id", "nn_id")
+        .dropDuplicates(["query_id", "nn_id"])
+    )
+    # exact integer dot via JVM fold; rank on the RAW dot (ties on
+    # nn_id ASC), emit the Q6-lattice cosine qround'd to 6
+    scored = (
+        pairs.join(
+            q_side.select(
+                F.col("_id").alias("query_id"), F.col("_qv").alias("_qa")
+            ),
+            "query_id",
+        )
+        .join(
+            c_side.select(
+                F.col("_id").alias("nn_id"), F.col("_qv").alias("_qb")
+            ),
+            "nn_id",
+        )
+        .select(
+            "query_id",
+            "nn_id",
+            F.aggregate(
+                F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_dot"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "nn_id",
+            (
+                F.floor(
+                    F.col("_dot") / F.lit(1.0e12) * F.lit(1.0e6) + F.lit(0.5)
+                )
+                / F.lit(1.0e6)
+            ).alias("cos_sim"),
+            "rk",
+        )
+    )

@@ -1183,14 +1183,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_hyperplane(e, e, k=5)
 
 
-@register("ann_topk_ivf", None)  # quantizer trained on a sample: no SQL twin
+from clinvar_pipeline_spark.functions.kmeans_oracle import (
+    ann_topk_ivf_oracle as _ivf_oracle,
+)
+
+
+@register("ann_topk_ivf", _ivf_oracle(k=5))
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN top-5 (operators/similarity.py ann_topk_ivf): k-means
-    coarse quantizer + probed-cell candidate join + exact re-rank.
+    coarse quantizer + probed-cell candidate join + re-rank.
     Complements ann_topk (hyperplane LSH) — IVF candidates are
     spatially coherent, so recall per scored candidate is higher on
     clustered corpora; LSH needs no training pass. Recall floor pinned
     by tests/test_multimodal_similarity.py.
+
+    ORACLE-BACKED since r9 (previously rows-only): quantized=True runs
+    the deterministic Q6 integer quantizer + lattice scoring end-to-end
+    (operators/similarity._ann_topk_ivf_q), and the DuckDB twin
+    (functions/kmeans_oracle.py) unrolls the same k-means iterations,
+    probe ranking, candidate join, and re-rank — rows match
+    bit-for-bit, cos_sim within 1e-5 of the float path's exact cosine.
 
     The spread input is persisted: the plan consumes it five times
     (driver-side training sample, cell assignment for both roles,
@@ -1206,7 +1218,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell count) is corpus state — train once per sf_dir per session,
     # not once per invocation (r5's warm-slower-than-cold bench
     # regression was the per-invocation re-training job)
-    return ann_topk_ivf(e, e, k=5, memo_key=f"{sf_dir}:embeddings")
+    return ann_topk_ivf(
+        e, e, k=5, memo_key=f"{sf_dir}:embeddings", quantized=True
+    )
 
 
 @register("ann_topk_pq", None)  # PQ codebooks are engine state: no SQL twin

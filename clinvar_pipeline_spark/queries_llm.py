@@ -1881,15 +1881,25 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic deduplication (SemDeDup)
 # ---------------------------------------------------------------------
 
-@register("semantic_dedup", None)  # rows-only: k-means has no DuckDB twin
+from clinvar_pipeline_spark.functions.kmeans_oracle import (
+    semantic_dedup_oracle as _semdedup_oracle,
+)
+
+
+@register("semantic_dedup", _semdedup_oracle(tau=0.4))
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means cells + intra-cell
-    cosine ≥ τ → drop-list with surviving representative. Rows-only
-    at the driver (the coarse quantizer is engine-specific, same
-    documented impossibility as ann_topk); the exact contract —
-    identical-vector groups always collapse to their min-id member,
-    dissimilar vectors never drop — is pinned by
-    tests/test_multimodal_similarity.py.
+    cosine ≥ τ → drop-list with surviving representative.
+
+    ORACLE-BACKED since r9 (previously rows-only): the quantized path
+    runs the deterministic Q6 integer k-means
+    (operators/similarity._train_centroids_q6 — strided init, integer
+    Lloyd steps, exact lattice dots) and scores pairs on the same
+    lattice, so the DuckDB twin (functions/kmeans_oracle.py) unrolls
+    the identical iterations as CTEs and matches ids, keepers, AND
+    sims bit-for-bit. The exact contract — identical-vector groups
+    collapse to their min-id member, dissimilar vectors never drop —
+    stays pinned by tests/test_multimodal_similarity.py.
 
     τ here is 0.4, not the operator's production default 0.95: the
     synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -1899,7 +1909,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(_t(spark, sf_dir, "embeddings"), 8)
     return semantic_dedup(
         e, id_col="vec_id", vec_col="embedding", tau=0.4,
-        memo_key=f"{sf_dir}:embeddings",
+        memo_key=f"{sf_dir}:embeddings", quantized=True,
     ).orderBy("vec_id")
 
 
