@@ -11,6 +11,12 @@ parquet files for the auxiliary tables the reference reads over JDBC:
         [--prev SNAP_DIR] --out SNAP_DIR2
     python -m clinvar_pipeline_spark --annotate \
         --snapshot SNAP_DIR --aux AUX_DIR --out OUT_DIR
+    python -m clinvar_pipeline_spark --nightly \
+        --xml release.xml --genes genes.parquet [--prev SNAP_DIR] \
+        --aux AUX_DIR --out SNAP_DIR2
+        (load_and_annotate.sh parity: --load then --annotate on the
+        fresh snapshot; annotate outputs under OUT/annotate, one
+        merged (phase, counter, value) frame at OUT/run_counters)
     python -m clinvar_pipeline_spark --addRsIds \
         --snapshot SNAP_DIR [--dbsnp db_snp.parquet] --out SNAP_DIR2
     python -m clinvar_pipeline_spark --clinvar2vcf \
@@ -142,6 +148,43 @@ def cmd_annotate(spark: SparkSession, args) -> None:
     res.counters.write.mode("overwrite").parquet(f"{args.out}/counters")
     for r in res.counters.collect():
         print(f"{r['counter']}: {r['value']}")
+
+
+def cmd_nightly(spark: SparkSession, args) -> None:
+    """--nightly (src/main/dist/load_and_annotate.sh parity): --load
+    then --annotate on the same snapshot chain in ONE invocation — the
+    operational composition the reference actually runs every night
+    (load.sh > load.log; annot.sh > annot.log), previously only
+    composable by hand.
+
+    The annotate phase reads the snapshot BACK from the parquet the
+    load phase just wrote — the same store-mediated handoff as the
+    shell chain (the reference hands off through Oracle), and a
+    lineage cut at scale: the annotate plan starts from a fresh scan
+    instead of dragging the whole load DAG behind it.
+
+    Outputs: the load phase lands exactly where --load puts it
+    (snapshot at --out, counters, variant_diff); the annotate phase
+    lands under --out/annotate (annotations, annot_diff, unmatchable,
+    counters); one MERGED (phase, counter, value) frame — the
+    reference's end-of-run counter email across both stages — lands
+    at --out/run_counters. Both stages' threshold guards stay live
+    (they are inside load_run/annotate_run, not the CLI)."""
+    import argparse as _ap
+
+    cmd_load(spark, args)
+    annot_args = _ap.Namespace(**vars(args))
+    annot_args.snapshot = args.out
+    annot_args.out = f"{args.out}/annotate"
+    cmd_annotate(spark, annot_args)
+    load_c = spark.read.parquet(f"{args.out}/counters")
+    annot_c = spark.read.parquet(f"{args.out}/annotate/counters")
+    merged = load_c.select(
+        F.lit("load").alias("phase"), "counter", "value"
+    ).unionByName(
+        annot_c.select(F.lit("annotate").alias("phase"), "counter", "value")
+    )
+    merged.write.mode("overwrite").parquet(f"{args.out}/run_counters")
 
 
 def cmd_add_rs_ids(spark: SparkSession, args) -> None:
@@ -1207,6 +1250,7 @@ def main(argv: list[str] | None = None) -> None:
     for flag in (
         "--load",
         "--annotate",
+        "--nightly",
         "--addRsIds",
         "--clinvar2vcf",
         "--qcDuplicateTerms",
@@ -1258,6 +1302,8 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(app_name="clinvar-pipeline-spark-cli")
     if args.load:
         cmd_load(spark, args)
+    elif args.nightly:
+        cmd_nightly(spark, args)
     elif args.annotate:
         cmd_annotate(spark, args)
     elif args.addRsIds:

@@ -1074,3 +1074,106 @@ def test_cli_warehouse_report_lands_every_stage(spark, tmp_path):
     for name in WAREHOUSE_REPORT_QUERIES:
         assert counters[name] > 0
         assert spark.read.parquet(str(out / name)).count() == counters[name]
+
+
+def test_cli_nightly_chain_equals_separate_modes(spark, cli_dirs):
+    """--nightly (load_and_annotate.sh parity, r9): one invocation runs
+    --load then --annotate on the fresh snapshot and lands a merged
+    (phase, counter, value) frame. The contract: the merged frame
+    equals the two modes' counter frames run separately, and the
+    annotate outputs are identical row-for-row."""
+    root = cli_dirs / "nightly"
+    root.mkdir()
+    xml = root / "release.xml"
+    xml.write_text(
+        HEADER
+        + FULL_RECORD.replace(
+            "<VariantType>Indel</VariantType>",
+            "<VariantType>Deletion</VariantType>",
+        )
+        + MINUS_RECORD
+        + TRAILER,
+        "utf-8",
+    )
+    spark.createDataFrame(
+        [(101, "9907", "AP5Z1")],
+        "gene_rgd_id long, gene_id string, symbol string",
+    ).write.parquet(str(root / "genes.parquet"))
+    aux = root / "aux"
+    spark.createDataFrame(
+        [(101, 501, 3)],
+        "gene_rgd_id long, homolog_rgd_id long, homolog_species_type_key int",
+    ).write.parquet(str(aux / "orthologs.parquet"))
+    spark.createDataFrame(
+        [("RDO:0001", "RDO", "Hereditary spastic paraplegia 48", False)],
+        "acc_id string, ontology_id string, term string, is_obsolete boolean",
+    ).write.parquet(str(aux / "ont_terms.parquet"))
+    spark.createDataFrame(
+        [], "term_acc string, name string, type string"
+    ).write.parquet(str(aux / "ont_synonyms.parquet"))
+    spark.createDataFrame(
+        [], "cui string, gene_rgd_id long, omim_id string"
+    ).write.parquet(str(aux / "concept_omim.parquet"))
+    spark.createDataFrame(
+        [],
+        "annotated_object_rgd_id long, term_acc string, aspect string,"
+        " evidence string, with_info string, xref_source string, notes string",
+    ).write.parquet(str(aux / "existing_annotations.parquet"))
+
+    main(
+        [
+            "--nightly",
+            "--xml", str(xml),
+            "--genes", str(root / "genes.parquet"),
+            "--aux", str(aux),
+            "--out", str(root / "n"),
+        ]
+    )
+    # separate runs of the two modes on the same inputs
+    main(
+        [
+            "--load",
+            "--xml", str(xml),
+            "--genes", str(root / "genes.parquet"),
+            "--out", str(root / "snap"),
+        ]
+    )
+    main(
+        [
+            "--annotate",
+            "--snapshot", str(root / "snap"),
+            "--aux", str(aux),
+            "--out", str(root / "annots"),
+        ]
+    )
+
+    def counters(path):
+        return {
+            r["counter"]: r["value"]
+            for r in spark.read.parquet(str(path)).collect()
+        }
+
+    merged = spark.read.parquet(str(root / "n" / "run_counters"))
+    got = {
+        (r["phase"], r["counter"]): r["value"] for r in merged.collect()
+    }
+    want = {
+        ("load", k): v for k, v in counters(root / "snap" / "counters").items()
+    } | {
+        ("annotate", k): v
+        for k, v in counters(root / "annots" / "counters").items()
+    }
+    assert got == want, (got, want)
+    # annotate outputs identical row-for-row
+    a1 = sorted(
+        map(tuple, spark.read.parquet(str(root / "n" / "annotate" / "annotations")).collect())
+    )
+    a2 = sorted(
+        map(tuple, spark.read.parquet(str(root / "annots" / "annotations")).collect())
+    )
+    assert a1 == a2 and len(a1) > 0
+    # the nightly snapshot itself is --load's snapshot layout
+    assert (
+        spark.read.parquet(str(root / "n" / "variants")).count()
+        == spark.read.parquet(str(root / "snap" / "variants")).count()
+    )
