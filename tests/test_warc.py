@@ -176,3 +176,39 @@ def test_normalize_url_and_url_dedup(spark):
         for r in url_dedup(df.repartition(5)).collect()
     }
     assert out2 == {k: v["record_id"] for k, v in out.items()}
+
+
+def test_truncated_gzip_tail_keeps_complete_members():
+    """A .warc.gz whose FINAL gzip member is cut mid-stream (the
+    canonical interrupted-download shape; pre-r9 this raised EOFError
+    out of gzip.decompress and lost the whole archive) yields every
+    complete member's records, then the one ValueError the caller
+    counts as a bad tail."""
+    good = _fixture()
+    half_member = gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nBODY"
+    )[:12]
+    raw = good + half_member
+    it = warc_split_records(raw)
+    kept = []
+    # the truncated member surfaces as SOME ValueError — either the
+    # gzip-tail flag or the walker tripping on its partial plaintext;
+    # both are the one counted bad tail
+    with pytest.raises(ValueError, match="warc:"):
+        for hdr, block in it:
+            kept.append(hdr.get("warc-type"))
+    assert kept == [
+        "warcinfo", "request", "response", "response", "conversion"
+    ]
+
+
+def test_corrupt_gzip_member_mid_stream_counts_one_bad_tail(spark, tmp_path):
+    """End-to-end through read_warc: records before the corrupt member
+    land as rows, ARCHIVES_BAD_TAIL counts 1, nothing crashes."""
+    p = tmp_path / "t.warc.gz"
+    p.write_bytes(_fixture() + b"\x1f\x8b\x08\x00garbage-not-deflate")
+    records, counters = read_warc(spark, str(tmp_path))
+    c = {r["counter"]: r["value"] for r in counters.collect()}
+    assert c["ARCHIVES_BAD_TAIL"] == 1
+    assert c["RECORDS_KEPT"] == 3  # response x2 + conversion
+    assert records.count() == 3
