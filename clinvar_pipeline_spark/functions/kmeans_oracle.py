@@ -32,19 +32,17 @@ Q12 = "1000000000000.0"  # 10^12: dot of two Q6 unit vectors ≈ cosine·1e12
 Q6 = "1000000.0"
 
 
-def kmeans_cells_ctes(
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    train_sample: int = 10000,
-    lloyd_iters: int = 5,
-) -> str:
-    """WITH-body fragment defining ``unitv`` (Q6 unit vectors, zero-norm
-    rows dropped), ``cent{lloyd_iters}`` (trained centroids), and
-    ``cells`` (= each vector's argmax cell, with its unit vector riding
-    for downstream pair dots)."""
+def _base_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    train_sample: int,
+) -> list[str]:
+    """Shared prologue: ``unitv`` (Q6 unit vectors, zero-norm rows
+    dropped), ``smp`` (id-ordered bounded training sample with ranks),
+    ``prm`` (sample size + derived coarse-cell count)."""
     i, v = id_col, vec_col
-    ctes = [
+    return [
         f"raw AS MATERIALIZED (SELECT {i}, {v} FROM {table})",
         f"""qv AS MATERIALIZED (
         SELECT {i}, generate_subscripts({v}, 1) AS i,
@@ -70,11 +68,28 @@ def kmeans_cells_ctes(
                    (SELECT count(*) FROM raw) AS DOUBLE)) + 0.5) AS BIGINT)),
                    count(*)) AS k
         FROM smp)""",
+    ]
+
+
+def kmeans_cells_ctes(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 10000,
+    lloyd_iters: int = 5,
+) -> str:
+    """WITH-body fragment defining ``unitv`` (Q6 unit vectors, zero-norm
+    rows dropped), ``cent{lloyd_iters}`` (trained centroids), and
+    ``cells`` (= each vector's argmax cell, with its unit vector riding
+    for downstream pair dots)."""
+    i = id_col
+    ctes = _base_ctes(table, id_col, vec_col, train_sample)
+    ctes.append(
         """cent0 AS MATERIALIZED (
         SELECT c.rn AS cell, s.v AS cv
         FROM smp c, prm, smp s
-        WHERE c.rn < prm.k AND s.rn = (c.rn * prm.ns) // prm.k)""",
-    ]
+        WHERE c.rn < prm.k AND s.rn = (c.rn * prm.ns) // prm.k)"""
+    )
     for t in range(1, lloyd_iters + 1):
         p = t - 1
         ctes.append(
@@ -202,3 +217,205 @@ def ann_topk_ivf_oracle(
           FROM sc)
     WHERE rk <= {k}
     """
+
+
+def _d2(a: str, b: str) -> str:
+    """Squared euclidean distance of two integer-lattice lists, every
+    term an exact integer: |a|² + |b|² − 2·a·b (the numpy side computes
+    the same integer via s2[:,None] + c2[None,:] − 2·S@C.T)."""
+    return (
+        f"list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        f" - 2 * list_dot_product({a}, {b})"
+    )
+
+
+def pq_ctes(
+    n_subspaces: int = 8,
+    pq_k: int = 256,
+    lloyd_iters: int = 5,
+    id_col: str = "vec_id",
+) -> list[str]:
+    """CTE fragments for the deterministic PQ codebooks — twin of
+    operators/similarity._train_pq_codebooks_q6. Assumes the
+    _base_ctes names (unitv, smp, prm) are in scope. Defines ``csub``
+    (every vector's per-subspace Q6 subvectors), ``book{lloyd_iters}``
+    (trained codebooks, keyed (m, code)), and ``enc`` (every vector's
+    per-subspace argmin code, ties to the lowest code)."""
+    i = id_col
+    T = lloyd_iters
+    ctes = [
+        f"""pdim AS MATERIALIZED (
+        SELECT len(v) // {n_subspaces} AS dsub FROM unitv LIMIT 1)""",
+        f"""csub AS MATERIALIZED (
+        SELECT {i}, m, list(x ORDER BY si) AS sv FROM (
+            SELECT {i}, (ii - 1) // (SELECT dsub FROM pdim) AS m,
+                   (ii - 1) % (SELECT dsub FROM pdim) AS si, x
+            FROM (SELECT {i}, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS ii FROM unitv))
+        GROUP BY {i}, m)""",
+        f"""psmp AS MATERIALIZED (
+        SELECT c.{i}, c.m, c.sv, s.rn
+        FROM csub c JOIN smp s USING ({i}))""",
+        """ssub AS MATERIALIZED (
+        SELECT vec_id, m, si, x FROM (
+            SELECT vec_id, m, unnest(sv) AS x,
+                   generate_subscripts(sv, 1) AS si FROM psmp))""".replace(
+            "vec_id", i
+        ),
+        f"""pprm AS MATERIALIZED (
+        SELECT LEAST({pq_k}, (SELECT ns FROM prm)) AS kk)""",
+        """book0 AS MATERIALIZED (
+        SELECT c.rn AS code, s.m, s.sv AS cv
+        FROM (SELECT DISTINCT rn FROM smp) c, pprm, prm, psmp s
+        WHERE c.rn < pprm.kk AND s.rn = (c.rn * prm.ns) // pprm.kk)""",
+    ]
+    for t in range(1, T + 1):
+        p = t - 1
+        ctes.append(
+            f"""pasg{t} AS MATERIALIZED (
+        SELECT {i}, m, code FROM (
+            SELECT s.{i}, s.m, b.code,
+                   row_number() OVER (PARTITION BY s.{i}, s.m
+                       ORDER BY {_d2('s.sv', 'b.cv')} ASC,
+                                b.code ASC) AS rk
+            FROM psmp s JOIN book{p} b ON b.m = s.m)
+        WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""pagg{t} AS MATERIALIZED (
+        SELECT m, code, si, floor(sum(x) / count(*) + 0.5) AS mq
+        FROM (SELECT a.m, a.code, ss.si, ss.x
+              FROM pasg{t} a
+              JOIN ssub ss ON ss.{i} = a.{i} AND ss.m = a.m)
+        GROUP BY m, code, si)"""
+        )
+        ctes.append(
+            f"""pupd{t} AS MATERIALIZED (
+        SELECT m, code, list(mq ORDER BY si) AS cv
+        FROM pagg{t} GROUP BY m, code)"""
+        )
+        ctes.append(
+            f"""book{t} AS MATERIALIZED (
+        SELECT b.m, b.code, coalesce(u.cv, b.cv) AS cv
+        FROM book{p} b
+        LEFT JOIN pupd{t} u ON u.m = b.m AND u.code = b.code)"""
+        )
+    ctes.append(
+        f"""enc AS MATERIALIZED (
+        SELECT {i}, m, code FROM (
+            SELECT c.{i}, c.m, b.code,
+                   row_number() OVER (PARTITION BY c.{i}, c.m
+                       ORDER BY {_d2('c.sv', 'b.cv')} ASC,
+                                b.code ASC) AS rk
+            FROM csub c JOIN book{T} b ON b.m = c.m)
+        WHERE rk = 1)"""
+    )
+    return ctes
+
+
+def _pq_final(i: str, k: int, rerank: int, lloyd_iters: int,
+              allowed_join: str) -> str:
+    """ADC pool + lattice-cosine re-rank tail shared by the PQ and
+    IVF-PQ oracles. ``allowed_join`` restricts scored pairs (empty for
+    the pure scan; the probed-cell semijoin for IVF-PQ)."""
+    return f"""
+    qlut AS MATERIALIZED (
+        SELECT q.{i} AS query_id, b.m, b.code,
+               list_dot_product(q.sv, b.cv) AS lut
+        FROM csub q JOIN book{lloyd_iters} b ON b.m = q.m),
+    adc AS MATERIALIZED (
+        SELECT l.query_id, e.{i} AS nn_id, sum(l.lut) AS adc
+        FROM enc e
+        JOIN qlut l ON l.m = e.m AND l.code = e.code
+        {allowed_join}
+        WHERE l.query_id <> e.{i}
+        GROUP BY l.query_id, e.{i}),
+    pool AS MATERIALIZED (
+        SELECT query_id, nn_id FROM (
+            SELECT query_id, nn_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, nn_id ASC) AS rk
+            FROM adc)
+        WHERE rk <= {rerank}),
+    sc AS MATERIALIZED (
+        SELECT pool.query_id, pool.nn_id,
+               list_dot_product(qa.v, qb.v) AS dot
+        FROM pool
+        JOIN unitv qa ON qa.{i} = pool.query_id
+        JOIN unitv qb ON qb.{i} = pool.nn_id)
+    SELECT query_id, nn_id,
+           floor(dot / {Q12} * {Q6} + 0.5) / {Q6} AS cos_sim,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT query_id, nn_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, nn_id ASC) AS rk
+          FROM sc)
+    WHERE rk <= {k}
+    """
+
+
+def ann_topk_pq_oracle(
+    k: int = 5,
+    rerank: int = 20,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    pq_k: int = 256,
+    train_sample: int = 10000,
+    lloyd_iters: int = 5,
+) -> str:
+    """Twin of ann_topk_pq(quantized=True), self-search pure scan:
+    deterministic PQ codebooks, integer ADC over every (query, code)
+    pair, global top-``rerank`` pool (adc DESC, nn_id ASC), lattice-
+    cosine re-rank."""
+    body = ",\n    ".join(
+        _base_ctes(table, id_col, vec_col, train_sample)
+        + pq_ctes(n_subspaces, pq_k, lloyd_iters, id_col)
+    )
+    return f"WITH {body},\n{_pq_final(id_col, k, rerank, lloyd_iters, '')}"
+
+
+def ann_topk_ivfpq_oracle(
+    k: int = 5,
+    rerank: int = 20,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    pq_k: int = 256,
+    train_sample: int = 10000,
+    lloyd_iters: int = 5,
+) -> str:
+    """Twin of ann_topk_pq(quantized=True, ivf=True): the coarse
+    quantizer prunes WHAT is scored (a query only scores candidates
+    whose cell is in its probe list — the probed-cell semijoin below
+    == the Spark path's probed-union filter + per-query −inf mask),
+    PQ codes decide HOW (integer ADC), then the shared pool/re-rank."""
+    i = id_col
+    body = ",\n    ".join(
+        [kmeans_cells_ctes(table, id_col, vec_col, train_sample,
+                           lloyd_iters)]
+        + pq_ctes(n_subspaces, pq_k, lloyd_iters, id_col)
+    )
+    prb = f"""
+    prb AS MATERIALIZED (
+        SELECT {i} AS query_id, cell FROM (
+            SELECT u.{i}, c.cell,
+                   row_number() OVER (PARTITION BY u.{i}
+                       ORDER BY list_dot_product(u.v, c.cv) DESC,
+                                c.cell ASC) AS rk
+            FROM unitv u CROSS JOIN cent{lloyd_iters} c)
+        WHERE rk <= (SELECT GREATEST(4, count(*) // 4)
+                     FROM cent{lloyd_iters})),
+    allowed AS MATERIALIZED (
+        SELECT p.query_id, c.{i} AS nn_id
+        FROM prb p JOIN (SELECT {i}, cell FROM cells) c USING (cell)),
+    """
+    allowed_join = (
+        f"JOIN allowed a ON a.query_id = l.query_id AND a.nn_id = e.{i}"
+    )
+    return (
+        f"WITH {body},{prb}"
+        f"{_pq_final(i, k, rerank, lloyd_iters, allowed_join)}"
+    )

@@ -817,6 +817,7 @@ def ann_topk_pq(
     n_probe_cells: int | None = None,
     codebooks: np.ndarray | None = None,
     centroids: np.ndarray | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN — the SERVE path: a bounded query set
     (collected driver-side, ``max_queries`` guard — query batches are
@@ -855,6 +856,17 @@ def ann_topk_pq(
 
     if rerank is None:
         rerank = max(4 * k, 16)
+    if quantized:
+        # engine-portable path: quantizer, codes, ADC, and re-rank all
+        # on the Q6 integer lattice with explicit tie-breaks, so the
+        # DuckDB twin (functions/kmeans_oracle.py) reproduces rows
+        # bit-for-bit; cos_sim is the lattice cosine (within 1e-5 of
+        # exact); zero-norm vectors excluded
+        return _ann_topk_pq_q(
+            queries, corpus, id_col, vec_col, k, n_subspaces, pq_k,
+            rerank, train_sample, lloyd_iters, memo_key, max_queries,
+            ivf, num_cells, n_probe_cells, codebooks, centroids,
+        )
     if codebooks is not None:
         B = np.asarray(codebooks, dtype=np.float64)
     else:
@@ -1229,8 +1241,16 @@ def _ann_topk_ivf_q(
         .select("query_id", "nn_id")
         .dropDuplicates(["query_id", "nn_id"])
     )
-    # exact integer dot via JVM fold; rank on the RAW dot (ties on
-    # nn_id ASC), emit the Q6-lattice cosine qround'd to 6
+    return _rerank_topk_q(pairs, q_side, c_side, k)
+
+
+def _rerank_topk_q(
+    pairs: DataFrame, q_side: DataFrame, c_side: DataFrame, k: int
+) -> DataFrame:
+    """Quantized re-rank shared by the IVF/PQ engine-portable paths:
+    exact integer dot via JVM fold over the Q6 unit vectors (``_id``,
+    ``_qv`` frames), rank on the RAW dot (ties nn_id ASC), emit the
+    Q6-lattice cosine qround'd to 6 plus the int rank."""
     scored = (
         pairs.join(
             q_side.select(
@@ -1270,3 +1290,300 @@ def _ann_topk_ivf_q(
             "rk",
         )
     )
+
+
+def _train_pq_codebooks_q6(
+    corpus: DataFrame,
+    vec_col: str,
+    n_subspaces: int,
+    pq_k: int,
+    train_sample: int,
+    lloyd_iters: int,
+    id_col: str | None = None,
+    memo_key: str | None = None,
+) -> np.ndarray:
+    """Deterministic, engine-portable PQ codebooks: per-subspace
+    k-means over the Q6 UNIT subvectors with pure integer arithmetic —
+    the euclidean sibling of :func:`_train_centroids_q6`. Returns
+    (n_subspaces, K, dsub) integer-valued float64 codebooks.
+
+    Parity with the SQL twin (functions/kmeans_oracle.py):
+    - sample/init: first train_sample ids, zero-norm rows dropped,
+      strided init per subspace (code j <- sample row floor(j·n/K));
+    - assignment: argmin of d2 = |s|^2 + |c|^2 - 2 s·c (every term an
+      exact integer), ties to the LOWEST code (np.argmin first-min ==
+      SQL row_number ORDER BY d2 ASC, code ASC);
+    - update: mq = floor(S/n + 0.5) per component, empty cells keep
+      their previous centroid — no renormalization (euclidean PQ).
+    Bounds: components ≤ ~1.2e6, d2 ≤ dsub·(2.4e6)^2 < 2^53, member
+    sums ≤ train_sample·1.2e6 < 2^53 — exact at any order."""
+    from clinvar_pipeline_spark.caching import memo
+
+    if pq_k > 256:
+        raise ValueError(f"pq_k must be <= 256 (uint8 codes), got {pq_k}")
+    if memo_key is not None:
+        key = (
+            "pq_codebooks_q6", memo_key, vec_col, n_subspaces, pq_k,
+            train_sample, lloyd_iters, id_col,
+        )
+        return memo(
+            key,
+            lambda: _train_pq_codebooks_q6(
+                corpus, vec_col, n_subspaces, pq_k, train_sample,
+                lloyd_iters, id_col=id_col, memo_key=None,
+            ),
+        )
+    sel = corpus.select(
+        *([F.col(id_col)] if id_col else []),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if id_col:
+        sel = sel.orderBy(id_col)
+    X = np.asarray(
+        [r["_v"] for r in sel.limit(train_sample).collect()],
+        dtype=np.float64,
+    )
+    U, nz = _q6_unit_np(X)
+    U = U[nz]
+    n = len(U)
+    if n == 0:
+        raise ValueError("PQ training sample is empty (all-zero vectors?)")
+    d = U.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    dsub = d // n_subspaces
+    K = min(pq_k, n)
+    books = np.empty((n_subspaces, K, dsub))
+    init_idx = (np.arange(K) * n) // K
+    for m in range(n_subspaces):
+        S = U[:, m * dsub : (m + 1) * dsub]
+        C = S[init_idx].copy()
+        s2 = np.einsum("ij,ij->i", S, S)  # exact ints
+        for _ in range(lloyd_iters):
+            c2 = np.einsum("ij,ij->i", C, C)
+            d2 = s2[:, None] + c2[None, :] - 2.0 * (S @ C.T)  # exact
+            assign = np.argmin(d2, axis=1)  # first-min ties
+            for ci in range(K):
+                members = S[assign == ci]
+                if len(members):
+                    C[ci] = np.floor(
+                        members.sum(axis=0) / len(members) + 0.5
+                    )
+        books[m] = C
+    return books  # integer-valued
+
+
+def _pq_encode_q(U: np.ndarray, Bq: np.ndarray) -> np.ndarray:
+    """codes (n, M) uint8 for Q6 unit vectors vs integer codebooks —
+    argmin of exact-integer d2, first-min ties (== SQL d2 ASC, code
+    ASC)."""
+    M, K, dsub = Bq.shape
+    out = np.empty((len(U), M), dtype=np.uint8)
+    for m in range(M):
+        S = U[:, m * dsub : (m + 1) * dsub]
+        c2 = np.einsum("ij,ij->i", Bq[m], Bq[m])
+        d2 = (
+            np.einsum("ij,ij->i", S, S)[:, None]
+            + c2[None, :]
+            - 2.0 * (S @ Bq[m].T)
+        )
+        out[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return out
+
+
+def _ann_topk_pq_q(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_subspaces: int,
+    pq_k: int,
+    rerank: int,
+    train_sample: int,
+    lloyd_iters: int,
+    memo_key: str | None,
+    max_queries: int,
+    ivf: bool,
+    num_cells: int | None,
+    n_probe_cells: int | None,
+    codebooks: np.ndarray | None,
+    centroids: np.ndarray | None,
+) -> DataFrame:
+    """Quantized (engine-portable) PQ / IVF-PQ — see
+    ann_topk_pq(quantized=True). Same plan shape as the float path
+    (bounded driver query batch + LUT closure, map-only encode+scan
+    with per-batch partial top-``rerank``, one narrow id exchange,
+    re-rank joins) with every score an exact integer on the Q6
+    lattice and every selection tie-broken (score DESC, nn_id ASC) —
+    reproducible bit-for-bit by the DuckDB twin
+    (functions/kmeans_oracle.py). Self matches are masked INSIDE the
+    scan (not post-filtered) so the partial top-k is the exact
+    superset of the global one the SQL computes."""
+    from typing import Iterator as _It
+
+    from clinvar_pipeline_spark.caching import register_persist
+
+    if codebooks is not None:
+        Bq = np.floor(np.asarray(codebooks, dtype=np.float64) * _Q6 + 0.5)
+    else:
+        Bq = _train_pq_codebooks_q6(
+            corpus, vec_col, n_subspaces, pq_k, train_sample, lloyd_iters,
+            id_col=id_col, memo_key=memo_key,
+        )
+    M, K, dsub = Bq.shape
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .orderBy("_qid")
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ann_topk_pq serves bounded query batches (max_queries="
+            f"{max_queries}); for corpus-scale self-search use "
+            "ann_topk_ivf/ann_topk_hyperplane"
+        )
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, nn_id long, cos_sim double, rk int"
+        )
+    qids_all = np.asarray([r["_qid"] for r in q_rows])
+    Qm = np.asarray([r["_qv"] for r in q_rows], dtype=np.float64)
+    Uq, qnz = _q6_unit_np(Qm)
+    qids, Uq = qids_all[qnz], Uq[qnz]  # zero-norm queries excluded
+    # LUT[q, m, j] = <query subvector, codebook centroid> — exact ints
+    LUT = np.einsum("qmd,mjd->qmj", Uq.reshape(len(Uq), M, dsub), Bq)
+
+    probe_mask = None
+    probed_union: list[int] = []
+    Cq = None
+    if ivf:
+        if centroids is not None:
+            Cq = np.floor(
+                np.asarray(centroids, dtype=np.float64) * _Q6 + 0.5
+            )
+        else:
+            if num_cells is None:
+                num_cells = _derived_num_cells(_corpus_count(corpus, memo_key))
+            Cq = _train_centroids_q6(
+                corpus, vec_col, num_cells, train_sample, lloyd_iters,
+                id_col=id_col, memo_key=memo_key,
+            )
+        npr = n_probe_cells if n_probe_cells else max(4, len(Cq) // 4)
+        npr = min(npr, len(Cq))
+        sims = Uq @ Cq.T  # exact ints
+        # stable sort on -sims keeps ascending cell among ties — the
+        # SQL row_number (dot DESC, cell ASC); argpartition would pick
+        # arbitrarily at tied boundaries
+        probe = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
+        probe_mask = np.zeros((len(Uq), len(Cq)), dtype=bool)
+        probe_mask[np.arange(len(Uq))[:, None], probe] = True
+        probed_union = sorted(int(c) for c in np.unique(probe))
+
+    def enc_q(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            U, nzm = _q6_unit_np(V)
+            U = U[nzm]
+            if not len(U):
+                continue
+            codes = _pq_encode_q(U, Bq)
+            out = {
+                "nn_id": pdf["_id"].to_numpy()[nzm],
+                "code": [row.tobytes() for row in codes],
+                "_qv": [row.tolist() for row in U],
+            }
+            if Cq is not None:
+                out["cell"] = np.argmax(U @ Cq.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    enc_schema = "nn_id long, code binary, _qv array<double>" + (
+        ", cell int" if ivf else ""
+    )
+    enc = register_persist(
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).mapInPandas(enc_q, enc_schema)
+    )
+    scan_in = (
+        enc.filter(F.col("cell").isin(probed_union)).select(
+            "nn_id", "code", "cell"
+        )
+        if ivf
+        else enc.select("nn_id", "code")
+    )
+
+    Q_CHUNK = 256
+
+    def scan_q(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # sort batch rows by nn_id so a stable sort on -scores
+            # breaks ties toward the SMALLER nn_id (== SQL ORDER BY
+            # adc DESC, nn_id ASC)
+            pdf = pdf.sort_values("nn_id", kind="stable")
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), M)
+            ids = pdf["nn_id"].to_numpy()
+            cells = pdf["cell"].to_numpy() if probe_mask is not None else None
+            r = min(rerank, len(ids))
+            for q0 in range(0, len(qids), Q_CHUNK):
+                lut = LUT[q0 : q0 + Q_CHUNK]
+                scores = np.zeros((len(lut), len(ids)))
+                for m in range(M):
+                    scores += lut[:, m, :][:, codes[:, m]]
+                # self matches masked HERE so the partial top-k is the
+                # exact superset of the SQL's global (self-excluded) one
+                scores = np.where(
+                    ids[None, :] == qids[q0 : q0 + Q_CHUNK, None],
+                    -np.inf,
+                    scores,
+                )
+                if cells is not None:
+                    scores = np.where(
+                        probe_mask[q0 : q0 + Q_CHUNK][:, cells],
+                        scores,
+                        -np.inf,
+                    )
+                top = np.argsort(-scores, axis=1, kind="stable")[:, :r]
+                adc = np.take_along_axis(scores, top, axis=1).ravel()
+                keep = np.isfinite(adc)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            qids[q0 : q0 + Q_CHUNK], r
+                        )[keep],
+                        "nn_id": ids[top].ravel()[keep],
+                        "adc": adc[keep],
+                    }
+                )
+
+    partial = scan_in.mapInPandas(
+        scan_q, "query_id long, nn_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("nn_id"))
+    pool = (
+        partial.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "nn_id")
+    )
+    cv = enc.select(F.col("nn_id").alias("_id"), "_qv")
+    if queries is corpus:
+        qv = cv
+    else:
+        # bounded query batch (<= max_queries, already on the driver)
+        qv = queries.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in u]) for i, u in zip(qids, Uq)],
+            "_id long, _qv array<double>",
+        )
+    return _rerank_topk_q(pool, qv, cv, k)

@@ -1223,35 +1223,52 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_pq", None)  # PQ codebooks are engine state: no SQL twin
+from clinvar_pipeline_spark.functions.kmeans_oracle import (
+    ann_topk_pq_oracle as _pq_oracle,
+    ann_topk_ivfpq_oracle as _ivfpq_oracle,
+)
+
+
+@register("ann_topk_pq", _pq_oracle(k=5, rerank=20))
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py ann_topk_pq):
-    ADC scan over 8-byte codes with map-side partial top-k, exact
-    cosine re-rank of the pooled candidates. The memory-bounded serve
-    path — 32x smaller per-vector state than the float corpus — next
-    to ann_topk (LSH, index-free) and ann_topk_ivf (spatial cells).
-    Rows-only like its siblings (sampled k-means codebooks have no
-    DuckDB twin); recall floor, code-size contract, exact-duplicate
-    guarantee, and the bounded-query guard are pinned by
-    tests/test_multimodal_similarity.py; topk_cosine is the
-    oracle-checked exact twin."""
-    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+    ADC scan over 8-byte codes with map-side partial top-k, re-rank of
+    the pooled candidates. The memory-bounded serve path — 32x smaller
+    per-vector state than the float corpus — next to ann_topk (LSH,
+    index-free) and ann_topk_ivf (spatial cells). Recall floor,
+    code-size contract, exact-duplicate guarantee, and the
+    bounded-query guard are pinned by
+    tests/test_multimodal_similarity.py.
 
-    e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
-    return ann_topk_pq(e, e, k=5, memo_key=f"{sf_dir}:embeddings")
-
-
-@register("ann_topk_ivfpq", None)  # sampled quantizer+codebooks: no SQL twin
-def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composite (ann_topk_pq with ivf=True — the FAISS
-    IndexIVFPQ shape): coarse cells prune WHAT is scanned (probed-cell
-    union filter + per-query cell mask), PQ codes decide HOW cheaply
-    (8-byte ADC lookups), exact re-rank restores precision on the
-    pooled candidates. Full-probe equivalence to the pure scan and the
-    recall floor are pinned by tests/test_multimodal_similarity.py."""
+    ORACLE-BACKED since r9 (previously rows-only): quantized=True runs
+    the deterministic Q6 integer codebooks + integer ADC + lattice
+    re-rank (operators/similarity._ann_topk_pq_q), and the DuckDB twin
+    unrolls the same per-subspace k-means, encode, ADC pool, and
+    re-rank — rows match bit-for-bit."""
     from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
 
     e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
     return ann_topk_pq(
-        e, e, k=5, ivf=True, memo_key=f"{sf_dir}:embeddings"
+        e, e, k=5, memo_key=f"{sf_dir}:embeddings", quantized=True
+    )
+
+
+@register("ann_topk_ivfpq", _ivfpq_oracle(k=5, rerank=20))
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (ann_topk_pq with ivf=True — the FAISS
+    IndexIVFPQ shape): coarse cells prune WHAT is scanned (probed-cell
+    union filter + per-query cell mask), PQ codes decide HOW cheaply
+    (8-byte ADC lookups), re-rank restores precision on the pooled
+    candidates. Full-probe equivalence to the pure scan and the recall
+    floor are pinned by tests/test_multimodal_similarity.py.
+
+    ORACLE-BACKED since r9: the quantized path composes the
+    deterministic coarse quantizer (probe semijoin) with the integer
+    ADC; the DuckDB twin mirrors both (functions/kmeans_oracle.py)."""
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_pq
+
+    e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
+    return ann_topk_pq(
+        e, e, k=5, ivf=True, memo_key=f"{sf_dir}:embeddings",
+        quantized=True,
     )
