@@ -622,6 +622,10 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         train_quality_weights,
         zipf_snapshot,
     )
+    from clinvar_pipeline_spark.streaming.clusters import (
+        cluster_labels_snapshot as _cluster_labels_snapshot,
+        cluster_stream as _cluster_stream,
+    )
 
     sf = args.sf or "/root/testdata/sf0.001"
     if args.jsonl:
@@ -762,6 +766,18 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
             f"{args.out}/_ckpt/token_counts",
             compact_every=16,
         ),
+        # incremental cluster LABELS (r9): each micro-batch's new
+        # n-gram-Jaccard edges merge into the persisted labeling —
+        # CC runs only over the affected-component closure, so the
+        # corpus-global dedup_clusters answer is maintained online
+        # instead of recomputed nightly (streaming/clusters.py;
+        # drain == batch CC pinned by tests/test_streaming_clusters)
+        _cluster_stream(
+            docs,
+            f"{args.out}/_cluster_state",
+            f"{args.out}/_ckpt/cluster_labels",
+            compact_every=16,
+        ),
     ]
     for q in queries:
         q.awaitTermination()
@@ -794,11 +810,17 @@ def cmd_corpus_prep_stream(spark: SparkSession, args) -> None:
         "dsir_weights",
         "zipf_fit",
         "source_divergence",
+        "cluster_labels",
     ):
         if name == "neardup_flags":
             # compacted sink: the base dir is hidden from raw reads by
             # design — count through the snapshot reader
             n = neardup_snapshot(spark, f"{args.out}/{name}").count()
+        elif name == "cluster_labels":
+            snap = _cluster_labels_snapshot(
+                spark, f"{args.out}/_cluster_state"
+            )
+            n = 0 if snap is None else snap.count()
         else:
             n = spark.read.parquet(f"{args.out}/{name}").count()
         counters.append((name, n))

@@ -512,7 +512,29 @@ def test_cli_corpus_prep_stream_equals_batch_stages(spark, tmp_path):
         "dsir_weights",
         "zipf_fit",
         "source_divergence",
+        "cluster_labels",
     }
+    # the incrementally maintained cluster labels (r9): this drain saw
+    # the whole corpus as one batch, so the labeling must equal the
+    # batch registry query's (node -> min-id component) exactly
+    from clinvar_pipeline_spark.queries_llm import _cc_over_ngram_pairs
+    from clinvar_pipeline_spark.streaming.clusters import (
+        cluster_labels_snapshot,
+    )
+
+    got = {
+        r["node"]: r["component"]
+        for r in cluster_labels_snapshot(
+            spark, str(tmp_path / "sprep" / "_cluster_state")
+        ).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in _cc_over_ngram_pairs(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
     # the landed corpus-health reports equal their batch registry
     # queries on the same corpus (ADD-merged token-count sink)
     from clinvar_pipeline_spark.queries import queries as _qreg0
