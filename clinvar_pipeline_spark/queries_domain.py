@@ -1214,6 +1214,15 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinvar_pipeline_spark.operators.similarity import ann_topk_ivf
 
     e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
+    # eager materialization: on a quantizer-memo MISS the training
+    # collect materializes e's cache as a side effect, and a
+    # materialized InMemoryRelation explains with its FINAL (AQE)
+    # inner plan — one more Exchange line than the unbuilt one — so
+    # the plan-shape signature flip-flopped with memo temperature
+    # (r9: full-sweep cold vs name-scoped warm runs of
+    # tools/plan_baseline.py disagreed). Materializing always pins
+    # the cold shape; the 5-consumer plan builds this cache anyway.
+    e.count()
     # memo_key: the quantizer (and corpus count behind the derived
     # cell count) is corpus state — train once per sf_dir per session,
     # not once per invocation (r5's warm-slower-than-cold bench
