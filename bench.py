@@ -112,6 +112,13 @@ BENCH_QUERIES_V2 = [
     "fk_integrity",
     "fuzzy_entity_clusters",
     "peak_concurrency",
+    # r9: the quantized (engine-portable) ANN serve paths — the Q6
+    # integer k-means/PQ pipelines that graduated the family from
+    # rows-only to DuckDB-exact; ann_topk_ivf already rides the
+    # frozen tier, these cover the PQ scan and SemDeDup drop-list
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "semantic_dedup",
 ]
 
 

@@ -701,64 +701,21 @@ def _train_pq_codebooks(
     memo_key: str | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
-    Quantization for Nearest Neighbor Search"): the unit-normalized
-    vector is split into ``n_subspaces`` contiguous sub-vectors and
-    each subspace gets its own k-means codebook of ``pq_k`` centroids.
-    Returns (n_subspaces, pq_k, dim/n_subspaces). Trained on the same
-    bounded deterministic TakeOrdered sample as the coarse quantizer
-    and memoized under the same discipline (codebooks are corpus
-    state)."""
-    from clinvar_pipeline_spark.caching import memo
-
-    if pq_k > 256:
-        # codes are one uint8 per subspace; a wider codebook would
-        # silently wrap indices mod 256 at encode time
-        raise ValueError(f"pq_k must be <= 256 (uint8 codes), got {pq_k}")
-    if memo_key is not None:
-        key = (
-            "pq_codebooks", memo_key, vec_col, n_subspaces, pq_k,
-            train_sample, lloyd_iters, seed, id_col,
-        )
-        return memo(
-            key,
-            lambda: _train_pq_codebooks(
-                corpus, vec_col, n_subspaces, pq_k, train_sample,
-                lloyd_iters, seed, id_col=id_col, memo_key=None,
-            ),
-        )
-    sel = corpus.select(
-        *([F.col(id_col)] if id_col else []),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    if id_col:
-        sel = sel.orderBy(id_col)
-    X = np.asarray(
-        [r["_v"] for r in sel.limit(train_sample).collect()],
-        dtype=np.float64,
-    )
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    d = X.shape[1]
-    if d % n_subspaces:
-        raise ValueError(
-            f"dim {d} not divisible by n_subspaces {n_subspaces}"
-        )
-    dsub = d // n_subspaces
-    rng = np.random.RandomState(seed)
-    books = np.empty((n_subspaces, min(pq_k, len(X)), dsub))
-    for m in range(n_subspaces):
-        S = X[:, m * dsub : (m + 1) * dsub]
-        cent = S[rng.choice(len(S), size=books.shape[1], replace=False)]
-        for _ in range(lloyd_iters):
-            # euclidean assignment per subspace (standard PQ; the
-            # full-vector dot decomposes over subspace dots at lookup)
-            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for ci in range(len(cent)):
-                members = S[assign == ci]
-                if len(members):
-                    cent[ci] = members.mean(axis=0)
-        books[m] = cent
-    return books
+    Quantization for Nearest Neighbor Search") — since r9 the
+    float-facing wrapper over :func:`_train_pq_codebooks_q6`: the Q6
+    integer codebooks divided back to unit scale, so the SAME
+    codebooks serve the float ADC path, the quantized (engine-
+    portable) path, and the landed pq_index artifact — the full
+    IndexIVFPQ state is one set of books however it is consumed, and
+    ``quantized=True`` re-quantizes a loaded float book exactly
+    (floor(b·1e6 + 0.5) recovers the integers). ``seed`` is inert
+    (strided init); kept for API stability. Returns
+    (n_subspaces, K, dim/n_subspaces) float64."""
+    del seed  # deterministic since r9; see _train_pq_codebooks_q6
+    return _train_pq_codebooks_q6(
+        corpus, vec_col, n_subspaces, pq_k, train_sample, lloyd_iters,
+        id_col=id_col, memo_key=memo_key,
+    ) / _Q6
 
 
 def pq_encode(
