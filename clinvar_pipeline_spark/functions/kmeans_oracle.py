@@ -256,12 +256,10 @@ def pq_ctes(
         f"""psmp AS MATERIALIZED (
         SELECT c.{i}, c.m, c.sv, s.rn
         FROM csub c JOIN smp s USING ({i}))""",
-        """ssub AS MATERIALIZED (
-        SELECT vec_id, m, si, x FROM (
-            SELECT vec_id, m, unnest(sv) AS x,
-                   generate_subscripts(sv, 1) AS si FROM psmp))""".replace(
-            "vec_id", i
-        ),
+        f"""ssub AS MATERIALIZED (
+        SELECT {i}, m, si, x FROM (
+            SELECT {i}, m, unnest(sv) AS x,
+                   generate_subscripts(sv, 1) AS si FROM psmp))""",
         f"""pprm AS MATERIALIZED (
         SELECT LEAST({pq_k}, (SELECT ns FROM prm)) AS kk)""",
         """book0 AS MATERIALIZED (

@@ -138,3 +138,85 @@ def test_quantized_semdedup_drops_identical_keeps_orthogonal(spark):
     assert out[2]["kept_by"] == 1 and out[2]["sim"] == pytest.approx(
         1.0, abs=1e-5
     )
+
+
+def _pure_python_pq_trainer(rows, n_subspaces, pq_k, lloyd_iters):
+    """Scalar-Python twin of _train_pq_codebooks_q6 — same sample,
+    strided init, integer d2 argmin (ties to the lowest code),
+    floor-mean updates, no renormalization."""
+    import math
+
+    U = []
+    for v in rows:
+        xq = [math.floor(float(x) * 1e6 + 0.5) for x in v]
+        n2 = sum(q * q for q in xq)
+        if n2 > 0:
+            nn = math.sqrt(n2)
+            U.append([math.floor(q / nn * 1e6 + 0.5) for q in xq])
+    n = len(U)
+    d = len(U[0])
+    dsub = d // n_subspaces
+    K = min(pq_k, n)
+    init = [(j * n) // K for j in range(K)]
+    books = []
+    for m in range(n_subspaces):
+        S = [u[m * dsub : (m + 1) * dsub] for u in U]
+        C = [list(S[j]) for j in init]
+        for _ in range(lloyd_iters):
+            assign = []
+            for s in S:
+                d2s = [
+                    sum((a - b) * (a - b) for a, b in zip(s, c)) for c in C
+                ]
+                assign.append(min(range(K), key=lambda ci: (d2s[ci], ci)))
+            for ci in range(K):
+                mem = [S[x] for x in range(n) if assign[x] == ci]
+                if mem:
+                    C[ci] = [
+                        math.floor(sum(col) / len(mem) + 0.5)
+                        for col in zip(*mem)
+                    ]
+        books.append(C)
+    return books
+
+
+def test_pq_trainer_matches_python_twin_and_is_integer(spark):
+    from clinvar_pipeline_spark.operators.similarity import (
+        _train_pq_codebooks_q6,
+    )
+
+    emb = _mk_emb(spark, n=60, dim=8, parts=3)
+    B = _train_pq_codebooks_q6(emb, "embedding", 4, 16, 1000, 3,
+                               id_col="vec_id")
+    assert np.array_equal(B, np.floor(B)), "codebooks must be Q6 integers"
+    rows = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").select("embedding").collect()
+    ]
+    twin = _pure_python_pq_trainer(rows, 4, 16, 3)
+    assert [[list(map(int, c)) for c in B[m]] for m in range(4)] == [
+        [[int(x) for x in c] for c in twin[m]] for m in range(4)
+    ]
+
+
+def test_float_trainers_are_q6_wrappers(spark):
+    """The float-facing trainers must be exactly the Q6 matrices
+    divided by 1e6 — one quantizer/codebook set per corpus no matter
+    which path consumes it (the r9 unification; the cross-session
+    serve equality in tests/test_cli.py depends on it)."""
+    from clinvar_pipeline_spark.operators.similarity import (
+        _train_centroids,
+        _train_centroids_q6,
+        _train_pq_codebooks,
+        _train_pq_codebooks_q6,
+    )
+
+    emb = _mk_emb(spark, n=60, dim=8, parts=2)
+    Cq = _train_centroids_q6(emb, "embedding", 5, 1000, 2, id_col="vec_id")
+    C = _train_centroids(emb, "embedding", 5, 1000, 2, 42, id_col="vec_id")
+    assert np.array_equal(np.floor(C * 1e6 + 0.5), Cq)
+    Bq = _train_pq_codebooks_q6(emb, "embedding", 4, 8, 1000, 2,
+                                id_col="vec_id")
+    B = _train_pq_codebooks(emb, "embedding", 4, 8, 1000, 2, 42,
+                            id_col="vec_id")
+    assert np.array_equal(np.floor(B * 1e6 + 0.5), Bq)
