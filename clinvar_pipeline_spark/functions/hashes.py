@@ -558,3 +558,31 @@ def rolling_window_hashes_batch(window: int):
         return pd.Series(out)
 
     return roll
+
+
+def lsh_plane_matrix_q(
+    num_tables: int, num_planes: int, dim: int, seed: int = 42
+) -> "np.ndarray":
+    """ENGINE-PORTABLE sign-LSH hyperplanes: component (t, p, d) is
+    the first 16 bits of md5("lsh:{seed}:{t}:{p}:{d}") minus 32768 —
+    a deterministic integer in [-32768, 32767] DuckDB recomputes from
+    md5()'s hex string (the _md5_64 / simhash family applied to plane
+    GENERATION instead of token hashing). Discrete-uniform components
+    give the same direction symmetry sign-LSH needs from Gaussian
+    planes (random-projection sign tests only need E[sign agreement]
+    = 1 - angle/pi, which holds for any symmetric component law).
+
+    Returns (num_tables, num_planes, dim) integer-valued float64;
+    dots with Q6 unit vectors stay below 2^53 (dim·1.1e6·32768 ≈
+    2.3e12 at dim 64), so bucket bits are exact in every engine."""
+    import hashlib
+
+    W = np.empty((num_tables, num_planes, dim))
+    for t in range(num_tables):
+        for p in range(num_planes):
+            for d in range(dim):
+                h = hashlib.md5(
+                    f"lsh:{seed}:{t}:{p}:{d}".encode()
+                ).hexdigest()
+                W[t, p, d] = int(h[:4], 16) - 32768
+    return W

@@ -1544,3 +1544,180 @@ def _ann_topk_pq_q(
             "_id long, _qv array<double>",
         )
     return _rerank_topk_q(pool, qv, cv, k)
+
+
+def _lsh_q6_frame(
+    df: DataFrame, id_col: str, vec_col: str, W: np.ndarray
+) -> DataFrame:
+    """(_id, _bs array<long>, _qv array<double>): per vector the
+    sign-LSH bucket per table over EXACT integer dots (Q6 unit vector
+    x md5-derived integer planes, functions.hashes.lsh_plane_matrix_q)
+    plus the unit vector for downstream lattice-cosine scoring.
+    Zero-norm vectors excluded. One map-only Arrow pass."""
+    from typing import Iterator as _It
+
+    T, P, D = W.shape
+    Wf = W.reshape(T * P, D)
+    pw = (1 << np.arange(P)).astype(np.int64)
+
+    def kern(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            U, nzm = _q6_unit_np(V)
+            U = U[nzm]
+            if not len(U):
+                continue
+            dots = U @ Wf.T  # integer-exact (< 2^53)
+            bits = (dots > 0).reshape(len(U), T, P)
+            buckets = (bits * pw).sum(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy()[nzm],
+                    "_bs": [row.tolist() for row in buckets],
+                    "_qv": [row.tolist() for row in U],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(kern, "_id long, _bs array<long>, _qv array<double>")
+
+
+def _lsh_key_exprs(num_tables: int, num_planes: int, n_probes: int,
+                   probe: bool) -> list:
+    """Global bucket keys (t << P) + b, plus the Hamming-1 multi-probe
+    XOR variants on the probe side — identical to the float path's
+    keying so the candidate semantics match the established operator."""
+    keys = []
+    for t in range(num_tables):
+        b = F.col("_bs").getItem(t)
+        tb = F.lit(t << num_planes).cast("long")
+        keys.append(tb + b)
+        if probe:
+            for bit in range(min(n_probes - 1, num_planes)):
+                keys.append(tb + b.bitwiseXOR(F.lit(1 << bit)))
+    return keys
+
+
+def ann_topk_lsh_q(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    n_probes: int = 9,
+    num_tables: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Quantized (engine-portable) self-search sign-LSH ANN — the r9
+    graduation of the last hash family the oracle could not reproduce:
+    planes come from the md5-prefix generator
+    (functions.hashes.lsh_plane_matrix_q) and every dot runs on the Q6
+    integer lattice, so buckets, probe keys, candidate pairs, AND the
+    re-ranked (query_id, nn_id, cos_sim, rk) rows are reproducible
+    bit-for-bit by the DuckDB twin (functions/lsh_oracle.py). Same
+    plan shape as ann_topk_hyperplane's self-search: one Arrow bucket
+    pass, narrow (id, key) exchanges, dedup before vectors, JVM fold
+    re-rank."""
+    from clinvar_pipeline_spark.functions.hashes import lsh_plane_matrix_q
+
+    from clinvar_pipeline_spark.caching import register_persist
+
+    W = lsh_plane_matrix_q(num_tables, num_planes, dim, seed)
+    shared = register_persist(_lsh_q6_frame(corpus, id_col, vec_col, W))
+    c = shared.select(
+        F.col("_id").alias("nn_id"),
+        F.explode(
+            F.array(*_lsh_key_exprs(num_tables, num_planes, n_probes, False))
+        ).alias("bucket"),
+    )
+    q = shared.select(
+        F.col("_id").alias("query_id"),
+        F.explode(
+            F.array(*_lsh_key_exprs(num_tables, num_planes, n_probes, True))
+        ).alias("bucket"),
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("nn_id"))
+        .select("query_id", "nn_id")
+        .dropDuplicates(["query_id", "nn_id"])
+    )
+    return _rerank_topk_q(pairs, shared, shared, k)
+
+
+def lsh_neardup_pairs_q(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    n_probes: int = 9,
+    num_tables: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Quantized (engine-portable) sign-LSH near-dup pairs — the
+    graduation twin of lsh_neardup_pairs: md5-derived integer planes,
+    Q6 lattice buckets and cosines, the same asymmetric
+    probe-vs-exact candidate join (id_a probes, id_b holds the exact
+    bucket, id_a < id_b), threshold compared on the raw integer dot
+    against the same threshold·1e12 double the SQL twin inlines.
+    Emits (id_a, id_b, cos_sim) qround'd to 6."""
+    from clinvar_pipeline_spark.functions.hashes import lsh_plane_matrix_q
+
+    from clinvar_pipeline_spark.caching import register_persist
+
+    W = lsh_plane_matrix_q(num_tables, num_planes, dim, seed)
+    shared = register_persist(_lsh_q6_frame(df, id_col, vec_col, W))
+    probed = shared.select(
+        F.col("_id").alias("id_a"),
+        F.explode(
+            F.array(*_lsh_key_exprs(num_tables, num_planes, n_probes, True))
+        ).alias("bucket"),
+    )
+    exact = shared.select(
+        F.col("_id").alias("id_b"),
+        F.explode(
+            F.array(*_lsh_key_exprs(num_tables, num_planes, n_probes, False))
+        ).alias("bucket"),
+    )
+    pairs = (
+        probed.join(exact, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        pairs.join(
+            shared.select(F.col("_id").alias("id_a"), F.col("_qv").alias("_qa")),
+            "id_a",
+        )
+        .join(
+            shared.select(F.col("_id").alias("id_b"), F.col("_qv").alias("_qb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_dot"),
+        )
+    )
+    return scored.filter(
+        F.col("_dot") >= F.lit(threshold) * F.lit(1.0e12)
+    ).select(
+        "id_a",
+        "id_b",
+        (
+            F.floor(F.col("_dot") / F.lit(1.0e12) * F.lit(1.0e6) + F.lit(0.5))
+            / F.lit(1.0e6)
+        ).alias("cos_sim"),
+    )

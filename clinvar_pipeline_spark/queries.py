@@ -884,21 +884,33 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
-@register("embedding_neardup_lsh", None)  # sign-LSH buckets: no SQL twin
+from clinvar_pipeline_spark.functions.lsh_oracle import (
+    neardup_lsh_oracle as _lsh_neardup_oracle,
+)
+
+
+@register("embedding_neardup_lsh", _lsh_neardup_oracle(threshold=0.45))
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free embedding near-dup pairs via sign-LSH bucket join +
-    exact cosine verify (operators/similarity.py lsh_neardup_pairs) —
-    the 100 TB path when no blocking key exists; the label-blocked
-    exact twin (embedding_neardup_pairs) is the oracle-checked
-    reference. Threshold 0.45 on the near-uniform testdata keeps the
-    emitted set tiny; the full-recall guarantee on genuinely
-    near-duplicate vectors (cos >= 0.99) is pinned by
-    tests/test_lsh_neardup.py on constructed duplicates. Registered
-    past the driver window (hash family has no SQL twin)."""
-    from clinvar_pipeline_spark.operators.similarity import lsh_neardup_pairs
+    cosine verify — the 100 TB path when no blocking key exists; the
+    label-blocked exact twin (embedding_neardup_pairs) is the
+    same-semantics reference. Threshold 0.45 on the near-uniform
+    testdata keeps the emitted set tiny; the full-recall guarantee on
+    genuinely near-duplicate vectors (cos >= 0.99) is pinned by
+    tests/test_lsh_neardup.py on constructed duplicates (float path).
+
+    ORACLE-BACKED since r9: the quantized path
+    (operators/similarity.lsh_neardup_pairs_q) uses md5-derived
+    integer planes + Q6 lattice scoring, and the DuckDB twin
+    (functions/lsh_oracle.py) reproduces the asymmetric
+    probe-vs-exact candidate join and every emitted cosine
+    bit-for-bit."""
+    from clinvar_pipeline_spark.operators.similarity import (
+        lsh_neardup_pairs_q,
+    )
 
     e = _spread(_t(spark, sf_dir, "embeddings"), parts=8)
-    return lsh_neardup_pairs(e, threshold=0.45)
+    return lsh_neardup_pairs_q(e, threshold=0.45)
 
 
 @register(

@@ -1164,23 +1164,31 @@ def q_multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN: hyperplane-LSH bucketed top-k (scale path for similarity search)
 # ---------------------------------------------------------------------
 
-@register("ann_topk", None)  # LSH buckets use Spark-side xxhash64: no SQL twin
+from clinvar_pipeline_spark.functions.lsh_oracle import (
+    ann_topk_lsh_oracle as _lsh_ann_oracle,
+)
+
+
+@register("ann_topk", _lsh_ann_oracle(k=5))
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via sign-LSH bucket join +
-    in-bucket exact re-rank with multi-probe (operators/similarity.py).
-    Recall vs the exact baseline is pinned by tests/test_similarity.py;
-    q_topk_cosine is the oracle-checked exact twin.
+    in-bucket re-rank with multi-probe. Recall vs the exact baseline
+    is pinned by tests (float path); q_topk_cosine is the exact twin.
 
-    The spread input is persisted: the plan consumes it four times
-    (bucket keys for both roles + normalized vectors for both re-rank
-    joins), and without the persist each branch re-runs the repartition
-    exchange and the Arrow bucket kernel. 8-way spread, not 32: the
-    per-branch task-schedule + Python-worker cost dominates at this
-    vector count (see _spread)."""
-    from clinvar_pipeline_spark.operators.similarity import ann_topk_hyperplane
+    ORACLE-BACKED since r9 (previously the 'permanently rows-only'
+    poster child): the quantized path (operators/similarity.
+    ann_topk_lsh_q) draws its hyperplanes from the md5-prefix
+    generator — the simhash portable-hash discipline applied to plane
+    GENERATION — and scores on the Q6 integer lattice, so buckets,
+    multi-probe keys, candidates, and the re-ranked rows are
+    reproduced bit-for-bit by the DuckDB twin
+    (functions/lsh_oracle.py). Same plan shape as the float operator:
+    one Arrow bucket pass over the persisted spread input, narrow
+    (id, key) exchanges, dedup before vectors, JVM fold re-rank."""
+    from clinvar_pipeline_spark.operators.similarity import ann_topk_lsh_q
 
     e = _persist(_spread(_t(spark, sf_dir, "embeddings"), parts=8))
-    return ann_topk_hyperplane(e, e, k=5)
+    return ann_topk_lsh_q(e, k=5)
 
 
 from clinvar_pipeline_spark.functions.kmeans_oracle import (

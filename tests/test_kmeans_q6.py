@@ -220,3 +220,39 @@ def test_float_trainers_are_q6_wrappers(spark):
     B = _train_pq_codebooks(emb, "embedding", 4, 8, 1000, 2, 42,
                             id_col="vec_id")
     assert np.array_equal(np.floor(B * 1e6 + 0.5), Bq)
+
+
+def test_quantized_lsh_ann_recall_and_determinism(spark):
+    """The graduated sign-LSH path (md5-prefix planes + Q6 lattice):
+    on a corpus with planted near-duplicate pairs (cos >= 0.99) every
+    planted neighbor must be recalled at rank 1 (the
+    tests/test_lsh_neardup.py guarantee carried over), and repeated
+    runs over different partitionings return identical rows."""
+    from clinvar_pipeline_spark.operators.similarity import (
+        ann_topk_lsh_q,
+        lsh_neardup_pairs_q,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 64) * 0.3
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in base[i]]))
+        # planted near-dup: tiny perturbation -> cos ~ 0.9999
+        rows.append((100 + i, [float(x) for x in base[i] * 1.0001]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(3)
+    out = ann_topk_lsh_q(emb, k=3, dim=64).collect()
+    top1 = {r["query_id"]: r["nn_id"] for r in out if r["rk"] == 1}
+    for i in range(20):
+        assert top1[i] == 100 + i, (i, top1.get(i))
+        assert top1[100 + i] == i
+    out2 = ann_topk_lsh_q(emb.repartition(7), k=3, dim=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs_q(emb, threshold=0.99, dim=64).collect()
+    }
+    assert pairs == {(i, 100 + i) for i in range(20)}
