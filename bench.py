@@ -119,7 +119,26 @@ BENCH_QUERIES_V2 = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "semantic_dedup",
+    # r10: the float64 PageRank serving path (same plan shape as the
+    # oracle-attested DECIMAL query; numeric agreement pinned by
+    # tests/test_pagerank_fast.py) — benched to quantify what the
+    # bit-exactness discipline costs and what production serving gets
+    "pagerank_fast",
 ]
+
+
+def _extra_queries():
+    """Benchable callables that are deliberately NOT registry queries
+    (no bit-exact cross-engine twin exists by construction — float64
+    sums are order-dependent — so registering would reintroduce a
+    rows-only entry; their correctness is pinned by pytest instead)."""
+    from clinvar_pipeline_spark import queries_warehouse as qw
+
+    return {
+        "pagerank_fast": lambda spark, sf_dir: qw.pagerank(
+            spark, sf_dir, exact=False
+        ),
+    }
 
 
 def main() -> None:
@@ -134,6 +153,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = q.queries()
+    registry.update(_extra_queries())
     # warmup: JVM + whole-stage codegen + parquet reader + noop sink +
     # Python/Arrow workers (otherwise the first measured query absorbs
     # session/worker start cost)

@@ -329,10 +329,14 @@ def _q6_unit_np(V: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         return V, np.zeros(0, dtype=bool)
     d = V.shape[1]
     lim = (9.0e15 / (d * 1e12)) ** 0.5
-    assert np.abs(V).max() < lim, (
-        f"component magnitude {np.abs(V).max():.3g} >= {lim:.3g} breaks "
-        f"Q6 integer-exactness at dim {d}; rescale the embedding"
-    )
+    if np.abs(V).max() >= lim:
+        # ValueError (not assert): under python -O an assert vanishes
+        # and oversized components would silently void the bit-for-bit
+        # oracle-parity guarantee instead of failing loudly.
+        raise ValueError(
+            f"component magnitude {np.abs(V).max():.3g} >= {lim:.3g} breaks "
+            f"Q6 integer-exactness at dim {d}; rescale the embedding"
+        )
     Xq = np.floor(V * _Q6 + 0.5)
     n2 = np.einsum("ij,ij->i", Xq, Xq)  # integer-exact at any order
     nz = n2 > 0

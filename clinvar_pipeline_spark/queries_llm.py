@@ -7,11 +7,13 @@ SemDeDup semantic deduplication, BPE tokenizer induction, and the
 video/audio manifest rungs of the multimodal ladder.
 
 Same registry idiom as queries.py: every operator is a named query
-over the driver's generic tables with a DuckDB oracle twin. SQL twins
-are omitted only for semantic_dedup (k-means quantizer has no DuckDB
-builtin) and bpe_merges (iterative data-dependent argmax) — those get
-the rows-only check plus exact contract tests, the SURVEY §5 t2
-policy.
+over the driver's generic tables with a DuckDB oracle twin — ALL of
+them, since round 10: semantic_dedup graduated in r9 (the Q6
+integer-lattice k-means CTE twin in functions/kmeans_oracle.py
+reproduces the quantizer bit-for-bit) and bpe_merges, the last
+rows-only survivor, graduated in r10 (the doubled-separator encoding
+in functions/bpe_oracle.py makes SQL replace() reproduce the
+sequential merge kernel, unrolling training as a bounded CTE chain).
 """
 
 from __future__ import annotations
@@ -1855,15 +1857,23 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE merge training (tokenizer induction)
 # ---------------------------------------------------------------------
 
-@register("bpe_merges", None)  # iterative argmax loop: no SQL twin
+from clinvar_pipeline_spark.functions.bpe_oracle import bpe_merges_oracle
+
+
+@register(
+    "bpe_merges",
+    bpe_merges_oracle(8, _TOKENIZE_SQL.format(col="text")),
+)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges learned from the corpus (operators/bpe.py):
     per round one vocabulary-sized pair-count shuffle, one bounded
-    1-row argmax collect, one Arrow merge kernel. Rows-only at the
-    driver (an iterative data-dependent argmax has no single-SQL
-    twin — SURVEY §5 t2 policy); exact training behavior is pinned by
-    tests/test_bpe.py against hand-computed merges and a pure-Python
-    reference implementation."""
+    1-row argmax collect, one Arrow merge kernel. ORACLE-BACKED since
+    round 10 — the registry's final rows-only graduation: the
+    doubled-separator encoding makes SQL replace() reproduce the
+    sequential merge kernel exactly, so training unrolls as a bounded
+    CTE chain (functions/bpe_oracle.py). Exact training behavior is
+    additionally pinned by tests/test_bpe.py against hand-computed
+    merges and a pure-Python reference implementation."""
     from clinvar_pipeline_spark.operators.bpe import (
         train_bpe_merges,
         word_frequencies,

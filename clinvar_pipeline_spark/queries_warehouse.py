@@ -409,6 +409,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed per round so the logical plan stays flat (the
     CC lineage lesson, graph.py:72). The only driver scalar is the
     node count (1-row action, sanctioned)."""
+    return pagerank(spark, sf_dir, exact=True)
+
+
+def pagerank(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
+    """PageRank with two numeric modes sharing ONE plan shape (same
+    joins, same agg, same every-3rd-round localCheckpoint cadence):
+
+    - ``exact=True`` (the oracle-attested registry query): per-step
+      qround(12) + DECIMAL(38,12) contribution sums — bit-for-bit
+      reproducible in DuckDB at the cost of decimal arithmetic.
+    - ``exact=False`` (the production serving path, r9 verdict ask
+      #4): plain float64 contributions and sums. Order-dependent in
+      the last ULPs (so no bit-exact cross-engine twin — it is NOT
+      registered), but tests/test_pagerank_fast.py pins it against
+      the exact path: identical top-k ordering and |Δrank| < 1e-9 at
+      sf0.01. Benched as ``pagerank_fast`` (bench.py BENCH_EXTRA).
+    """
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     eraw = (
@@ -431,24 +450,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select("node", "deg", F.lit(1.0 / n_nodes).alias("r"))
     prev = None
     for i in range(_PR_ITERS):
+        contrib_raw = F.col("r") / F.col("deg")
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .select(
                 F.col("dst"),
-                qround(F.col("r") / F.col("deg"), 12)
-                .cast("decimal(38,12)")
-                .alias("c"),
+                (
+                    qround(contrib_raw, 12).cast("decimal(38,12)")
+                    if exact
+                    else contrib_raw
+                ).alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        update = F.lit(base) + F.lit(_PR_DAMP) * F.col("s").cast("double")
         ranks = deg.join(contrib, deg.node == contrib.dst).select(
             "node",
             "deg",
-            qround(
-                F.lit(base) + F.lit(_PR_DAMP) * F.col("s").cast("double"),
-                12,
-            ).alias("r"),
+            (qround(update, 12) if exact else update).alias("r"),
         )
         # checkpoint every third round, not every round: the lineage
         # only triples over 3 rounds (2 joins + 1 agg each) while each

@@ -75,6 +75,7 @@ def warc_split_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
 
         CHUNK = 1 << 18
         out = bytearray()
+        cur = bytearray()  # in-flight member: committed only on trailer OK
         data = bytes(raw)
         ip = 0
         do = zlib.decompressobj(wbits=31)
@@ -83,20 +84,31 @@ def warc_split_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
             while ip < len(data):
                 feed = data[ip : ip + CHUNK]
                 ip += len(feed)
-                out += do.decompress(feed)
+                cur += do.decompress(feed)
                 mid_member = True
                 while do.eof:  # >=1 member ended inside this chunk
+                    # do.eof means the member's CRC32+ISIZE trailer
+                    # VALIDATED — only now is cur trustworthy plaintext
+                    out += cur
+                    cur = bytearray()
                     rest = do.unused_data  # bounded by CHUNK
                     do = zlib.decompressobj(wbits=31)
                     mid_member = False
                     if not rest:
                         break
-                    out += do.decompress(rest)
+                    cur += do.decompress(rest)
                     mid_member = True
         except zlib.error:
+            # CRC-mismatch / bad DEFLATE: the in-flight member's
+            # plaintext may be bit-flipped garble — DISCARD cur rather
+            # than emit possibly-corrupt records as KEPT rows
             tail_error = "warc: corrupt gzip member"
         else:
             if mid_member and not do.eof:
+                # plain truncation (stream just ends, no CRC verdict):
+                # the inflated prefix is valid DEFLATE output — salvage
+                # it; the record walker stops at the incomplete record
+                out += cur
                 tail_error = "warc: truncated gzip tail"
         raw = bytes(out)
     pos = 0

@@ -41,7 +41,17 @@ batch (the store including the batch), not the final corpus — a
 shingle can only GAIN documents later, so the incremental pass may
 keep an edge the end-state batch pass would cap away; it never misses
 one the batch pass would keep at the same corpus state.
-"""
+
+Re-ingestion contract (ADVICE r9): a doc_id delivered again in a later
+epoch is safe — shingle df aggregates countDistinct(doc_id) (duplicate
+(doc, shingle) rows across epochs can't inflate the stop-shingle cap)
+and per-doc sizes resolve to the LATEST landed epoch (no duplicate or
+stale-n Jaccard evaluations). Identical-text redelivery is therefore
+fully idempotent. Changed-text re-ingest gets documented UNION
+semantics: the shingle store is append-only, so a re-ingested doc
+matches on the union of its versions' shingles while |set| uses the
+newest version's count — labels can only over-merge, never split,
+which is the conservative direction for dedup."""
 
 from __future__ import annotations
 
@@ -139,6 +149,10 @@ def merge_batch_into_labels(
 
     if df_cap is None:
         df_cap = SHINGLE_DF_CAP
+    if keep_label_epochs < 1:
+        # 0 would delete the labeling this very call just committed
+        # (and the old negative-slice idiom silently pruned NOTHING)
+        raise ValueError("merge_batch_into_labels: keep_label_epochs >= 1")
     e = int(epoch_id)
     sh_new = _batch_shingles(batch_docs)
     sh_new.write.mode("overwrite").parquet(
@@ -151,13 +165,21 @@ def merge_batch_into_labels(
     ).write.mode("overwrite").parquet(f"{out_path}/sizes/epoch={e}")
 
     store = snapshot_parts(spark, f"{out_path}/shingles")
-    allsizes = snapshot_parts(spark, f"{out_path}/sizes")
+    # latest landed epoch wins per doc: a re-ingested doc_id must not
+    # contribute duplicate/stale-n size rows to the Jaccard join
+    allsizes = (
+        snapshot_parts(spark, f"{out_path}/sizes", epoch_col="_ep")
+        .groupBy("doc_id")
+        .agg(F.max_by("n", "_ep").alias("n"))
+    )
     # candidate slice: only store rows sharing a shingle with the
-    # batch can form a NEW edge; df cap evaluated on that slice
+    # batch can form a NEW edge; df cap evaluated on that slice.
+    # countDistinct, not count: duplicate (doc, shingle) rows from a
+    # re-ingested doc must not inflate df past the cap
     cand = store.join(landed.select("shingle").distinct(), "shingle")
     hot = (
         cand.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") > df_cap)
         .select("shingle")
     )
@@ -230,12 +252,26 @@ def merge_batch_into_labels(
     # them is a valid merge base, so keeping the last few is purely
     # an operational courtesy for out-of-band readers)
     done = _committed_label_epochs(spark, out_path)
-    for stale in done[:-keep_label_epochs]:
+    for stale in done[: len(done) - keep_label_epochs]:
         _delete(spark, _labels_path(out_path, stale))
     if compact_every:
-        for sink in ("shingles", "sizes"):
+        # shingles fold = distinct (linear; prunes re-ingest row dups);
+        # sizes fold = latest-epoch row per doc, keeping _ep so the
+        # base still participates in snapshot-time max_by resolution
+        def _sizes_fold(d: DataFrame) -> DataFrame:
+            return (
+                d.groupBy("doc_id")
+                .agg(F.max(F.struct("_ep", "n")).alias("w"))
+                .select("doc_id", F.col("w.n").alias("n"),
+                        F.col("w._ep").alias("_ep"))
+            )
+
+        for sink, ecol, fold in (
+            ("shingles", None, lambda d: d.distinct()),
+            ("sizes", "_ep", _sizes_fold),
+        ):
             if len(list_live_epochs(spark, f"{out_path}/{sink}")) > compact_every:
-                compact(spark, f"{out_path}/{sink}")
+                compact(spark, f"{out_path}/{sink}", epoch_col=ecol, fold=fold)
 
 
 def cluster_stream(

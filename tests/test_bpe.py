@@ -164,3 +164,45 @@ def bpe_tokenize_import(df):
     from clinvar_pipeline_spark.operators.bpe import bpe_tokenize
 
     return bpe_tokenize(df, "doc_id", "text", [("a", "a", 1)])
+
+
+def test_bpe_oracle_matches_reference_on_adversarial_runs():
+    """functions/bpe_oracle.py (the r10 graduation of the registry's
+    last rows-only entry) vs the pure-Python reference on corpora
+    BUILT to break naive SQL-replace encodings: identical-symbol runs
+    (l==r — where a shared-boundary single-SEP encoding mis-groups
+    'lllll' as ll,l,ll instead of the sequential ll,ll,l), alternating
+    runs, and merges whose result composes into later rounds."""
+    import duckdb
+
+    from clinvar_pipeline_spark.functions.bpe_oracle import (
+        bpe_merges_oracle,
+    )
+    from clinvar_pipeline_spark.queries import _TOKENIZE_SQL
+
+    corpora = [
+        # runs of one char: grouping of lllll decides round-2 counts
+        ["lllll lll llll", "ll lllll l", "lllll lllll"],
+        # alternating + composition: (a,b)->ab then (ab,ab) pairs
+        ["ababab abab ab", "abababab ab", "ba ab ba"],
+        # merged symbol collides with an existing vocab word
+        ["er er er", "e r ere rer", "erer erer e r"],
+    ]
+    for docs in corpora:
+        text = [" ".join(docs)]
+        wf: dict[str, int] = {}
+        for w in " ".join(text).split():
+            wf[w] = wf.get(w, 0) + 1
+        expect = [
+            (i, l, r, c) for i, (l, r, c) in enumerate(_ref_bpe(wf, 6))
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{d}')" for i, d in enumerate(text))
+            + ") AS t(doc_id, text)"
+        )
+        got = con.execute(
+            bpe_merges_oracle(6, _TOKENIZE_SQL.format(col="text"))
+        ).fetchall()
+        assert [tuple(r) for r in got] == expect, (docs, got, expect)

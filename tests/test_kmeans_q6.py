@@ -93,7 +93,7 @@ def test_trainer_partitioning_invariant(spark):
 
 
 def test_q6_unit_rejects_oversize_components():
-    with pytest.raises(AssertionError, match="Q6 integer-exactness"):
+    with pytest.raises(ValueError, match="Q6 integer-exactness"):
         _q6_unit_np(np.full((2, 64), 20.0))
 
 

@@ -135,3 +135,39 @@ def test_label_epoch_pruning_keeps_a_committed_base(spark, tmp_path):
 
     assert _committed_label_epochs(spark, str(out)) == [2]
     assert _labels(spark, out) == EXPECTED
+
+
+def test_keep_label_epochs_zero_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="keep_label_epochs"):
+        merge_batch_into_labels(
+            spark, spark.createDataFrame(BATCH1, DOCUMENT_SCHEMA),
+            str(tmp_path / "c"), 0, keep_label_epochs=0,
+        )
+
+
+def test_reingested_doc_is_idempotent_and_df_cap_uninflated(spark, tmp_path):
+    """ADVICE r9: a doc_id redelivered in a LATER epoch (identical
+    text — at-least-once delivery across epoch boundaries) must not
+    duplicate size rows (stale-n Jaccard) nor double-count shingle df
+    toward the stop-shingle cap. Labels after the redelivery epoch ==
+    labels without it; a cap sized so that double-counting WOULD trip
+    it (df_cap=3, A/B/C + redelivered B = 4 raw rows on the shared
+    shingles but only 3 distinct docs) still finds the chain."""
+    out = tmp_path / "clusters"
+    merge_batch_into_labels(
+        spark, spark.createDataFrame(BATCH1, DOCUMENT_SCHEMA),
+        str(out), 0, df_cap=3,
+    )
+    merge_batch_into_labels(
+        spark, spark.createDataFrame(BATCH2, DOCUMENT_SCHEMA),
+        str(out), 1, df_cap=3,
+    )
+    # epoch 2 redelivers doc 2 (B) verbatim: with raw-row df the shared
+    # a*/c* shingles would hit df=4 > cap and the A~B~C edges would be
+    # capped away on any later evaluation; with countDistinct they stay
+    redelivery = [r for r in BATCH1 if r[0] == 2]
+    merge_batch_into_labels(
+        spark, spark.createDataFrame(redelivery, DOCUMENT_SCHEMA),
+        str(out), 2, df_cap=3,
+    )
+    assert _labels(spark, out) == EXPECTED

@@ -212,3 +212,29 @@ def test_corrupt_gzip_member_mid_stream_counts_one_bad_tail(spark, tmp_path):
     assert c["ARCHIVES_BAD_TAIL"] == 1
     assert c["RECORDS_KEPT"] == 3  # response x2 + conversion
     assert records.count() == 3
+
+
+def test_crc_failed_member_plaintext_discarded_not_kept():
+    """A member whose DEFLATE stream inflates cleanly but whose CRC32
+    trailer is bit-flipped (silent bit-rot) must NOT have its
+    possibly-garbled records emitted as KEPT rows — zlib validates the
+    trailer only at member end, so the plaintext must stay buffered
+    until do.eof confirms it (ADVICE r9). Records from earlier VALID
+    members still come through; the failure is one counted bad tail."""
+    good = _fixture()
+    bad_member = bytearray(gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:evil>\r\nContent-Length: 4\r\n\r\n"
+        b"BODY\r\n\r\n"
+    ))
+    bad_member[-5] ^= 0xFF  # flip a CRC32 byte; DEFLATE bytes untouched
+    it = warc_split_records(good + bytes(bad_member))
+    kept_ids = []
+    with pytest.raises(ValueError, match="corrupt gzip member"):
+        for hdr, _block in it:
+            kept_ids.append(hdr.get("warc-record-id"))
+    assert "<urn:uuid:evil>" not in kept_ids
+    assert kept_ids == [
+        "<urn:uuid:info>", "<urn:uuid:req>", "<urn:uuid:r1>",
+        "<urn:uuid:r2>", "<urn:uuid:c1>",
+    ]

@@ -98,10 +98,15 @@ def _gen(spark, sf_dir: str, workdir: str, target_mb: int, archives: int):
 
         from clinvar_pipeline_spark.sources.warc import warc_encode
 
+        from pyspark import TaskContext
+
         rows = list(it)
         if not rows:
             return iter(())
-        pid = abs(hash(rows[0]["doc_id"])) % (1 << 30)
+        # partition id, not a doc_id hash: hashes can collide across
+        # partitions and one task's archive would silently overwrite
+        # another's, skewing the probe's MB/s and counters (ADVICE r9)
+        pid = TaskContext.get().partitionId()
         recs = [
             {
                 "type": "response",

@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Scale-growth probe (r9 verdict ask #3): time-vs-SF exponents.
+
+Every existing gate checks correctness or same-SF wall time; nothing
+measured how runtime GROWS with data. This probe runs the full v2
+bench tier at sf0.01 and sf0.1, and the six heaviest queries
+additionally at a generated ~sf1 replication (10x sf0.1, key-shifted
+so replicas are NEW entities — disjoint graph copies, fresh doc/part
+ids, a 10x name vocabulary — not duplicate keys that would fake skew),
+then records per-query scaling exponents
+
+    alpha = log(t_hi / t_lo) / log(sf_hi / sf_lo)
+
+in SCALING.json. alpha ~ 1 is linear (the 100 TB-safe shape); alpha
+well above ~1.2 on the sf0.1 -> sf1 decade is the super-linear risk no
+same-SF gate can see. Warm times (min of 2) are used for exponents —
+cold times carry one-shot JIT + (for ANN) index training, reported
+separately so train-vs-serve growth is visible too.
+
+Replication honesty notes, recorded in the JSON: document texts and
+embedding vectors repeat verbatim across replicas (ids shift), so
+vocabulary-bounded stages (langid model, PMI vocab) see 10x rows over
+an unchanged vocab — exactly what a bigger crawl of the same language
+mix looks like — while the ANN index sees 10x denser cells (num_cells
+grows sqrt(n) per the similarity.py policy). Part NAMES get a per-
+replica suffix so the ER blocking vocabulary truly grows 10x.
+
+Usage: python tools/scaling_probe.py [--skip-sf1] [--out SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_LO = "/root/testdata/sf0.01"
+SF_MID = "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/spark_graft_scaling_sf1"
+REPLICAS = 10
+
+# the six heaviest v2 warm entries per BENCH_DETAIL — the decade tier
+TOP6 = [
+    "pagerank",
+    "table_profile",
+    "ann_topk_pq",
+    "langid",
+    "perplexity_bands_pct",
+    "fuzzy_entity_clusters",
+]
+
+# key-shift spec: bigint id columns bumped by replica*OFFSET so each
+# replica is a disjoint entity space; OFFSET clears every real id
+OFFSET = 100_000_000
+SHIFTS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["doc_id"],
+    "events": ["event_id", "user_id"],
+}
+COPY_ONLY = ["region", "nation"]  # true dims: fixed at any SF
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for t in COPY_ONLY:
+        shutil.copyfile(f"{SF_MID}/{t}.parquet", f"{SF1_DIR}/{t}.parquet")
+    for t, keys in SHIFTS.items():
+        src = spark.read.parquet(f"{SF_MID}/{t}.parquet")
+        parts = []
+        for i in range(REPLICAS):
+            df = src
+            for k in keys:
+                df = df.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
+            if t == "part" and i > 0:
+                # grow the ER name vocabulary for real (see module doc)
+                df = df.withColumn(
+                    "p_name", F.concat(F.col("p_name"), F.lit(f" r{i}"))
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # one dir per table, then rename the single file to match the
+        # flat <table>.parquet layout every query's _t() expects
+        tmp = f"{SF1_DIR}/_{t}"
+        out.coalesce(4).write.mode("overwrite").parquet(tmp)
+        dest = f"{SF1_DIR}/{t}.parquet"
+        if os.path.isdir(dest) or os.path.isfile(dest):
+            shutil.rmtree(dest, ignore_errors=True)
+        os.rename(tmp, dest)  # <name>.parquet as a DIRECTORY reads fine
+
+
+def time_query(spark, fn, sf_dir: str, release) -> list[float]:
+    """[cold, warm1, warm2] — the bench.py protocol."""
+    out = []
+    for _ in range(3):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out.append(round(time.time() - t0, 3))
+        release()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-sf1", action="store_true")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.json"))
+    ap.add_argument("names", nargs="*", help="subset of queries to probe")
+    args = ap.parse_args()
+
+    from bench import BENCH_QUERIES_V2, _extra_queries
+    from clinvar_pipeline_spark import queries as q
+    from clinvar_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+    registry.update(_extra_queries())
+
+    tier = [n for n in BENCH_QUERIES_V2 if not args.names or n in args.names]
+    top6 = [n for n in TOP6 if not args.names or n in args.names]
+
+    if not args.skip_sf1 and top6:
+        if not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+            print("building sf1 replica ...", file=sys.stderr)
+            build_sf1(spark)
+
+    # warmup (bench.py discipline)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    result: dict[str, dict] = {}
+    for name in tier:
+        fn = registry[name]
+        entry: dict = {}
+        p_lo = time_query(spark, fn, SF_LO, q.release_cached)
+        p_mid = time_query(spark, fn, SF_MID, q.release_cached)
+        entry["sf0.01"] = p_lo
+        entry["sf0.1"] = p_mid
+        w_lo, w_mid = min(p_lo[1:]), min(p_mid[1:])
+        # noise floor: a sub-0.75 s small-SF time is dominated by fixed
+        # per-query overhead (plan+JIT+session), not data work — an
+        # exponent computed from it UNDERSTATES growth; flag, don't hide
+        entry["alpha_01_to_1"] = round(
+            math.log(max(w_mid, 1e-3) / max(w_lo, 1e-3)) / math.log(10), 3
+        )
+        entry["small_sf_below_noise_floor"] = w_lo < 0.75
+        if name in top6 and not args.skip_sf1:
+            p_hi = time_query(spark, fn, SF1_DIR, q.release_cached)
+            entry["sf1"] = p_hi
+            w_hi = min(p_hi[1:])
+            entry["alpha_1_to_10"] = round(
+                math.log(max(w_hi, 1e-3) / max(w_mid, 1e-3)) / math.log(10), 3
+            )
+            entry["cold_ratio_1_to_10"] = round(p_hi[0] / max(p_mid[0], 1e-3), 2)
+        result[name] = entry
+        print(f"{name}: {entry}", file=sys.stderr)
+
+    flagged = sorted(
+        n for n, e in result.items()
+        if e.get("alpha_1_to_10", e["alpha_01_to_1"]) > 1.2
+        and not (e["small_sf_below_noise_floor"] and "alpha_1_to_10" not in e)
+    )
+    doc = {
+        "protocol": "3 passes per (query, sf); warm = min(pass2, pass3); "
+                    "alpha = log(t_hi/t_lo)/log(sf_hi/sf_lo)",
+        "sf1_replication": f"{REPLICAS}x sf0.1, ids shifted by {OFFSET} "
+                           "per replica (disjoint entities); part names "
+                           "suffixed per replica; texts/vectors repeat",
+        "super_linear_threshold": 1.2,
+        "super_linear_flagged": flagged,
+        "queries": result,
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"flagged": flagged, "n": len(result)}))
+
+
+if __name__ == "__main__":
+    main()
