@@ -59,44 +59,61 @@ def warc_split_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         # the complete ones, and surface the tail as the same
         # ValueError the walker uses so the caller counts ONE bad
         # tail after yielding everything recoverable.
-        # Chunk-fed decompressobj walk. Two rejected alternatives:
-        # one decompressobj per member with whole-remainder feeds
-        # costs an unused_data COPY of the remaining archive per
-        # record — O(members^2) bytes under Common Crawl's
-        # member-per-record convention (measured 10 MB/s on the
-        # ingest probe); gzip.GzipFile is C-fast but its failing
-        # read() call discards everything it decompressed before the
-        # error, losing complete members. Feeding bounded chunks
-        # keeps every unused_data copy <= CHUNK while every complete
-        # member's plaintext is retained; a truncated final member
-        # may leave PARTIAL plaintext — the record walker then stops
-        # at the incomplete record, same one-bad-tail outcome.
+        # Rewind-fed decompressobj walk over a zero-copy memoryview.
+        # Rejected alternatives: one decompressobj per member with
+        # whole-remainder feeds costs an unused_data COPY of the
+        # remaining archive per record — O(members^2) bytes under
+        # Common Crawl's member-per-record convention (measured
+        # 10 MB/s on the ingest probe); gzip.GzipFile is C-fast but
+        # its failing read() call discards everything it decompressed
+        # before the error, losing complete members; the r9 chunk-fed
+        # rest-chain walk re-fed each feed's unused_data tail through
+        # the next member, which for TINY members (Common Crawl
+        # averages ~300 compressed bytes) degenerated to
+        # O(members_per_feed^2) copies per feed — the 72 MB/s
+        # bottleneck the r9 verdict flagged. Here each member-end
+        # REWINDS the input pointer to the member boundary computed
+        # from len(unused_data), so every feed is a fresh zero-copy
+        # memoryview slice of the original buffer, and the feed size
+        # ADAPTS to ~4x the running mean compressed member size
+        # (floor 4 KiB, cap 256 KiB) so zlib's internal unused_data
+        # copy stays member-sized instead of feed-sized: total copy
+        # volume is O(archive bytes) at any member granularity. A
+        # truncated final member may leave PARTIAL plaintext — the
+        # record walker then stops at the incomplete record, same
+        # one-bad-tail outcome.
         import zlib
 
-        CHUNK = 1 << 18
+        CHUNK_MAX = 1 << 18
+        CHUNK_MIN = 1 << 12
+        chunk = CHUNK_MAX
         out = bytearray()
         cur = bytearray()  # in-flight member: committed only on trailer OK
-        data = bytes(raw)
+        mv = memoryview(raw)
+        n_raw = len(mv)
         ip = 0
+        members = 0
         do = zlib.decompressobj(wbits=31)
         mid_member = False  # current member has consumed bytes
         try:
-            while ip < len(data):
-                feed = data[ip : ip + CHUNK]
-                ip += len(feed)
+            while ip < n_raw:
+                feed = mv[ip : ip + chunk]
                 cur += do.decompress(feed)
-                mid_member = True
-                while do.eof:  # >=1 member ended inside this chunk
-                    # do.eof means the member's CRC32+ISIZE trailer
-                    # VALIDATED — only now is cur trustworthy plaintext
+                if do.eof:
+                    # the member's CRC32+ISIZE trailer VALIDATED —
+                    # only now is cur trustworthy plaintext
+                    ip += len(feed) - len(do.unused_data)
                     out += cur
                     cur = bytearray()
-                    rest = do.unused_data  # bounded by CHUNK
                     do = zlib.decompressobj(wbits=31)
                     mid_member = False
-                    if not rest:
-                        break
-                    cur += do.decompress(rest)
+                    members += 1
+                    # running mean compressed member size = ip/members
+                    chunk = min(
+                        CHUNK_MAX, max(CHUNK_MIN, 4 * (ip // members))
+                    )
+                else:
+                    ip += len(feed)
                     mid_member = True
         except zlib.error:
             # CRC-mismatch / bad DEFLATE: the in-flight member's

@@ -1202,3 +1202,153 @@ def test_cli_nightly_chain_equals_separate_modes(spark, cli_dirs):
         spark.read.parquet(str(root / "n" / "variants")).count()
         == spark.read.parquet(str(root / "snap" / "variants")).count()
     )
+
+
+def test_cli_nightly_with_rs_and_vcf_stages(spark, cli_dirs):
+    """--nightly --with-rs-ids --with-vcf (r10): the full cron suite in
+    one invocation. Each chained stage must equal its standalone mode
+    run separately — the rs-updated snapshot row-for-row, the exported
+    VCF byte-for-byte — and run_counters gains 'rs' and 'vcf' phases."""
+    root = cli_dirs / "nightly_full"
+    root.mkdir()
+    xml = root / "release.xml"
+    xml.write_text(HEADER + FULL_RECORD + MINUS_RECORD + TRAILER, "utf-8")
+    spark.createDataFrame(
+        [(101, "9907", "AP5Z1")],
+        "gene_rgd_id long, gene_id string, symbol string",
+    ).write.parquet(str(root / "genes.parquet"))
+    aux = root / "aux"
+    spark.createDataFrame(
+        [(101, 501, 3)],
+        "gene_rgd_id long, homolog_rgd_id long, homolog_species_type_key int",
+    ).write.parquet(str(aux / "orthologs.parquet"))
+    spark.createDataFrame(
+        [("RDO:0001", "RDO", "Hereditary spastic paraplegia 48", False)],
+        "acc_id string, ontology_id string, term string, is_obsolete boolean",
+    ).write.parquet(str(aux / "ont_terms.parquet"))
+    spark.createDataFrame(
+        [], "term_acc string, name string, type string"
+    ).write.parquet(str(aux / "ont_synonyms.parquet"))
+    spark.createDataFrame(
+        [], "cui string, gene_rgd_id long, omim_id string"
+    ).write.parquet(str(aux / "concept_omim.parquet"))
+    spark.createDataFrame(
+        [],
+        "annotated_object_rgd_id long, term_acc string, aspect string,"
+        " evidence string, with_info string, xref_source string, notes string",
+    ).write.parquet(str(aux / "existing_annotations.parquet"))
+
+    main(
+        [
+            "--nightly", "--with-rs-ids", "--with-vcf",
+            "--xml", str(xml),
+            "--genes", str(root / "genes.parquet"),
+            "--aux", str(aux),
+            "--out", str(root / "n"),
+        ]
+    )
+    # standalone equivalents on the nightly's own load snapshot
+    main(
+        [
+            "--addRsIds",
+            "--snapshot", str(root / "n"),
+            "--out", str(root / "rs_sep"),
+        ]
+    )
+    main(
+        [
+            "--clinvar2vcf",
+            "--snapshot", str(root / "rs_sep"),
+            "--out", str(root / "sep.vcf"),
+        ]
+    )
+    chained = sorted(map(tuple, spark.read.parquet(
+        str(root / "n" / "with_rs" / "variants")).collect()))
+    separate = sorted(map(tuple, spark.read.parquet(
+        str(root / "rs_sep" / "variants")).collect()))
+    assert chained == separate and len(chained) > 0
+    assert (root / "n" / "export.vcf").read_bytes() == (
+        root / "sep.vcf").read_bytes()
+    merged = {
+        (r["phase"], r["counter"]): r["value"]
+        for r in spark.read.parquet(str(root / "n" / "run_counters")).collect()
+    }
+    phases = {p for p, _ in merged}
+    assert {"load", "rs"} <= phases
+    # annotate/vcf slices equal their own counter frames — which are
+    # EMPTY for this minimal fixture (no annotation matches, no VCF
+    # drops); the pin is equality, not presence
+    annot_c = {
+        r["counter"]: r["value"] for r in spark.read.parquet(
+            str(root / "n" / "annotate" / "counters")).collect()
+    }
+    assert {c: v for (p, c), v in merged.items() if p == "annotate"} == annot_c
+    vcf_c = {
+        r["counter"]: r["value"] for r in spark.read.parquet(
+            str(root / "n" / "vcf_counters")).collect()
+    }
+    assert {c: v for (p, c), v in merged.items() if p == "vcf"} == vcf_c
+    n_rs = spark.read.parquet(str(root / "rs_sep" / "variants")).filter(
+        "rs_id IS NOT NULL").count()
+    assert n_rs > 0
+    assert merged[("rs", "VARIANTS_WITH_RS_ID")] == n_rs
+
+
+def test_cli_dry_run_field_coverage_report(spark, tmp_path):
+    """--dryRun (DryRun.java:20-141 parity, r10): stubbed parse of a
+    golden fixture chunk -> populated-field coverage frame + parse-time
+    counters, no snapshot written. Expectations hand-derived from the
+    fixture records (VCV11 full, VCV500 minimal non-current mouse)."""
+    from tests.test_vcv_xml import (
+        GENOTYPE,
+        HAPLOTYPE,
+        MULTI_ALLELE,
+    )
+
+    root = tmp_path / "dry"
+    root.mkdir()
+    xml = root / "chunk.xml"
+    xml.write_text(
+        HEADER + FULL_RECORD + MULTI_ALLELE + GENOTYPE + HAPLOTYPE
+        + MINUS_RECORD + TRAILER,
+        "utf-8",
+    )
+    main(["--dryRun", "--xml", str(xml), "--out", str(root / "rep")])
+    cov = {
+        r["field"]: (r["populated"], r["total"])
+        for r in spark.read.parquet(str(root / "rep" / "coverage")).collect()
+    }
+    assert cov["name"] == (2, 2)
+    assert cov["objectType"] == (2, 2)
+    assert cov["soAccId"] == (2, 2)  # both derive from variant_type
+    assert cov["refNuc"] == (1, 2) and cov["varNuc"] == (1, 2)
+    assert cov["nucleotideChange"] == (0, 2)
+    assert cov["molecularConsequence"] == (1, 2)
+    assert cov["clinicalSignificance"] == (1, 2)
+    assert cov["reviewStatus"] == (1, 2)
+    assert cov["dateLastEvaluated"] == (1, 2)
+    assert cov["methodType"] == (1, 2)
+    assert cov["ageOfOnset"] == (0, 2) and cov["prevalence"] == (0, 2)
+    assert cov["traitName"] == (1, 2)
+    assert cov["submitter"] == (1, 2) and cov["notes"] == (1, 2)
+    # the reference's xdb + map-position entries
+    assert cov["xdb:clinVar"] == (1, 2)
+    assert cov["mapPositions"] == (1, 2)
+    assert any(f.startswith("xdbKey:") for f in cov)
+    # populated-at-least-once SET (the literal DryRun observable) is
+    # derivable: every populated>0 field
+    populated_once = {f for f, (p, _) in cov.items() if p > 0}
+    assert "nucleotideChange" not in populated_once
+    assert {"name", "soAccId", "traitName"} <= populated_once
+    counters = {
+        r["counter"]: r["value"]
+        for r in spark.read.parquet(str(root / "rep" / "counters")).collect()
+    }
+    assert counters["RECORDS_SIMPLE"] == 2
+    assert counters["RECORDS_MULTI_ALLELE"] == 1
+    assert counters["RECORDS_GENOTYPE"] == 1
+    assert counters["RECORDS_HAPLOTYPE"] == 1
+    assert counters["NON_CURRENT_RECORD"] == 1
+    assert counters["NON_HUMAN_SPECIES"] == 1
+    # dry run writes no snapshot
+    assert not (root / "rep" / "variants").exists()
