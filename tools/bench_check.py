@@ -42,7 +42,17 @@ REPO = os.path.dirname(HERE)
 
 # query -> reason for an accepted one-round warm-time shift; delete
 # the entry the round after, when the new number is the baseline
-WAIVERS: dict[str, str] = {}
+WAIVERS: dict[str, str] = {
+    "embedding_neardup_pairs": (
+        "r10 tier-ambient fixed-overhead shift, not code: EVERY "
+        "sub-second query moved +0.3-0.4s uniformly (doc_fingerprint "
+        "0.32->0.57, topk_cosine 0.38->0.75, grouped_export "
+        "0.48->0.84 — all floor-protected); this one straddles the "
+        "0.75s floor so it alone flags. Plan gate + correctness "
+        "green, no r10 change touches its path; standalone min-of-5 "
+        "converges to 1.39s. Delete next round."
+    ),
+}
 
 ABS_FLOOR_SEC = 0.75
 
