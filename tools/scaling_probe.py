@@ -45,7 +45,11 @@ SF_MID = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/spark_graft_scaling_sf1"
 REPLICAS = 10
 
-# the six heaviest v2 warm entries per BENCH_DETAIL — the decade tier
+# the heaviest warm entries per BENCH_DETAIL — the sf1 decade tier.
+# r10 extension: the frozen-tier dedup family (ngram_jaccard_pairs,
+# minhash_lsh_pairs, exact_dedup) and the LSH/IVF ANN serves join the
+# original six — the task brief grades the dedup operators first-class,
+# so their growth curve needs the same attestation as the v2 heavies.
 TOP6 = [
     "pagerank",
     "table_profile",
@@ -53,6 +57,12 @@ TOP6 = [
     "langid",
     "perplexity_bands_pct",
     "fuzzy_entity_clusters",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "exact_dedup",
+    "ann_topk",
+    "ann_topk_ivf",
+    "dedup_clusters",
 ]
 
 # key-shift spec: bigint id columns bumped by replica*OFFSET so each
@@ -129,6 +139,58 @@ PROBE_OVERRIDES = {
 }
 
 
+def _ann_serve_fixed_batch(ivf: bool):
+    """Fixed-2500-query serve shape for the index-free LSH and IVF ANN
+    paths — the linear production workload next to the registry's
+    self-search shape (whose exponent is inherently ~2: queries AND
+    corpus both grow, so per-bucket/per-cell candidate PAIRS grow
+    quadratically — see SUPER_LINEAR_WAIVERS)."""
+
+    def probe(spark, sf_dir: str):
+        from clinvar_pipeline_spark.operators.similarity import (
+            ann_topk_hyperplane,
+            ann_topk_ivf,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8)
+        q = e.orderBy("vec_id").limit(2500)
+        if ivf:
+            return ann_topk_ivf(
+                q, e, k=5, memo_key=f"{sf_dir}:embeddings", quantized=True
+            )
+        return ann_topk_hyperplane(q, e, k=5)
+
+    return probe
+
+
+# registry shapes whose super-linear decade exponent is UNDERSTOOD and
+# accepted, with the bottleneck named (the r9 verdict's waiver
+# contract); each has a linear @serve twin probed alongside
+SUPER_LINEAR_WAIVERS = {
+    "ann_topk": (
+        "self-search: the registry query searches the corpus against "
+        "itself, so a 10x corpus means 10x queries TOO — per-bucket "
+        "candidate pairs grow ~quadratically by construction "
+        "(observed alpha 1.35, asymptote 2). The production serve "
+        "workload holds the query batch fixed; its @serve twin below "
+        "is the scale path. Corpus-scale ALL-PAIRS dedup belongs to "
+        "the banded-LSH pair queries (minhash_lsh_pairs, alpha 1.07 "
+        "— candidate volume rides duplicate rate, not n^2)."
+    ),
+    "ann_topk_ivf": (
+        "self-search, same shape as ann_topk (observed alpha 1.43): "
+        "10x queries x 10x corpus = ~100x probed-cell candidate "
+        "volume. The @serve twin (fixed 2500-query batch, cell-pruned "
+        "scan) is the production path."
+    ),
+}
+
+SERVE_TWINS = {
+    "ann_topk": _ann_serve_fixed_batch(ivf=False),
+    "ann_topk_ivf": _ann_serve_fixed_batch(ivf=True),
+}
+
+
 def time_query(spark, fn, sf_dir: str, release) -> list[float]:
     """[cold, warm1, warm2] — the bench.py protocol."""
     out = []
@@ -158,7 +220,10 @@ def main() -> None:
     registry = q.queries()
     registry.update(_extra_queries())
 
-    tier = [n for n in BENCH_QUERIES_V2 if not args.names or n in args.names]
+    candidates = BENCH_QUERIES_V2 + [
+        n for n in TOP6 if n not in BENCH_QUERIES_V2
+    ]
+    tier = [n for n in candidates if not args.names or n in args.names]
     top6 = [n for n in TOP6 if not args.names or n in args.names]
 
     if not args.skip_sf1 and top6:
@@ -206,14 +271,33 @@ def main() -> None:
                 math.log(max(w_hi, 1e-3) / max(w_mid, 1e-3)) / math.log(10), 3
             )
             entry["cold_ratio_1_to_10"] = round(p_hi[0] / max(p_mid[0], 1e-3), 2)
+        if name in SUPER_LINEAR_WAIVERS:
+            entry["super_linear_waiver"] = SUPER_LINEAR_WAIVERS[name]
         result[name] = entry
         print(f"{name}: {entry}", file=sys.stderr)
+        if name in SERVE_TWINS and not args.skip_sf1:
+            sfn = SERVE_TWINS[name]
+            s_entry: dict = {}
+            s_mid = time_query(spark, sfn, SF_MID, q.release_cached)
+            s_hi = time_query(spark, sfn, SF1_DIR, q.release_cached)
+            s_entry["sf0.1"] = s_mid
+            s_entry["sf1"] = s_hi
+            s_entry["alpha_1_to_10"] = round(
+                math.log(max(min(s_hi[1:]), 1e-3)
+                         / max(min(s_mid[1:]), 1e-3)) / math.log(10), 3
+            )
+            s_entry["small_sf_below_noise_floor"] = min(s_mid[1:]) < 0.75
+            result[f"{name}@serve"] = s_entry
+            print(f"{name}@serve: {s_entry}", file=sys.stderr)
 
-    flagged = sorted(
-        n for n, e in result.items()
-        if e.get("alpha_1_to_10", e["alpha_01_to_1"]) > 1.2
-        and not (e["small_sf_below_noise_floor"] and "alpha_1_to_10" not in e)
-    )
+    flagged, waived = [], []
+    for n, e in sorted(result.items()):
+        alpha = e.get("alpha_1_to_10", e.get("alpha_01_to_1", 0))
+        if alpha is None or alpha <= 1.2:
+            continue
+        if e.get("small_sf_below_noise_floor") and "alpha_1_to_10" not in e:
+            continue
+        (waived if "super_linear_waiver" in e else flagged).append(n)
     doc = {
         "protocol": "3 passes per (query, sf); warm = min(pass2, pass3); "
                     "alpha = log(t_hi/t_lo)/log(sf_hi/sf_lo)",
@@ -222,6 +306,7 @@ def main() -> None:
                            "suffixed per replica; texts/vectors repeat",
         "super_linear_threshold": 1.2,
         "super_linear_flagged": flagged,
+        "super_linear_waived": waived,
         "queries": result,
     }
     with open(args.out, "w") as f:
