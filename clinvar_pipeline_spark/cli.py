@@ -322,11 +322,22 @@ def cmd_dry_run(spark: SparkSession, args) -> None:
         sorted(cov_rows), "field string, populated long, total long"
     )
 
-    # parse-time counters: the record_kind split (F1/F2 skips) + the
-    # species/status canaries — DryRun's GlobalCounters section
+    # parse-time counters: the record_kind split (F1/F2 skips), the
+    # species/status canaries, and the unknown-xref-db canaries —
+    # DryRun's GlobalCounters + "unknown ..." stdout-marker sections
+    # (the reference tallies Parser's 'unknown xdb' prints; here the
+    # dispatch switch counts them as rows)
     kind_c = archive.groupBy(
         F.concat(F.lit("RECORDS_"), F.upper("record_kind")).alias("counter")
     ).agg(F.count(F.lit(1)).alias("value"))
+    unknown_c = _unknown.select(
+        F.concat(
+            F.lit("UNKNOWN_XREF_DB_"),
+            F.upper(F.coalesce("db", F.lit("(none)"))),
+        ).alias("counter"),
+        F.col("n").cast("long").alias("value"),
+    )
+    kind_c = kind_c.unionByName(unknown_c)
     canary_c = archive.select(
         F.explode(
             F.array_compact(

@@ -1305,12 +1305,21 @@ def test_cli_dry_run_field_coverage_report(spark, tmp_path):
         MULTI_ALLELE,
     )
 
+    unknown_db_record = """<VariationArchive Accession="VCV000000600" VariationID="600">
+  <RecordStatus>current</RecordStatus><Species>Homo sapiens</Species>
+  <ClassifiedRecord>
+    <SimpleAllele AlleleID="66" VariationID="600"><Name>NM_2:c.1del</Name><VariantType>Deletion</VariantType>
+      <XRefList><XRef DB="MadeUpDB" ID="777"/></XRefList>
+    </SimpleAllele>
+  </ClassifiedRecord>
+</VariationArchive>
+"""
     root = tmp_path / "dry"
     root.mkdir()
     xml = root / "chunk.xml"
     xml.write_text(
         HEADER + FULL_RECORD + MULTI_ALLELE + GENOTYPE + HAPLOTYPE
-        + MINUS_RECORD + TRAILER,
+        + MINUS_RECORD + unknown_db_record + TRAILER,
         "utf-8",
     )
     main(["--dryRun", "--xml", str(xml), "--out", str(root / "rep")])
@@ -1318,22 +1327,22 @@ def test_cli_dry_run_field_coverage_report(spark, tmp_path):
         r["field"]: (r["populated"], r["total"])
         for r in spark.read.parquet(str(root / "rep" / "coverage")).collect()
     }
-    assert cov["name"] == (2, 2)
-    assert cov["objectType"] == (2, 2)
-    assert cov["soAccId"] == (2, 2)  # both derive from variant_type
-    assert cov["refNuc"] == (1, 2) and cov["varNuc"] == (1, 2)
-    assert cov["nucleotideChange"] == (0, 2)
-    assert cov["molecularConsequence"] == (1, 2)
-    assert cov["clinicalSignificance"] == (1, 2)
-    assert cov["reviewStatus"] == (1, 2)
-    assert cov["dateLastEvaluated"] == (1, 2)
-    assert cov["methodType"] == (1, 2)
-    assert cov["ageOfOnset"] == (0, 2) and cov["prevalence"] == (0, 2)
-    assert cov["traitName"] == (1, 2)
-    assert cov["submitter"] == (1, 2) and cov["notes"] == (1, 2)
+    assert cov["name"] == (3, 3)
+    assert cov["objectType"] == (3, 3)
+    assert cov["soAccId"] == (3, 3)  # all derive from variant_type
+    assert cov["refNuc"] == (1, 3) and cov["varNuc"] == (1, 3)
+    assert cov["nucleotideChange"] == (0, 3)
+    assert cov["molecularConsequence"] == (1, 3)
+    assert cov["clinicalSignificance"] == (1, 3)
+    assert cov["reviewStatus"] == (1, 3)
+    assert cov["dateLastEvaluated"] == (1, 3)
+    assert cov["methodType"] == (1, 3)
+    assert cov["ageOfOnset"] == (0, 3) and cov["prevalence"] == (0, 3)
+    assert cov["traitName"] == (1, 3)
+    assert cov["submitter"] == (1, 3) and cov["notes"] == (1, 3)
     # the reference's xdb + map-position entries
-    assert cov["xdb:clinVar"] == (1, 2)
-    assert cov["mapPositions"] == (1, 2)
+    assert cov["xdb:clinVar"] == (1, 3)
+    assert cov["mapPositions"] == (1, 3)
     assert any(f.startswith("xdbKey:") for f in cov)
     # populated-at-least-once SET (the literal DryRun observable) is
     # derivable: every populated>0 field
@@ -1344,8 +1353,11 @@ def test_cli_dry_run_field_coverage_report(spark, tmp_path):
         r["counter"]: r["value"]
         for r in spark.read.parquet(str(root / "rep" / "counters")).collect()
     }
-    assert counters["RECORDS_SIMPLE"] == 2
+    assert counters["RECORDS_SIMPLE"] == 3
     assert counters["RECORDS_MULTI_ALLELE"] == 1
+    # the unknown-xref-db canary (DryRun's 'unknown ...' stdout
+    # markers, tallied as counter rows)
+    assert counters["UNKNOWN_XREF_DB_MADEUPDB"] == 1
     assert counters["RECORDS_GENOTYPE"] == 1
     assert counters["RECORDS_HAPLOTYPE"] == 1
     assert counters["NON_CURRENT_RECORD"] == 1
