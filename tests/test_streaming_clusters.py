@@ -171,3 +171,41 @@ def test_reingested_doc_is_idempotent_and_df_cap_uninflated(spark, tmp_path):
         str(out), 2, df_cap=3,
     )
     assert _labels(spark, out) == EXPECTED
+
+
+def test_compaction_folds_preserve_labels_and_reingest_safety(spark, tmp_path):
+    """The r10 compaction folds (shingles -> distinct, sizes ->
+    latest-epoch row per doc keeping _ep) must leave the maintained
+    labels identical to the uncompacted run — including across a
+    verbatim re-ingest whose duplicate rows the folds prune. Four
+    epochs with compact_every=2 force at least one fold of each sink;
+    a fifth epoch after compaction proves the folded base still
+    participates in df/size resolution."""
+    out = tmp_path / "clusters"
+    epochs = [
+        BATCH1,
+        BATCH2,
+        [r for r in BATCH1 if r[0] == 2],  # verbatim redelivery of B
+        [(20, "w1 w2 w3 w4 w5 w6 fresh", "en", "s", 25)],
+    ]
+    for e, rows in enumerate(epochs):
+        merge_batch_into_labels(
+            spark, spark.createDataFrame(rows, DOCUMENT_SCHEMA),
+            str(out), e, compact_every=2,
+        )
+    # a sink got folded: fewer live epoch dirs than epochs landed
+    from clinvar_pipeline_spark.streaming.compaction import (
+        list_live_epochs,
+    )
+
+    assert len(list_live_epochs(spark, str(out / "shingles"))) < len(epochs)
+    assert _labels(spark, out) == EXPECTED
+    # post-compaction epoch: the new near-dup of A must still chain in
+    # through the FOLDED store (A's shingles now live in the base)
+    a_dup = [(21, _A, "en", "s", len(_A))]
+    merge_batch_into_labels(
+        spark, spark.createDataFrame(a_dup, DOCUMENT_SCHEMA),
+        str(out), len(epochs), compact_every=2,
+    )
+    got = _labels(spark, out)
+    assert got == {**EXPECTED, 21: 1}, got
