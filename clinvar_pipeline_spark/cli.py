@@ -358,6 +358,9 @@ def cmd_dry_run(spark: SparkSession, args) -> None:
 
     coverage.write.mode("overwrite").parquet(f"{args.out}/coverage")
     counters.write.mode("overwrite").parquet(f"{args.out}/counters")
+    from clinvar_pipeline_spark.caching import release_cached
+
+    release_cached()
     print(f"variants processed: {total}")
     print("fields populated at least once:")
     for fname, pop, _t in sorted(cov_rows):
