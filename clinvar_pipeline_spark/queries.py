@@ -367,6 +367,74 @@ def q_threshold_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "annot_stale_guard",
+    """
+    WITH existing AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'H' END AS aspect,
+               o_orderdate
+        FROM orders),
+    flags AS (
+        SELECT aspect,
+               CASE WHEN (aspect = 'D' AND o_orderkey % 25 != 0)
+                     OR (aspect = 'H' AND o_orderkey % 3 != 0)
+                     OR o_orderdate >= DATE '2001-01-01'
+                    THEN 0 ELSE 1 END AS is_stale
+        FROM existing),
+    agg AS (
+        SELECT aspect,
+               count(*) AS total_count,
+               count(*) FILTER (WHERE is_stale = 1) AS stale_count
+        FROM flags GROUP BY aspect)
+    SELECT aspect, stale_count, total_count,
+           CAST(stale_count > 0.05 * total_count AS INT) AS aborted,
+           CASE WHEN stale_count > 0.05 * total_count THEN total_count
+                ELSE total_count - stale_count END AS kept_count
+    FROM agg
+    """,
+)
+def q_annot_stale_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (Dao.java:690-729 via plans/annotate.py:433-462): the
+    annotate-side stale-delete circuit breaker — threshold_guard's W4
+    shape generalized to the per-aspect partition (disease 'D' /
+    human-phenotype 'H' are guarded INDEPENDENTLY, each with its own
+    5% breaker) plus the modification-date grace window the loader
+    family applies (plans/load.py:979-996: a key absent from the run
+    still survives if recently touched). The two aspects are tuned to
+    exercise BOTH branches — 'D' stays under the 5% annotation
+    threshold (delete proceeds), 'H' trips it (abort keeps all rows).
+    Fully distributed: one scan, one groupBy(aspect); no driver
+    collect, no per-aspect loop."""
+    o = _t(spark, sf_dir, "orders")
+    existing = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("D"))
+        .otherwise(F.lit("H"))
+        .alias("aspect"),
+        "o_orderdate",
+    )
+    touched = (
+        ((F.col("aspect") == "D") & (F.col("o_orderkey") % 25 != 0))
+        | ((F.col("aspect") == "H") & (F.col("o_orderkey") % 3 != 0))
+        | (F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+    )
+    agg = existing.groupBy("aspect").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.count(F.when(~touched, F.lit(1))).alias("stale_count"),
+    )
+    aborted = F.col("stale_count") > 0.05 * F.col("total_count")
+    return agg.select(
+        "aspect",
+        "stale_count",
+        "total_count",
+        aborted.cast("int").alias("aborted"),
+        F.when(aborted, F.col("total_count"))
+        .otherwise(F.col("total_count") - F.col("stale_count"))
+        .alias("kept_count"),
+    )
+
+
 # =====================================================================
 # 3. Lookup cascades & ambiguity (J1/J2, O5)
 # =====================================================================
@@ -1383,7 +1451,7 @@ _CHECKED = [
     # text_profile/doc_fingerprint/topk_cosine/
     # embedding_neardup_pairs -> asof_attribution/hll_distinct/
     # cm_heavy_hitters/dsir_weights.
-    "pagerank", "scd2_history",
+    "pagerank",
     # r10 rotation (judge ask #1): ann_topk + semantic_dedup — the r9
     # "impossible" graduations (sign-LSH via md5-derived integer
     # hyperplanes, SemDeDup via the Q6 integer-lattice k-means CTE
@@ -1393,6 +1461,21 @@ _CHECKED = [
     # the frozen bench tier, and their suite tests; neither attests a
     # SURVEY §2 operator).
     "ann_topk", "semantic_dedup",
+    # r11 rotation (judge ask #3): bpe_merges + annot_stale_guard.
+    # bpe_merges is the r10 graduation — sequential merge training
+    # attested bit-for-bit by the doubled-separator replace() CTE
+    # chain (functions/bpe_oracle.py), the registry's most adversarial
+    # oracle pairing — now under driver attestation. annot_stale_guard
+    # closes the last §2 gap: W5 (per-aspect annotate stale-delete
+    # breaker + grace window) was the only implemented operator with
+    # no driver-attestable query. Displaced: scd2_history (warehouse
+    # staple; its diff/interval semantics are §2-attested by
+    # upsert_classify and it keeps the frozen bench tier + dual-SF
+    # local oracle gate + suite tests) and hll_distinct (sketch whose
+    # oracle is a plain exact count-distinct — cm_heavy_hitters keeps
+    # the sketch family in-window; hll keeps bench + local gate +
+    # mergeability tests).
+    "bpe_merges",
     "quality_classifier",
     # r8 rotation (judge ask #2): asof_attribution + hll_distinct +
     # cm_heavy_hitters + dsir_weights — the temporal-join flagship
@@ -1405,9 +1488,10 @@ _CHECKED = [
     # in the dual-SF local oracle gate, and — for the two exact
     # similarity baselines — in the ANN recall tests that execute
     # them as ground truth).
-    "asof_attribution", "hll_distinct", "cm_heavy_hitters",
+    "asof_attribution", "cm_heavy_hitters",
     "dsir_weights",
     "upsert_classify", "upsert_counters", "threshold_guard",
+    "annot_stale_guard",
     # cascades, sets, counters
     "cascade_lookup", "pipe_set_merge", "trait_selection",
     "sanitize_ids", "audit_aggregates", "classification_counters",

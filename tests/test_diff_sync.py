@@ -110,3 +110,26 @@ def test_salted_groupby_matches_plain(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_annot_stale_guard_query_exercises_both_branches(spark):
+    """W5 registry query: the per-aspect breaker must take BOTH
+    branches on the real testdata — 'D' under the 5% annotation
+    threshold (delete proceeds, kept = total - stale), 'H' over it
+    (abort keeps every row)."""
+    from clinvar_pipeline_spark.queries import q_annot_stale_guard
+
+    rows = {
+        r["aspect"]: r
+        for r in q_annot_stale_guard(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"D", "H"}
+    d, h = rows["D"], rows["H"]
+    assert d["aborted"] == 0
+    assert d["kept_count"] == d["total_count"] - d["stale_count"]
+    assert h["aborted"] == 1
+    assert h["kept_count"] == h["total_count"]
+    # the guard decision mirrors the operator the plan wires in
+    # (plans/annotate.py:440): stale fraction vs the 5% breaker
+    assert d["stale_count"] <= 0.05 * d["total_count"]
+    assert h["stale_count"] > 0.05 * h["total_count"]
