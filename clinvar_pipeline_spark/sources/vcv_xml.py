@@ -273,8 +273,21 @@ def read_vcv_fragments(spark: SparkSession, path: str) -> DataFrame:
     input-split points, so a 70 GB release parallelizes across the
     cluster with no driver-side chunking. Header/trailer text outside
     records is dropped by the ``instr`` guard.
+
+    The encode/decode roundtrip normalizes invalid UTF-8 to U+FFFD
+    BEFORE the tag search (fuzz-found, tests/test_xml_fuzz.py): the
+    text scan preserves raw bytes, and ``UTF8String`` char-stepping
+    treats a bit-rotted dangling lead byte (e.g. ``C2``) directly
+    before ``<VariationArchive`` as a 2-byte character that CONSUMES
+    the ``<`` — ``instr`` then misses the tag and silently drops the
+    record. A Java-decoder front end (what the reference's stream
+    parser sees, ParseGroup.java) replaces the bad byte and keeps the
+    record; the roundtrip reproduces exactly that, JVM-side.
     """
     raw = spark.read.option("lineSep", "</VariationArchive>").text(path)
+    raw = raw.select(
+        F.decode(F.encode(F.col("value"), "utf-8"), "utf-8").alias("value")
+    )
     start = F.instr(F.col("value"), "<VariationArchive")
     xml = F.concat(
         F.expr("substring(value, instr(value, '<VariationArchive'))"),
