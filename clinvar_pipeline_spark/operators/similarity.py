@@ -562,7 +562,19 @@ def load_index_stats(spark, path: str) -> dict:
     }
 
 
-DRIFT_RETRAIN_THRESHOLD = 1.25
+# Tightened 1.25 -> 1.10 (r11, measured — tools/ann_probe.py --drift,
+# ANN_PROBE.json): on a high-entropy corpus the ratio SATURATES near
+# the random-direction ceiling (~1.12 observed at noise mix eps=3, vs
+# train mean dist 0.644), so a 1.25 threshold could never fire there
+# while stale-index recall@5 slid 0.652 -> 0.571 (-12% relative). At
+# ratio ~1.10 the measured slide is ~-10% and retraining on the
+# shifted corpus recovers recall (the probe's retrained_at_worst
+# rung) — so 1.10 is the last ratio where the monitor still fires
+# before the saturation regime swallows the signal. Cluster-structured
+# corpora (tests/test_index_drift.py) sit far above either value on a
+# true distribution shift and far below on a redraw, so the tightening
+# costs no false positives there.
+DRIFT_RETRAIN_THRESHOLD = 1.10
 
 
 def index_drift_ratio(
@@ -574,8 +586,8 @@ def index_drift_ratio(
     """Serve-time drift monitor (r9 verdict ask #7): the ratio of the
     served corpus's mean assignment distance to the training-time
     mean. ~1.0 = the index still fits its corpus; above
-    DRIFT_RETRAIN_THRESHOLD (1.25 — mean quantization error grown a
-    quarter, the knee where measured IVF recall floors start slipping)
+    DRIFT_RETRAIN_THRESHOLD (1.10 since r11 — the measured knee before
+    the ratio saturates on high-entropy corpora; see the constant)
     the caller should retrain (--corpusPrep does, landing a fresh
     index + stats). One bounded aggregate; safe to run per serve job."""
     serve = assignment_distance_stats(corpus, centroids, vec_col)
