@@ -101,6 +101,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -189,11 +190,17 @@ def cmd_nightly(spark: SparkSession, args) -> None:
     byte-/row-identical to the standalone mode run separately."""
     import argparse as _ap
 
+    # per-phase wall to stdout: the cron log line each stage of the
+    # composed run gets (parsed by tools/chain_probe.py)
+    t0 = time.time()
     cmd_load(spark, args)
+    print(f"nightly-phase load: [{time.time() - t0:.1f}s]")
     annot_args = _ap.Namespace(**vars(args))
     annot_args.snapshot = args.out
     annot_args.out = f"{args.out}/annotate"
+    t0 = time.time()
     cmd_annotate(spark, annot_args)
+    print(f"nightly-phase annotate: [{time.time() - t0:.1f}s]")
     load_c = spark.read.parquet(f"{args.out}/counters")
     annot_c = spark.read.parquet(f"{args.out}/annotate/counters")
     merged = load_c.select(
@@ -206,7 +213,9 @@ def cmd_nightly(spark: SparkSession, args) -> None:
         rs_args = _ap.Namespace(**vars(args))
         rs_args.snapshot = args.out
         rs_args.out = f"{args.out}/with_rs"
+        t0 = time.time()
         cmd_add_rs_ids(spark, rs_args)
+        print(f"nightly-phase rs: [{time.time() - t0:.1f}s]")
         vcf_snapshot = rs_args.out
         rs_c = (
             spark.read.parquet(f"{rs_args.out}/variants")
@@ -224,7 +233,9 @@ def cmd_nightly(spark: SparkSession, args) -> None:
         vcf_args.snapshot = vcf_snapshot
         vcf_args.out = f"{args.out}/export.vcf"
         vcf_args.counters_out = f"{args.out}/vcf_counters"
+        t0 = time.time()
         cmd_clinvar2vcf(spark, vcf_args)
+        print(f"nightly-phase vcf: [{time.time() - t0:.1f}s]")
         vcf_c = spark.read.parquet(f"{args.out}/vcf_counters").select(
             F.lit("vcf").alias("phase"), "counter", "value"
         )
@@ -644,10 +655,14 @@ def cmd_corpus_prep(spark: SparkSession, args) -> None:
         sf = staged
 
     def land(name: str, df: DataFrame) -> None:
+        # per-stage wall next to the row counter: the operational log
+        # a composed chain needs (and what tools/chain_probe.py parses
+        # for the per-stage scaling exponents)
+        t0 = time.time()
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
         n = spark.read.parquet(f"{args.out}/{name}").count()
         counters.append((name, n))
-        print(f"{name}: {n}")
+        print(f"{name}: {n} [{time.time() - t0:.1f}s]")
 
     for name in CORPUS_PREP_STAGES:
         land(name, reg[name](spark, sf))
@@ -1383,12 +1398,13 @@ def _run_report(spark: SparkSession, args, names: list[str]) -> None:
     reg = Q.queries()
     counters: list[tuple[str, int]] = []
     for name in names:
+        t0 = time.time()
         reg[name](spark, sf).write.mode("overwrite").parquet(
             f"{args.out}/{name}"
         )
         n = spark.read.parquet(f"{args.out}/{name}").count()
         counters.append((name, n))
-        print(f"{name}: {n}")
+        print(f"{name}: {n} [{time.time() - t0:.1f}s]")
     spark.createDataFrame(
         counters, "stage string, n_rows long"
     ).write.mode("overwrite").parquet(f"{args.out}/run_counters")

@@ -54,3 +54,41 @@ def test_build_sf1_key_shifts_and_vocab_growth(spark, tmp_path, monkeypatch):
         spark.read.parquet(str(tmp_path / "rep" / "nation.parquet")).count()
         == spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count()
     )
+
+
+def test_build_sf1_perturbed_texts_diverge(spark, tmp_path, monkeypatch):
+    """Perturbed replica (r11, duplicate-rate control): replica 0 keeps
+    the source texts verbatim; replicas i>0 have every >=4-char token
+    suffixed, so cross-replica shingle overlap collapses while the
+    token COUNT per document is preserved (same doc shape, different
+    vocabulary)."""
+    from pyspark.sql import functions as F
+
+    sp = _probe_module()
+    monkeypatch.setattr(sp, "SF_MID", "/root/testdata/sf0.001")
+    monkeypatch.setattr(sp, "REPLICAS", 3)
+    out = tmp_path / "repp"
+    out.mkdir()
+    sp.build_sf1(spark, out_dir=str(out), perturb_docs=True)
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = spark.read.parquet(str(out / "documents.parquet"))
+    assert rep.count() == 3 * src.count()
+    src_texts = {r["text"] for r in src.select("text").collect()}
+    by_band = {
+        b: {r["text"] for r in rep.filter(
+            (F.col("doc_id") / sp.OFFSET).cast("int") == b
+        ).select("text").collect()}
+        for b in (0, 1, 2)
+    }
+    assert by_band[0] == src_texts            # replica 0 verbatim
+    assert not (by_band[1] & src_texts)       # i>0 fully diverged
+    assert not (by_band[1] & by_band[2])      # and from each other
+    # token counts preserved (suffixing, not deletion/insertion)
+    n_src = src.select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n")
+    ).first()["n"]
+    n_rep1 = rep.filter((F.col("doc_id") / sp.OFFSET).cast("int") == 1).select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n")
+    ).first()["n"]
+    assert n_rep1 == n_src
