@@ -707,15 +707,19 @@ def semantic_dedup(
                 F.col(vec_col).cast("array<double>").alias("_v"),
             ).mapInPandas(assign_q, "_id long, _cell int, _qv array<double>")
         )
-        # exact integer dot (JVM fold over integer-valued doubles)
-        sim_dot = F.aggregate(
-            F.zip_with(F.col("a._qv"), F.col("b._qv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # exact integer dot, Arrow-batched (r11 — see _rerank_topk_q:
+        # every partial sum < 2^53 so any summation order yields the
+        # identical double); nondeterministic so the pushed-down tau
+        # filter can't duplicate the kernel (guide §4.4)
+        sim_dot = dot_product_batch().asNondeterministic()(
+            F.col("a._qv"), F.col("b._qv")
         )
         # tau·1e12 is the same single IEEE multiply the SQL twin spells
-        keep_pred = sim_dot >= F.lit(tau) * F.lit(1.0e12)
-        sim_out = F.floor(sim_dot / F.lit(1.0e12) * F.lit(1.0e6) + F.lit(0.5)) / F.lit(1.0e6)
+        keep_pred = F.col("_dot") >= F.lit(tau) * F.lit(1.0e12)
+        sim_out = (
+            F.floor(F.col("_dot") / F.lit(1.0e12) * F.lit(1.0e6) + F.lit(0.5))
+            / F.lit(1.0e6)
+        )
     else:
         if centroids is not None:
             C = np.asarray(centroids, dtype=np.float64)
@@ -742,9 +746,9 @@ def semantic_dedup(
                 ),
             )
         )
-        sim = cosine_similarity(F.col("a._v"), F.col("b._v"))
-        keep_pred = sim >= tau
-        sim_out = F.round(sim, 6)
+        sim_dot = cosine_similarity(F.col("a._v"), F.col("b._v"))
+        keep_pred = F.col("_dot") >= tau
+        sim_out = F.round(F.col("_dot"), 6)
     # persisted: the assignment kernel output feeds the oversize
     # guard AND both sides of the pair join — without a persist the
     # Arrow kernel reruns once per plan branch
@@ -763,12 +767,13 @@ def semantic_dedup(
             (F.col("a._cell") == F.col("b._cell"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .filter(keep_pred)
         .select(
             F.col("b._id").alias(id_col),
             F.col("a._id").alias("_keeper"),
-            sim_out.alias("_sim"),
+            sim_dot.alias("_dot"),
         )
+        .filter(keep_pred)
+        .select(id_col, "_keeper", sim_out.alias("_sim"))
     )
     # smallest-id qualifying neighbor wins; its sim rides along in the
     # struct-min (lexicographic on (_keeper, _sim); _keeper is unique
@@ -1315,9 +1320,19 @@ def _rerank_topk_q(
     pairs: DataFrame, q_side: DataFrame, c_side: DataFrame, k: int
 ) -> DataFrame:
     """Quantized re-rank shared by the IVF/PQ engine-portable paths:
-    exact integer dot via JVM fold over the Q6 unit vectors (``_id``,
-    ``_qv`` frames), rank on the RAW dot (ties nn_id ASC), emit the
-    Q6-lattice cosine qround'd to 6 plus the int rank."""
+    exact integer dot over the Q6 unit vectors (``_id``, ``_qv``
+    frames), rank on the RAW dot (ties nn_id ASC), emit the Q6-lattice
+    cosine qround'd to 6 plus the int rank.
+
+    r11 (guide §4.1/§4.2): the dot is the Arrow-batched numpy kernel
+    (functions.hashes.dot_product_batch), not the interpreted JVM
+    zip_with/aggregate fold — measured 5.4 s CPU for the fold stage at
+    sf0.1 vs sub-second vectorized. Exactness is unchanged BY
+    CONSTRUCTION, not within tolerance: Q6 components are integers
+    ≤ ~1.2e6, so every pairwise product is ≤ ~1.44e12 and a 64-term
+    sum is ≤ ~9.3e13 < 2^53 — every intermediate in ANY summation
+    order is an exactly-representable integer, so einsum's blocked
+    reduction and the sequential fold produce the identical double."""
     scored = (
         pairs.join(
             q_side.select(
@@ -1334,11 +1349,7 @@ def _rerank_topk_q(
         .select(
             "query_id",
             "nn_id",
-            F.aggregate(
-                F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("_dot"),
+            dot_product_batch()(F.col("_qa"), F.col("_qb")).alias("_dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_dot"), F.asc("nn_id"))
@@ -1814,11 +1825,14 @@ def lsh_neardup_pairs_q(
         .select(
             "id_a",
             "id_b",
-            F.aggregate(
-                F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("_dot"),
+            # Arrow-batched exact integer dot (see _rerank_topk_q r11
+            # note: every partial sum < 2^53, so any summation order
+            # is the identical double). asNondeterministic stops the
+            # optimizer from pushing the threshold filter below the
+            # projection and evaluating the kernel twice (guide §4.4).
+            dot_product_batch()
+            .asNondeterministic()(F.col("_qa"), F.col("_qb"))
+            .alias("_dot"),
         )
     )
     return scored.filter(

@@ -2892,14 +2892,24 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     d = _spread(_t(spark, sf_dir, "documents"))
     # model from the per-corpus memo (one training job per session,
-    # not per invocation); the trigram stream persists for the
-    # scorer's two reads (seen-partials + per-doc totals)
+    # not per invocation)
     w_rows, wu_rows = _langid_model_rows(spark, sf_dir)
     lw = spark.createDataFrame(w_rows, "cand string, t string, w double")
     lwu = spark.createDataFrame(wu_rows, "cand string, wu double")
-    tri = _persist(_lid_trigrams(d))
-    dt = tri.groupBy("doc_id", "lang", "t").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # r11 (guide §2.4): persist the per-doc trigram COUNTS, not the
+    # raw trigram stream — the cache point moves above the explode.
+    # Persisting `tri` left the expensive tokenize+explode below the
+    # cache's consumers' exchanges, and the seen-/ndoc-branch
+    # subtrees did not canonicalize to one reused exchange, so the
+    # explode + (doc,lang,t) aggregation ran TWICE per invocation
+    # (plans/r11/langid_before.txt: Exchanges (9) and (23), two ~25 s
+    # CPU stages at sf0.1). With `dt` persisted the explode and its
+    # shuffle run once and both consumers read the cached counts.
+    tri = _lid_trigrams(d)
+    dt = _persist(
+        tri.groupBy("doc_id", "lang", "t").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
     # seen-part: only (trigram, language) pairs the model knows emit
     # rows; dw = w - wu folds the unseen default out of the join

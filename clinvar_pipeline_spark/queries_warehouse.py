@@ -273,27 +273,37 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-format (one row per column) so the profile's schema is
     stable under table-schema drift.
 
-    Scale: a single scan; Spark plans the N distinct aggregates via
-    Expand (one row per distinct-column per input row) — the same
-    multi-distinct strategy every engine uses, shuffle keyed by the
-    grouping-set id so no single reducer sees the whole table. At
-    extreme width, the sketch family (operators/sketch.py
-    approx_count_distinct / the HLL register frame) is the documented
-    approximate twin for the distinct slot; min/max/null are always
-    one map-side-combined pass. The input is _spread across cores
-    first: the testdata table is one file → 3 input splits, and the
-    11× Expand multiplies exactly that parallelism (measured at
-    sf0.1: 25.7 → 6.2 s warm from this one repartition; at 100 TB
-    inputs are naturally multi-split and the exchange is noise)."""
-    li = _spread(_t(spark, sf_dir, "lineitem"))
+    Scale (r11, guide §2.3 aggregate-before-shuffle): the N distinct
+    counts are N independent two-stage aggregations — per column a
+    single-column pruned scan, map-side dedup on that column alone,
+    one narrow exchange of per-partition distinct values, merge+count
+    — unioned long-format and equi-joined (broadcast: N rows) onto the
+    one-pass min/max/null profile row, exploded long. The previous
+    single-agg form planned the N distincts via Expand (one row per
+    distinct-column per input row): 11× the input rows flowed through
+    ONE partial aggregate whose hash key was the full 10-column struct
+    and whose 40 aggregate buffers were branch-evaluated per Expand
+    row — measured 83 s CPU at sf0.1 vs ~17 s for the decomposed form
+    (plans/r11/table_profile_{before,after}.txt). The branches are
+    independent leaf stages of one plan, so they run concurrently;
+    per-branch I/O is one pruned column, so total bytes read ≈ one
+    full-width scan, now split across 11 parallel single-column scans.
+    At extreme width, the sketch family (operators/sketch.py) remains
+    the documented approximate twin for the distinct slot."""
+    li = _t(spark, sf_dir, "lineitem")
     aggs, rows = [], []
+    dist_frames = []
     for c, kind in _PROFILE_COLS:
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"{c}__null")
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        dist_frames.append(
+            li.select(c)
+            .agg(F.count_distinct(F.col(c)).alias("n_distinct"))
+            .select(F.lit(c).alias("col_name"), "n_distinct")
+        )
         if kind == "num":
             aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"))
             aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"))
@@ -312,6 +322,9 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs.append(F.min(c).alias(f"{c}__min"))
             aggs.append(F.max(c).alias(f"{c}__max"))
     one = li.agg(*aggs)
+    dists = dist_frames[0]
+    for d in dist_frames[1:]:
+        dists = dists.unionAll(d)
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
     for c, kind in _PROFILE_COLS:
@@ -321,7 +334,6 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(c).alias("col_name"),
                 F.lit(kind).alias("kind"),
                 F.col(f"{c}__null").alias("n_null"),
-                F.col(f"{c}__dist").alias("n_distinct"),
                 (F.col(f"{c}__min") if is_num else null_d).alias("min_num"),
                 (F.col(f"{c}__max") if is_num else null_d).alias("max_num"),
                 (
@@ -332,7 +344,17 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("max_str"),
             )
         )
-    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    prof = one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    return prof.join(F.broadcast(dists), "col_name").select(
+        "col_name",
+        "kind",
+        "n_null",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
 
 
 # ---------------------------------------------------------------------
@@ -445,11 +467,19 @@ def pagerank(
     long fixpoints."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r11 (guide §2.3, narrower types): nodes iterate as LONGS —
+    # custkey*2 / suppkey*2+1 is a bijection onto the oracle's
+    # 'c:<custkey>' / 's:<suppkey>' strings, so every distinct, join,
+    # and groupBy over the long key partitions rows exactly as the
+    # string key did; the string is rendered once at the output
+    # boundary. Halves the key bytes through every exchange and
+    # replaces string hashing/equality with long ops on the per-round
+    # edge-sized frames.
     eraw = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("u"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("v"),
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
         )
         .distinct()
     )
@@ -481,18 +511,30 @@ def pagerank(
     prev = None
     for i in range(_PR_ITERS):
         contrib_raw = F.col("r") / F.col("deg")
-        update = F.lit(base) + F.lit(_PR_DAMP) * F.col("s").cast("double")
+        # r11 exact mode (guide §2.3): the qround'd contribution is the
+        # integer m = floor(r/deg·1e12 + 0.5) — sum the LONGS instead
+        # of DECIMAL(38,12). Provably bit-identical to the decimal sum
+        # the oracle spells: (a) the decimal cast of floor(..)/1e12
+        # recovers exactly m·10^-12 (the double's error ~1e-16 is far
+        # inside the 5e-13 half-ulp of scale 12), so the decimal sum IS
+        # Σm at scale 12; (b) Σm never overflows: contributions per dst
+        # sum to ≤ the total rank mass ≈ 1, i.e. ≤ ~1.2e12 raw — 2^63
+        # has six orders of headroom at ANY node count; (c) the update
+        # reads s/1e12 via exact long→double (s < 2^52) and one IEEE
+        # division = nearest double of Σm·10^-12, exactly what
+        # DECIMAL(38,12)→DOUBLE produces. Longs replace BigDecimal in
+        # the per-round map-side combine — the hot loop's inner sum.
+        if exact:
+            c_expr = F.floor(contrib_raw * F.lit(1.0e12) + F.lit(0.5))
+            update = F.lit(base) + F.lit(_PR_DAMP) * (
+                F.col("s").cast("double") / F.lit(1.0e12)
+            )
+        else:
+            c_expr = contrib_raw
+            update = F.lit(base) + F.lit(_PR_DAMP) * F.col("s").cast("double")
         ranks = (
             edges.join(ranks, edges.src == ranks.node)
-            .select(
-                F.col("dst"),
-                F.col("dst_deg"),
-                (
-                    qround(contrib_raw, 12).cast("decimal(38,12)")
-                    if exact
-                    else contrib_raw
-                ).alias("c"),
-            )
+            .select(F.col("dst"), F.col("dst_deg"), c_expr.alias("c"))
             .groupBy("dst", "dst_deg")
             .agg(F.sum("c").alias("s"))
             .select(
@@ -512,8 +554,18 @@ def pagerank(
             if prev is not None:
                 _release_checkpoint(prev)  # free the superseded round
             prev = ranks
+    # render the oracle's node string once, at the output boundary
     return ranks.select(
-        "node", F.col("deg").cast("long").alias("deg"), F.col("r").alias("rank")
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c:"), F.expr("node DIV 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), F.expr("node DIV 2").cast("string"))
+        )
+        .alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("r").alias("rank"),
     )
 
 
