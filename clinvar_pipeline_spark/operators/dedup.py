@@ -99,11 +99,15 @@ def minhash_lsh_candidate_pairs(
             minhash_band_buckets_batch(num_hashes, bands, seed)(F.col("sh")),
         )
     )
-    # the signature table feeds three plan branches (both sides of the
-    # band self-join + the jaccard verify); without a persist Spark
-    # recomputes tokenize->shingle->minhash once per branch (released
-    # between repeated invocations via caching.release_cached)
-    sig = register_persist(sig)
+    # the signature table feeds four plan branches (both sides of the
+    # band self-join + the two jaccard-verify joins); without a persist
+    # Spark recomputes tokenize->shingle->minhash once per branch
+    # (released between repeated invocations via release_cached).
+    # eager: the branches are INDEPENDENT stages submitted concurrently,
+    # so a lazy cache still races — each sibling stage that starts
+    # before the blocks exist recomputes the Arrow kernel (r11
+    # stage_profile measurement; see register_persist docstring)
+    sig = register_persist(sig, eager=True)
     # empty-shingle docs (shorter than shingle_k tokens) all map to the
     # SAME constant signature in the kernel, so without this filter
     # every such pair collides in every band — O(n^2) candidates among

@@ -400,7 +400,11 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-N x DEPTH rows against the broadcast 64-cell sketch."""
     d = _spread(_t(spark, sf_dir, "documents"))
     toks = d.select(F.explode(normalized_tokens(F.col("text"))).alias("t"))
-    toks = _persist(toks)  # sketch build + exact top-N share the scan
+    # eager (r11): the sketch's broadcast-build job and the exact
+    # top-N job are independent; lazily persisted they raced the cache
+    # and each re-ran the explode (stage_profile: two 0.6 MB scan
+    # stages, 7.3 + 6.2 s, per invocation)
+    toks = _persist(toks, eager=True)  # sketch build + exact top-N share it
     js = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j")
     sk = cm_sketch_from_tokens(toks)
     top = (

@@ -2906,10 +2906,14 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU stages at sf0.1). With `dt` persisted the explode and its
     # shuffle run once and both consumers read the cached counts.
     tri = _lid_trigrams(d)
+    # eager (r11): the two consumers (seen-partials, per-doc totals)
+    # are independent branch stages — lazily persisted, they raced the
+    # cache and each re-ran the explode+aggregation
     dt = _persist(
         tri.groupBy("doc_id", "lang", "t").agg(
             F.count(F.lit(1)).alias("cnt")
-        )
+        ),
+        eager=True,
     )
     # seen-part: only (trigram, language) pairs the model knows emit
     # rows; dw = w - wu folds the unseen default out of the join
@@ -3276,8 +3280,13 @@ def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared DSIR plan: hashed-feature stream (persisted once —
     the bucket-count build and the scoring join both read it), bucket
     class counts, smoothed log-likelihood-ratio table, per-doc sum."""
+    # eager (r11): the class-count build and the scoring join are
+    # independent branch stages; lazily persisted they raced the cache
+    # and each re-ran the corpus explode (stage_profile: two 1.6 MB
+    # scan stages, 6.0 + 4.8 s, per invocation)
     fb = _persist(
-        dsir_feature_frame(_spread(_t(spark, sf_dir, "documents")))
+        dsir_feature_frame(_spread(_t(spark, sf_dir, "documents"))),
+        eager=True,
     )  # class counts + scoring join share it
     wtab = dsir_bucket_weights(fb).select("b", "llr")
     return (

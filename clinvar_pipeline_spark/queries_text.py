@@ -91,8 +91,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiles to TakeOrderedAndProject over the rounded PMI with a
     (w1, w2) tiebreak, so the LIMIT cut is engine-deterministic."""
     d = _t(spark, sf_dir, "documents")
+    # eager (r11): uni and bi are independent branch stages — a lazy
+    # cache raced and tokenized twice (see register_persist docstring)
     toks = _persist(
-        _spread(d).select(normalized_tokens(F.col("text")).alias("t"))
+        _spread(d).select(normalized_tokens(F.col("text")).alias("t")),
+        eager=True,
     )
     uni = toks.select(F.explode("t").alias("w"))
     bi = (
@@ -201,7 +204,11 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
     )
-    sh = _persist(sh)
+    # eager (r11): same racing-branches measurement as
+    # q_ngram_jaccard_pairs — four concurrent consumer stages each
+    # recomputed tokenize+shingle under a lazy persist (32.7 s executor
+    # per invocation, stage_profile)
+    sh = _persist(sh, eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cold = (
         sh.groupBy("shingle")
