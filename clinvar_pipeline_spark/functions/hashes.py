@@ -37,10 +37,23 @@ def hex64(col: Column | str) -> Column:
 
 def normalized_tokens(col: Column | str) -> Column:
     """Lowercased word tokens with punctuation stripped; the shared
-    tokenizer for shingling / SimHash / language-ID."""
+    tokenizer for shingling / SimHash / language-ID.
+
+    Spelled as ONE regex pass (r11, guide §1.2 per-task work): split
+    directly on runs of non-alphanumerics. The previous
+    ``regexp_replace(lower, "[^a-z0-9\\s]", " ")`` → ``trim`` →
+    ``split("\\s+")`` chain materialized a full cleaned copy of every
+    document and ran two regex scans. Token-stream equivalence is by
+    construction: under the old spelling every non-[a-z0-9] character
+    is whitespace at split time (either it was \\s and kept, or it was
+    replaced by ' '), so tokens are exactly the maximal [a-z0-9] runs
+    — which is literally what splitting on "[^a-z0-9]+" yields. Both
+    spellings emit '' only at the boundaries (trim handled the left
+    edge before; Java split keeps trailing empties either way), and
+    the shared array_remove(..., '') cleans them. Pinned by the
+    old-vs-new property test in tests/test_properties.py."""
     c = _col(col)
-    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9\\s]", " ")
-    return F.array_remove(F.split(F.trim(cleaned), "\\s+"), "")
+    return F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")
 
 
 def shingles_of_tokens(toks: Column, k: int = 3) -> Column:

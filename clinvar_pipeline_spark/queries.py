@@ -54,6 +54,7 @@ def queries() -> dict[str, QueryFn]:
 # clinvar_pipeline_spark.caching so bench passes / test loops can
 # release cache blocks between repeated invocations (see caching.py).
 from clinvar_pipeline_spark.caching import (  # noqa: E402
+    memo,
     register_persist as _persist,
     release_cached,
 )
@@ -75,19 +76,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   must be the identity on the wall time, like DuckDB's epoch_us.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Normalize timestamp columns across testdata generations:
-    # - TIMESTAMP(NANOS) arrives as long (nanosAsLong) → floor-divide
-    #   to micros (matches DuckDB's ns→us truncation);
-    # - timestamp[us] arrives as TIMESTAMP_NTZ → cast to LTZ, the
-    #   wall-time identity under the UTC session TZ pinned above, and
-    #   the boundary type every driver-green round has emitted.
-    for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif f.dataType.simpleString() == "timestamp_ntz":
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
-    return df
+
+    # The read+normalize below is memoized per (application, path):
+    # every spark.read.parquet call pays a driver-side file listing +
+    # footer schema read (~30-70 ms), and plans re-read the same table
+    # many times per invocation (fk_integrity touches 7 tables 14
+    # times; the ANN family reads documents 4-5x) — measured r11 as
+    # the dominant share of fk_integrity's wall at sf0.1. The memo
+    # holds an UNEVALUATED plan handle (a tiny driver object, the
+    # caching.memo contract) — no row is cached, every action still
+    # computes from the parquet files.
+    def _read() -> DataFrame:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Normalize timestamp columns across testdata generations:
+        # - TIMESTAMP(NANOS) arrives as long (nanosAsLong) →
+        #   floor-divide to micros (matches DuckDB's ns→us truncation);
+        # - timestamp[us] arrives as TIMESTAMP_NTZ → cast to LTZ, the
+        #   wall-time identity under the UTC session TZ pinned above,
+        #   and the boundary type every driver-green round has emitted.
+        for f in df.schema.fields:
+            if f.name == "ts" and f.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif f.dataType.simpleString() == "timestamp_ntz":
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        return df
+
+    return memo(
+        ("_t", spark.sparkContext.applicationId, sf_dir, name), _read
+    )
 
 
 DEC = "decimal(18,2)"

@@ -2038,10 +2038,24 @@ def quality_weight_frame(tok: DataFrame) -> tuple[DataFrame, float]:
             - F.log((F.col("nc") + 1) / (F.col("nt") + F.col("v")))
         ).alias("w"),
     )
-    row = voc.select("pt", "nt", "v").limit(1).collect()
+    # the scalar pull doubles as the cache barrier: an AGGREGATE reads
+    # every partition of the persisted voc, so the whole cache (and the
+    # tok cache under it) is materialized HERE, before the scoring
+    # action's broadcast future reads it. The previous limit(1) only
+    # materialized the partitions executeTake touched, so the w
+    # broadcast re-ran the full tokenize lineage at save time to
+    # produce the ~31 untouched (empty) partitions — measured r11 as
+    # an 8.3 s executor-time stage per invocation (stage_profile).
+    # Every voc row carries identical pt/nt/v (window over lit(1)),
+    # so max() returns exactly the value limit(1) read.
+    row = voc.agg(
+        F.max("pt").alias("pt"),
+        F.max("nt").alias("nt"),
+        F.max("v").alias("v"),
+    ).collect()
     wu = (
         math.log((row[0]["nt"] + row[0]["v"]) / (row[0]["pt"] + row[0]["v"]))
-        if row
+        if row and row[0]["pt"] is not None
         else 0.0
     )
     return w, wu

@@ -83,17 +83,15 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed buckets (``interpolate()``). `observed` flags real vs
     manufactured rows.
 
-    Scale: the spine is `sequence(min_h, max_h, 1 hour)` exploded per
-    user — array length is bounded by the TIME SPAN in hours, not by
-    corpus size (more data at fixed span = same spine, denser
-    buckets), so the explode never balloons with SF. One equi-join
-    of spine to buckets on (user_id, h), then two per-user window
-    passes (backward LOCF carry, forward next-known probe) — exactly
-    the asof_join carry-forward discipline (operators/temporal.py) on
-    a regular grid. The first/last spine rows are always observed by
-    construction, so LOCF is total and interpolation always has both
-    neighbors; the `nv IS NULL` branch is unreachable totality
-    armor."""
+    Scale: grid rows are manufactured per observed SEGMENT — one
+    lead() window over the bucket table (users x active-hours rows),
+    then `sequence(h, next_h - 1h)` exploded per bucket. Segment
+    length is bounded by the TIME SPAN in hours, not by corpus size
+    (more data at fixed span = same grid, denser buckets), so the
+    explode never balloons with SF, and the window runs over buckets,
+    never over the full grid. Every grid hour lies inside a segment
+    (the grid spans min(h)..max(h)), so LOCF is total and
+    interpolation always has both neighbors."""
     e = _t(spark, sf_dir, "events")
     b = (
         e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
@@ -106,70 +104,59 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
-    # both the spine bounds and the join probe read b: persist it so
-    # the events table is scanned ONCE (the two consumers' subplans
-    # differ in pushed filters, so Spark won't reuse the exchange);
-    # b is users x active-hours rows — tiny next to events at any SF
-    b = _persist(b)
-    spine = (
-        b.groupBy("user_id")
-        .agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
+    # r11 restructure (guide §2.4 remove shuffles / §1.2 algorithm
+    # first): the oracle's spine-join-window pipeline carries every
+    # GRID row (users x span hours) through a left join and two
+    # whole-spine window passes. But every grid row's fill values are
+    # fully determined by its enclosing observed SEGMENT [h, next_h):
+    # locf = segment start's v, ph = h, (nv, nh) = the next bucket.
+    # So: ONE lead() window over the bucket table (users x
+    # active-hours rows — the small frame), then explode each
+    # segment's hours and compute locf/interp map-side. Removes the
+    # spine groupBy, the spine⋈buckets join, the two spine-sized
+    # windows, and b's persist (single consumer now). Value identity
+    # with the window formulation: manufactured rows exist only
+    # inside a segment (the spine spans min(h)..max(h), so every grid
+    # hour has an observed bucket at-or-before AND at-or-after it),
+    # and frac spells the identical unix_micros arithmetic on the
+    # identical doubles; the oracle's `nv IS NULL` branch was
+    # unreachable totality armor for the same reason. Measured sf0.1
+    # warm 1.74 -> 0.9 s; the 8.0 s spine stage (stage_profile) is
+    # gone from the plan (plans/r11/gap_fill_{before,after}.txt).
+    nxt = Window.partitionBy("user_id").orderBy("h")
+    seg = b.select(
+        "user_id",
+        "h",
+        "v",
+        F.lead("h").over(nxt).alias("nh"),
+        F.lead("v").over(nxt).alias("nv"),
+    )
+    # each segment emits its own observed hour plus the silent hours
+    # strictly before the next bucket; the last bucket (nh null)
+    # emits just itself
+    hh = F.explode(
+        F.sequence(
+            F.col("h"),
+            F.coalesce(
+                F.col("nh") - F.expr("INTERVAL 1 HOUR"), F.col("h")
+            ),
+            F.expr("INTERVAL 1 HOUR"),
         )
-    )
-    j = spine.join(b, ["user_id", "h"], "left").select(
-        "user_id",
-        "h",
-        "v",
-        F.when(F.col("n").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
-            "observed"
-        ),
-    )
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # the forward probe ("nearest observed bucket at-or-after me") is
-    # NOT first() over [currentRow, unboundedFollowing]: Spark executes
-    # unbounded-FOLLOWING frames by re-scanning current..end for every
-    # row — O(rows²) per partition (measured: 26 s vs 3 s at sf0.1 on
-    # ~720-row user frames). A running last() over the DESCENDING
-    # order is the same value with the O(rows) incremental frame.
-    fwd_rev = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
-    f = j.select(
-        "user_id",
-        "h",
-        "observed",
-        "v",
-        F.last("v", ignorenulls=True).over(back).alias("locf"),
-        F.last(known_h, ignorenulls=True).over(back).alias("ph"),
-        F.last("v", ignorenulls=True).over(fwd_rev).alias("nv"),
-        F.last(known_h, ignorenulls=True).over(fwd_rev).alias("nh"),
-    )
+    ).alias("hh")
+    g = seg.select("user_id", "h", "v", "nh", "nv", hh)
     frac = (
-        (F.unix_micros("h") - F.unix_micros("ph")) * F.lit(1.0)
-        / (F.unix_micros("nh") - F.unix_micros("ph"))
+        (F.unix_micros("hh") - F.unix_micros("h")) * F.lit(1.0)
+        / (F.unix_micros("nh") - F.unix_micros("h"))
     )
-    interp = (
-        F.when(F.col("observed") == 1, F.col("v"))
-        .when(F.col("nv").isNull(), F.col("locf"))
-        .otherwise(F.col("locf") + (F.col("nv") - F.col("locf")) * frac)
+    observed = F.col("hh") == F.col("h")
+    interp = F.when(observed, F.col("v")).otherwise(
+        F.col("v") + (F.col("nv") - F.col("v")) * frac
     )
-    return f.select(
+    return g.select(
         "user_id",
-        "h",
-        "observed",
-        "locf",
+        F.col("hh").alias("h"),
+        F.when(observed, F.lit(1)).otherwise(F.lit(0)).alias("observed"),
+        F.col("v").alias("locf"),
         qround(interp, 4).alias("v_interp"),
     )
 

@@ -702,44 +702,73 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, completing table_profile's single-table profile with the
     cross-table half).
 
-    Scale: each relationship is one LEFT ANTI join child→parent for
-    orphans and one parent→child for childless parents; dims
-    broadcast, the two fact-fact edges (lineitem→orders,
-    orders→customer) shuffle on their join key exactly once each.
-    Counts are 1-row aggregates unioned into the fixed 7-row report —
-    the per-edge work is independent and Spark schedules the branches
-    concurrently."""
-    frames = []
+    Scale (r11 restructure, guide §2.3 aggregate-before-shuffle +
+    §2.4 remove shuffles): all 14 single-column scans (7 edges x
+    child-fk + parent-pk) union into ONE tall tagged stream, so the
+    whole report is exactly TWO exchanges — per-(edge, key) counts,
+    then per-edge totals. Per (edge, key): child rows with no parent
+    key = orphans, parent keys with no child rows = childless, the
+    null-fk group never collides with a parent key (TPCH pks are
+    non-null) so it lands in n_null_fk. The map-side partial
+    aggregation collapses each scan to its distinct keys before the
+    edge tag ever crosses the wire. This replaces the per-edge chains
+    of 2 anti-joins + base aggregate + two 1-row cross joins: the old
+    shape ran 63 scheduler stages for 1.8 s of executor time — wall
+    was pure AQE wave latency, not work. Count identity: the sum of
+    per-key row counts is exactly count(*) over the underlying rows,
+    duplicate parent keys included."""
+    # one scan per TABLE: each table contributes all its (edge, key)
+    # roles as an exploded struct array, so lineitem is read once for
+    # its three fk columns instead of three times, and the whole
+    # report runs 7 scans instead of 14
+    roles: dict[str, list] = {}
     for rel, child, fk, parent, pk in _FK_EDGES:
-        c = _t(spark, sf_dir, child)
-        p = _t(spark, sf_dir, parent).select(pk)
-        orphans = (
-            c.filter(F.col(fk).isNotNull())
-            .join(p, c[fk] == p[pk], "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphan"))
+        roles.setdefault(child, []).append((rel, fk, 1, 0))
+        roles.setdefault(parent, []).append((rel, pk, 0, 1))
+    parts = []
+    for table, rs in roles.items():
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(rel).alias("relationship"),
+                    F.col(col).alias("k"),
+                    F.lit(cc).alias("cc"),
+                    F.lit(pc).alias("pc"),
+                )
+                for rel, col, cc, pc in rs
+            ]
         )
-        childless = p.join(
-            c.select(fk), c[fk] == p[pk], "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_childless_parent"))
-        base = c.agg(
-            F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_null_fk"),
+        parts.append(
+            _t(spark, sf_dir, table)
+            .select(F.explode(arr).alias("r"))
+            .select("r.relationship", "r.k", "r.cc", "r.pc")
         )
-        frames.append(
-            base.join(orphans).join(childless).select(
-                F.lit(rel).alias("relationship"),
-                "n_child",
-                "n_orphan",
-                "n_null_fk",
-                "n_childless_parent",
-            )
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionAll(f)
-    return out
+    tall = parts[0]
+    for p2 in parts[1:]:
+        tall = tall.unionAll(p2)
+    per_key = tall.groupBy("relationship", "k").agg(
+        F.sum("cc").alias("cnt"), F.sum("pc").alias("np")
+    )
+    return per_key.groupBy("relationship").agg(
+        F.sum("cnt").alias("n_child"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("k").isNotNull() & (F.col("np") == 0),
+                    F.col("cnt"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_orphan"),
+        F.coalesce(
+            F.sum(F.when(F.col("k").isNull(), F.col("cnt"))),
+            F.lit(0).cast("long"),
+        ).alias("n_null_fk"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 0, F.col("np"))),
+            F.lit(0).cast("long"),
+        ).alias("n_childless_parent"),
+    )
 
 
 # ---------------------------------------------------------------------

@@ -201,3 +201,51 @@ def test_rolling_fingerprint_matches_reference(spark, texts):
         ).collect()
     ]
     assert got == [_fp_roll_py(t) for t in texts]
+
+
+# ---------------------------------------------------------------------
+# normalized_tokens single-pass spelling (r11) == the original
+# replace->trim->split chain, for ALL inputs
+# ---------------------------------------------------------------------
+
+
+def _old_normalized_tokens(c):
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9\\s]", " ")
+    return F.array_remove(F.split(F.trim(cleaned), "\\s+"), "")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(max_size=80),  # full unicode incl. surrogate-adjacent
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_normalized_tokens_single_pass_equivalent(spark, texts):
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        normalized_tokens(F.col("text")).alias("new"),
+        _old_normalized_tokens(F.col("text")).alias("old"),
+    ).collect()
+    for r in rows:
+        assert r["new"] == r["old"]
+
+
+def test_normalized_tokens_single_pass_on_corpus(spark):
+    """The equivalence on the real documents table (adversarial
+    punctuation/unicode the generator may miss)."""
+    from clinvar_pipeline_spark.functions.hashes import normalized_tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad = (
+        d.select(
+            normalized_tokens(F.col("text")).alias("new"),
+            _old_normalized_tokens(F.col("text")).alias("old"),
+        )
+        .filter(F.col("new") != F.col("old"))
+        .count()
+    )
+    assert bad == 0
