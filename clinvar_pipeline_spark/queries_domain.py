@@ -868,7 +868,16 @@ def q_vcf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("pad"))
         .alias("alt"),
     )
-    grouped = norm.repartitionByRange("chr", "pos", "rs", "vt").groupBy(
+    # r11 second pass: EXPLICIT partition count. Without it the range
+    # exchange lands on the AQE-coalesced count (10 at sf0.1) and the
+    # whole collect_set + render + local-sort stage — the query's one
+    # heavy stage, ~6 s CPU — runs 10-wide on 32 cores. The explicit
+    # count pins full-width parallelism; composite range bounds on
+    # (chr,pos,rs,vt) split finely even though chr alone has 3 values.
+    # Scale-adaptive (defaultParallelism), not a local constant.
+    grouped = norm.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "chr", "pos", "rs", "vt"
+    ).groupBy(
         "chr", "pos", "rs", "vt"
     ).agg(
         F.concat_ws(",", F.array_sort(F.collect_set(F.coalesce("ref", F.lit("-"))))).alias(
