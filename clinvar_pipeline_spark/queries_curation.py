@@ -390,29 +390,32 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches merge by cell-wise addition — exactly what the groupBy
     computes.
 
-    Scale: the sketch build is the whole point at 100 TB — a fixed
-    DEPTH x WIDTH cell table (here 64 cells) regardless of corpus or
-    vocabulary size, reached by one map-side-combined groupBy whose
-    partial state per task is the sketch itself; no vocabulary-sized
-    state anywhere in the sketch path. The exact top-N twin (one
-    groupBy + TakeOrdered) exists as the audit baseline the estimates
-    are judged against; the final estimate join touches
-    top-N x DEPTH rows against the broadcast 64-cell sketch."""
+    Scale: the PRODUCTION sketch build (cm_sketch_frame above, the
+    streaming path) is a fixed DEPTH x WIDTH cell table regardless of
+    corpus or vocabulary size — one map-side-combined groupBy whose
+    partial state per task is the sketch itself. This AUDIT query
+    additionally needs the exact top-N, which requires a vocab-sized
+    token-count aggregate anyway — so (r11, guide §2.4 share one
+    exchange) the sketch is derived from that same aggregate by
+    LINEARITY: summing per-token exact counts into (j, bucket) cells
+    gives bit-identical integers to counting occurrences directly,
+    and the corpus-sized explode now feeds ONE exchange whose
+    map-side output both consumers reuse (ReuseExchange — no persist,
+    no cache race; before: two full explode passes, 7.3 + 6.2 s
+    executor per invocation). The hash runs per VOCAB ROW x DEPTH,
+    not per occurrence. The estimate join touches top-N x DEPTH rows
+    against the broadcast 64-cell sketch."""
     d = _spread(_t(spark, sf_dir, "documents"))
     toks = d.select(F.explode(normalized_tokens(F.col("text"))).alias("t"))
-    # eager (r11): the sketch's broadcast-build job and the exact
-    # top-N job are independent; lazily persisted they raced the cache
-    # and each re-ran the explode (stage_profile: two 0.6 MB scan
-    # stages, 7.3 + 6.2 s, per invocation)
-    toks = _persist(toks, eager=True)  # sketch build + exact top-N share it
+    tc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
     js = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j")
-    sk = cm_sketch_from_tokens(toks)
-    top = (
-        toks.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), "t")
-        .limit(CM_TOPN)
+    sk = (
+        tc.select("exact_cnt", js, F.col("t"))
+        .select("exact_cnt", "j", _cm_bucket(F.col("j"), F.col("t")).alias("b"))
+        .groupBy("j", "b")
+        .agg(F.sum("exact_cnt").alias("c"))
     )
+    top = tc.orderBy(F.col("exact_cnt").desc(), "t").limit(CM_TOPN)
     keys = top.select("t", "exact_cnt", js).select(
         "t", "exact_cnt", "j", _cm_bucket(F.col("j"), F.col("t")).alias("b")
     )
