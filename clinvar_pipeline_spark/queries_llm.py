@@ -957,7 +957,12 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Window content never leaves the mappers (the key is
     not in the result, the decontaminate discipline)."""
     win = _window_hash_frame(spark, sf_dir)
-    win = _persist(win)  # dup-set build + position semi-join share it
+    # eager (r11): dup-set build + position semi-join are independent
+    # branches; lazily persisted they race and re-run the Karp-Rabin
+    # kernel lineage up to 3x (stage_profile: 12.8 + 4.8 + 1.0 s
+    # stages all scanning documents) — the costliest recompute in the
+    # registry, so the cluster profile materializes it up front
+    win = _persist(win, eager=True)
     dup = (
         win.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -993,7 +998,8 @@ def q_duplicate_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence pick), one h-equi-join back, and the per-doc
     island merge. No new shuffle shape vs duplicate_spans."""
     win = _window_hash_frame(spark, sf_dir)
-    win = _persist(win)  # first-pick build + position join share it
+    # eager (r11): same racing-kernel measurement as duplicate_spans
+    win = _persist(win, eager=True)  # first-pick build + position join
     # carry the occurrence count with the first pick so singleton
     # windows (c == 1, the majority on a mostly-unique corpus) never
     # ride the join back — they'd only be filtered out afterwards.

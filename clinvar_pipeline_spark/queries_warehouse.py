@@ -434,6 +434,45 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(spark, sf_dir, exact=True)
 
 
+def _pagerank_node_count(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct node count of the customer⋈supplier co-purchase graph
+    — a corpus-derived SCALAR, memoized per (application, corpus) like
+    queries_llm._corpus_token_total (r11, guide §5): re-deriving it
+    per plan build re-ran the full edge-build pipeline (orders⋈lineitem
+    + distinct + degree agg) as a serial count job on EVERY invocation
+    (~1-1.5 s wall at sf0.1) before round 1 could start. The value is
+    deterministic from the parquet inputs and folds into the plan as a
+    literal; every action still computes from the files.
+
+    The count runs on its OWN twin frame, not the caller's persisted
+    edges/deg frames — counting those would materialize their caches
+    during plan BUILD and make the captured plan depend on memo
+    warmth (the _corpus_token_total order-stability lesson)."""
+    from clinvar_pipeline_spark.caching import memo
+
+    def _count() -> int:
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        eraw = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("u"),
+                (F.col("l_suppkey") * 2 + 1).alias("v"),
+            )
+            .distinct()
+        )
+        # distinct sources of the symmetrized edge set == deg.count()
+        return (
+            eraw.select(F.col("u").alias("n"))
+            .unionAll(eraw.select(F.col("v").alias("n")))
+            .distinct()
+            .count()
+        )
+
+    app_id = spark.sparkContext.applicationId
+    return memo(("pagerank_node_count", app_id, sf_dir), _count)
+
+
 def pagerank(
     spark: SparkSession,
     sf_dir: str,
@@ -483,13 +522,18 @@ def pagerank(
         )
         .distinct()
     )
+    # eager marks (r11): edges feeds the degree build + the dst_deg
+    # join; deg feeds the rank init + that join — independent branch
+    # stages that race a lazy cache (the cluster profile materializes
+    # them up front; locally the overlap wins, the measured A/B rule)
     edges = _persist(
         eraw.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
             eraw.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
+        ),
+        eager=True,
     )
     deg = _persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-                   .withColumnRenamed("src", "node"))
+                   .withColumnRenamed("src", "node"), eager=True)
     # r10: edges carry the DESTINATION's degree, so each round is ONE
     # join (edges⋈ranks on src) — the dst-keyed agg emits (node, deg,
     # r) directly and the former per-round deg⋈contrib join (6 extra
@@ -505,7 +549,10 @@ def pagerank(
             "dst",
         )
     )
-    n_nodes = deg.count()  # 1-row driver scalar (sanctioned)
+    # corpus-derived scalar from the per-session memo (r11): the
+    # serial per-invocation count job is gone; warm invocations start
+    # round 1 immediately
+    n_nodes = _pagerank_node_count(spark, sf_dir)
     base = 0.15 / n_nodes  # same IEEE division the oracle's 0.15/n does
     ranks = deg.select("node", "deg", F.lit(1.0 / n_nodes).alias("r"))
     prev = None

@@ -31,6 +31,12 @@ def main() -> None:
     spark = get_spark(app_name="ab-run")
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.queries()
+    try:
+        import bench
+
+        registry.update(bench._extra_queries())
+    except Exception:
+        pass
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
         "noop"
