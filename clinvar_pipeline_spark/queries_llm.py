@@ -2448,7 +2448,12 @@ def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.round(F.avg(lp), 4).alias("score"))
     )
-    return _persist(scored)  # every consumer reads it at least twice
+    # eager (r11): both banders hang 2-3 independent consumer branches
+    # off scored (stats/histogram build + the final label join); the
+    # doc-sized cache races lazily and each sibling re-runs the
+    # corpus-sized join+agg lineage (stage_profile: 2.13/1.64/1.55 s
+    # stages per invocation) — cluster profile materializes it once
+    return _persist(scored, eager=True)
 
 
 @register(
@@ -2598,7 +2603,9 @@ def q_perplexity_bands_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin"),
     )
-    binned = _persist(binned)  # histogram + refine both read it
+    # eager (r11): histogram + refine are independent branches (racing
+    # lazily re-bins from the scored cache); structural mark only
+    binned = _persist(binned, eager=True)
     hist = binned.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("c")
     )
