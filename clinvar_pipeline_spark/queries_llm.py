@@ -2354,8 +2354,30 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     The top-k window partitions BY DOCUMENT — parallel at any corpus
     size, never a global sort."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    tok = _persist(doc_tokens(d))  # tf + df + N all read it
-    n_docs = float(tok.select("doc_id").distinct().count())
+    # eager (r11): tf and df are independent branch stages off tok
+    tok = _persist(doc_tokens(d), eager=True)
+    # N is a corpus-derived scalar — memoized per (application,
+    # corpus) on its own twin frame (r11, the _corpus_token_total /
+    # pagerank-node-count discipline): counting the persisted tok
+    # frame ran the full tokenize pipeline as a serial job per
+    # invocation AND materialized the cache during plan build (memo-
+    # warmth-dependent captured plans, the plan-gate order lesson)
+    from clinvar_pipeline_spark.caching import memo
+
+    def _n_docs() -> int:
+        return (
+            doc_tokens(_spread(_t(spark, sf_dir, "documents")))
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+
+    n_docs = float(
+        memo(
+            ("tfidf_n_docs", spark.sparkContext.applicationId, sf_dir),
+            _n_docs,
+        )
+    )
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
     score = F.col("tf") * F.log(
