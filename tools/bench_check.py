@@ -71,12 +71,13 @@ WAIVERS: dict[str, str] = {
         "committed — parity."
     ),
     "fuzzy_entity_clusters": (
-        "partially ambient: standalone quiet-window min-of-5 is "
-        "2.12s vs 1.72s committed. The 93a4e3c long-key CC change "
-        "post-dates the committed baseline; its shuffle bytes are "
-        "DOWN (the gate that motivated it) and correctness/plan "
-        "gates are green. If 2.1s persists on a quiet r12 tier, "
-        "re-measure the long-key change in isolation."
+        "measured trade, not noise: an interleaved same-session A/B "
+        "(6 alternations) puts the 93a4e3c long-key CC shape at "
+        "2.77s med vs 2.42s string-key — ~0.3s local cost for the "
+        "16-bytes-per-edge-per-round exchange win the shuffle gate "
+        "motivated (strings vs longs through every CC iteration, "
+        "the lever that matters at 100 TB). Kept scale-first; "
+        "documented in OPTIMIZATION_r11.md. Re-baseline next round."
     ),
 }
 
