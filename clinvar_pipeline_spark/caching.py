@@ -47,7 +47,18 @@ def memo(key: Hashable, compute: Callable[[], Any]) -> Any:
     """Return the memoized value for ``key``, computing (and caching)
     it on first use. Keys must encode every parameter the computation
     depends on — including a corpus identity string, since the same
-    operator runs against different sf dirs in one session."""
+    operator runs against different sf dirs in one session.
+
+    STALENESS CONTRACT (ADVICE r11): keys encode the corpus by its
+    *path*, not its contents. If the parquet under a memoized sf_dir
+    is REWRITTEN mid-application (test fixtures regenerating data in
+    place), call :func:`clear_memo` at the rewrite point — otherwise a
+    corpus-derived scalar (token total, node count, doc count,
+    quantizer centroids) computed from the old bytes folds into later
+    plans as a literal and silently changes scores rather than just
+    timing. Every in-repo fixture writer creates a FRESH tmp dir per
+    test, so the hazard is only live for external callers mutating a
+    directory in place."""
     if key not in _MEMO:
         _MEMO[key] = compute()
     return _MEMO[key]

@@ -399,10 +399,16 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange) the sketch is derived from that same aggregate by
     LINEARITY: summing per-token exact counts into (j, bucket) cells
     gives bit-identical integers to counting occurrences directly,
-    and the corpus-sized explode now feeds ONE exchange whose
-    map-side output both consumers reuse (ReuseExchange — no persist,
-    no cache race; before: two full explode passes, 7.3 + 6.2 s
-    executor per invocation). The hash runs per VOCAB ROW x DEPTH,
+    and the corpus-sized explode now feeds ONE groupBy(t) exchange
+    both consumers hang off. NOTE (ADVICE r11): the reuse is
+    AQE-RUNTIME-dependent — the static plan dump shows the tc subtree
+    twice (two scans, two token-count exchanges, no ReusedExchange
+    node); it is the adaptive executor that dedups the identical
+    exchange at runtime, confirmed by the 5-stage / one-corpus-stage
+    stage_profile. If canonicalization ever diverged the cost would
+    be a second map-side explode pass (the pre-r11 shape), not a
+    correctness change. Before: two full explode passes, 7.3 + 6.2 s
+    executor per invocation. The hash runs per VOCAB ROW x DEPTH,
     not per occurrence. The estimate join touches top-N x DEPTH rows
     against the broadcast 64-cell sketch."""
     d = _spread(_t(spark, sf_dir, "documents"))

@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=4)
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
+    if args.passes < 2:
+        ap.error("--passes must be >= 2 (need at least one warm pass)")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from clinvar_pipeline_spark import queries as q
     from clinvar_pipeline_spark.session import get_spark
