@@ -461,10 +461,11 @@ def _pagerank_node_count(spark: SparkSession, sf_dir: str) -> int:
             )
             .distinct()
         )
-        # distinct sources of the symmetrized edge set == deg.count()
+        # distinct sources of the symmetrized edge set == deg.count();
+        # explode instead of unionAll so the o⋈li+distinct subtree
+        # runs once, not twice (r12, same fix as the edge build)
         return (
-            eraw.select(F.col("u").alias("n"))
-            .unionAll(eraw.select(F.col("v").alias("n")))
+            eraw.select(F.explode(F.array("u", "v")).alias("n"))
             .distinct()
             .count()
         )
@@ -526,10 +527,26 @@ def pagerank(
     # join; deg feeds the rank init + that join — independent branch
     # stages that race a lazy cache (the cluster profile materializes
     # them up front; locally the overlap wins, the measured A/B rule)
+    #
+    # r12 (guide §2.4 remove duplicated subtrees): symmetrize with ONE
+    # explode instead of unionAll(eraw, eraw.swapped) — the union's
+    # two branches each re-ran the orders⋈lineitem join + distinct
+    # (stage_profile: one 64-task, 20.9 s-executor stage = two
+    # identical 32-task subtrees; eraw is not persisted, and persisting
+    # it would be a second cache where a map-side explode does the
+    # same doubling for free). Row multiset is identical by
+    # construction: explode(array((u,v),(v,u))) emits exactly the two
+    # rows per distinct edge the union emitted. At 100 TB this halves
+    # the scans+join work under the heaviest stage of the query.
     edges = _persist(
-        eraw.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-            eraw.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        ),
+        eraw.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                    F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst"),
         eager=True,
     )
     deg = _persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
