@@ -488,36 +488,28 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("name_a", "name_b") <= 2)
         .select("name_a", "name_b")
     )
-    # r11 (guide §2.3 narrower types — the pagerank long-key pattern):
-    # CC iterates on xxhash64(name) LONGS, not the ~30-50 byte name
-    # strings, so every per-round exchange/checkpoint carries 16 bytes
-    # per edge instead of the two spellings. The output is unchanged
-    # BY CONSTRUCTION as long as the hash is injective on the observed
-    # name vocabulary: the cid never appears in the result — only the
-    # PARTITION it induces does (canonical election, cluster stats),
-    # and relabeling clusters by any injection preserves the
-    # partition. Collision odds follow the ngram-pairs waiver:
-    # ~|names|^2 / 2^65 (≈ 2.7e-8 at one million distinct names).
+    # r12 REVERT of the r11 long-key CC (guide §1 measure first, §2.3
+    # compression note): the xxhash64(name) iteration was motivated by
+    # RAW bytes per edge per round (16 B of longs vs two ~30-50 B
+    # spellings), but shuffle bytes travel COMPRESSED, and the gate's
+    # own numbers falsify the trade — similar name strings lz4-compress
+    # far better than incompressible 64-bit hashes, so the long-key
+    # shape shuffled MORE (write 40,487 / read 46,171 B vs 36,034 /
+    # 40,711 B string-keyed, same SF, same tool) AND cost ~0.3 s local
+    # wall (r11's own interleaved A/B: 2.77 s med vs 2.42). String
+    # keys win on both axes; the r11 bench_check waiver is deleted
+    # with this revert.
     cc = connected_components(
         pairs.select(
-            F.xxhash64("name_a").alias("src"),
-            F.xxhash64("name_b").alias("dst"),
+            F.col("name_a").alias("src"), F.col("name_b").alias("dst")
         )
     )
-    # map back by BROADCAST: cc covers only names that appear in a
-    # pair (cluster members — a small subset of the vocabulary), and
-    # broadcasting it keeps the names frame un-exchanged for the
-    # left-join (the string-keyed shape reused names' groupBy
-    # partitioning; a hash-keyed sort-merge join would have added an
-    # exchange of the whole names table and given back part of the
-    # CC win — caught by the r11 shuffle-bytes gate).
-    nh = F.xxhash64("p_name")
     lab = names.join(
-        F.broadcast(cc), nh == cc.node, "left"
+        cc, names.p_name == cc.node, "left"
     ).select(
         F.col("p_name").alias("name"),
         "n_parts",
-        F.coalesce("component", nh).alias("cid"),
+        F.coalesce("component", "p_name").alias("cid"),
     )
     w = Window.partitionBy("cid").orderBy(
         F.col("n_parts").desc(), F.col("name")

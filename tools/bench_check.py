@@ -43,42 +43,15 @@ REPO = os.path.dirname(HERE)
 # query -> reason for an accepted one-round warm-time shift; delete
 # the entry the round after, when the new number is the baseline
 WAIVERS: dict[str, str] = {
-    # r10 embedding_neardup_pairs waiver deleted: recovered (within
-    # tolerance in both r11 end-of-round runs, 1.04-1.25s warm).
-    #
-    # r11 tier context for all four below: this session's host showed
-    # steal WAVES (load 4-9 with zero local processes; identical code
-    # measured 1.88s and 2.90s twenty minutes apart), and the
-    # committed r11-start BENCH_DETAIL was recorded on the previous
-    # session's quieter tier. Each waiver cites a same-session
-    # standalone min-of-5-warm on a quiet window. Delete next round.
-    "pagerank_fast": (
-        "ambient, not code: the only r11 changes to this path REMOVE "
-        "work (node-count memo, plan gate MATCH); standalone "
-        "min-of-5 on a quiet window is 4.35s vs the 4.83s committed "
-        "baseline — an improvement. The bench run's v2 tier caught a "
-        "steal wave (passes 6.3/6.3/6.1)."
-    ),
-    "pmi_collocations": (
-        "ambient, not code: path untouched since the baseline; "
-        "standalone quiet-window min-of-5 is 1.11s vs 1.45s "
-        "committed — an improvement."
-    ),
-    "shingle_containment": (
-        "ambient, not code: r11 restructure experiments on this path "
-        "were REVERTED (committed shape identical to baseline); "
-        "standalone quiet-window min-of-5 is 2.01s vs 1.98s "
-        "committed — parity."
-    ),
-    "fuzzy_entity_clusters": (
-        "measured trade, not noise: an interleaved same-session A/B "
-        "(6 alternations) puts the 93a4e3c long-key CC shape at "
-        "2.77s med vs 2.42s string-key — ~0.3s local cost for the "
-        "16-bytes-per-edge-per-round exchange win the shuffle gate "
-        "motivated (strings vs longs through every CC iteration, "
-        "the lever that matters at 100 TB). Kept scale-first; "
-        "documented in OPTIMIZATION_r11.md. Re-baseline next round."
-    ),
+    # r11's four waivers were deleted in r12 as promised (rotation
+    # discipline): pagerank_fast / pmi_collocations /
+    # shingle_containment were ambient-tier waivers superseded by the
+    # fresh end-of-r12 baseline; fuzzy_entity_clusters's deliberate
+    # long-key trade was REVERTED in r12 (the compressed-shuffle-bytes
+    # measurement falsified its scale rationale — see
+    # OPTIMIZATION_r12.md). When adding a waiver, cite a same-session
+    # interleaved measurement and record the evidence file path so the
+    # claim is auditable.
 }
 
 ABS_FLOOR_SEC = 0.75

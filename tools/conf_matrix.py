@@ -35,6 +35,10 @@ CONFIGS: dict[str, dict[str, str]] = {
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
         "spark.sql.files.maxPartitionBytes": "256m",
     },
+    "kryo": {
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    },
+    "sp64": {"spark.sql.shuffle.partitions": "64"},
 }
 
 
