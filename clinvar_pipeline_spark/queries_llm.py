@@ -420,6 +420,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.xxhash64("s").alias("s"))
     )
+    # NOT eager: the idle-box profile showed 3 identical 2.2 MB-input
+    # stages, but the r12 saturated A/B (4 cores + 28 burners, 4 reps)
+    # measured eager as a wash-to-loss (lazy median 1.28 s vs eager
+    # 1.39) — this frame is the BIG exploded shingle stream, so the
+    # cache fill + serial count() cost >= the de-duplicated lineage
     sh = _persist(sh)
     ev = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
     tr = sh.filter(F.col("doc_id") % 97 != 0)
@@ -1539,6 +1544,10 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # model screen: train once over the full corpus (the standalone
     # quality_classifier semantics), keep verdicts for train docs
+    # NOT eager: two 2.2 MB doc_tokens stages race on an idle box,
+    # but the r12 saturated A/B measured eager as a wash (lazy 3.09 s
+    # median vs eager 3.15 over 4 reps) — big exploded token stream,
+    # same trade as decontaminate's shingle frame
     qtok = _persist(doc_tokens(d))
     w, wu = quality_weight_frame(qtok)
     avg_w = F.avg(F.coalesce(F.col("w"), F.lit(wu)))
@@ -2069,7 +2078,9 @@ def quality_weight_frame(tok: DataFrame) -> tuple[DataFrame, float]:
     # frame both read this aggregation — without the persist the
     # corpus-sized explode+groupBy runs twice per training (review
     # finding; the frame itself is vocab-sized, so the cache is tiny)
-    voc = _persist(
+    voc = _persist(  # lazy: the r12 saturated A/B on both consumers
+        # (quality_classifier, filter_funnel) measured the eager mark
+        # as a wash — the wu collect is a serial barrier already
         voc.select(
             "t", "pc", "nc",
             F.sum("pc").over(tot).alias("pt"),
@@ -2760,6 +2771,11 @@ def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # NOT eager: three identical 6.3 MB stages race on an idle box,
+    # but the r12 saturated A/B measured eager as a consistent ~7%
+    # LOSS (lazy median 3.37 s vs eager 3.62 over 4 reps) — the
+    # distinct shingle stream is the largest frame in the sweep, so
+    # caching it eagerly costs more than the race
     sh = _persist(sh)
     ev = sh.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_doc"), "s"
@@ -3713,7 +3729,9 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small relative overlaps can clamp to 0 — documented estimator
     property, pinned directionally in tests/test_dsir.py)."""
     mx = hll_register_frame(_t(spark, sf_dir, "documents"))
-    mx = _persist(mx)  # single + pair-union estimates share it
+    # eager: single + pair-union estimates share it (r12 profile:
+    # the register build ran once per consumer when lazy)
+    mx = _persist(mx, eager=True)
     langs = mx.select("lang").distinct()
     a, b = langs.alias("a"), langs.alias("b")
     pairs = a.join(

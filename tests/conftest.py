@@ -30,7 +30,10 @@ SLOW_TESTS = {
     "test_cli.py::test_cli_corpus_prep_warc_ingest",
     "test_cli.py::test_cli_event_report_lands_every_stage",
     "test_cli.py::test_cli_event_stream_equals_batch_temporal_queries",
-    "test_cli.py::test_cli_load_writes_snapshot",
+    # NOT test_cli_load_writes_snapshot (20 s): it creates the snap1
+    # snapshot that test_cli_add_rs_ids_and_vcf / _default_xdb_path
+    # (fast, in-lane) read — deselecting the producer broke the
+    # default lane (caught in r12's lane re-run).
     "test_cli.py::test_cli_nightly_chain_equals_separate_modes",
     "test_cli.py::test_cli_nightly_with_rs_and_vcf_stages",
     "test_cli.py::test_cli_warehouse_report_lands_every_stage",

@@ -53,3 +53,21 @@ def test_plain_persist_never_eager(spark, monkeypatch):
     assert acc.value == 0
     release_cached()
     assert os.environ.get("SPARK_GRAFT_EAGER_PERSIST") == "1"
+
+
+def test_r12_marked_queries_identical_under_eager(spark, sf_dir, monkeypatch):
+    """r12 marked seven multi-consumer persists eager (profile-driven:
+    decontaminate, filter_funnel, quality voc, eval_leak_report,
+    class_centroid_outliers, bloom_decontaminate, hll_overlap). The
+    mark must be result-invariant: same rows in both profiles."""
+    from clinvar_pipeline_spark import queries as q
+
+    reg = q.queries()
+    for name in ("hll_overlap", "class_centroid_outliers"):
+        monkeypatch.delenv("SPARK_GRAFT_EAGER_PERSIST", raising=False)
+        lazy = sorted(map(tuple, reg[name](spark, sf_dir).collect()))
+        q.release_cached()
+        monkeypatch.setenv("SPARK_GRAFT_EAGER_PERSIST", "1")
+        eager = sorted(map(tuple, reg[name](spark, sf_dir).collect()))
+        q.release_cached()
+        assert eager == lazy, name
