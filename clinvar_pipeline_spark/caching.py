@@ -105,6 +105,18 @@ def register_persist(df: DataFrame, eager: bool = False) -> DataFrame:
       extra job. Defaulting lazy keeps the driver's bench honest at
       both of its core counts; the eager profile is for deployments
       where executor-time is the budget.
+
+    Who gets the mark (r12 rule, from the saturated-core A/B —
+    4 Spark cores + 28 busy burners, tools/ab_eager_saturated.py):
+    eager wins only where the CACHED FRAME IS SMALL RELATIVE TO ITS
+    LINEAGE (validated: perplexity chain, langid, duplicate_spans,
+    bloom_decontaminate, class_centroid_outliers, hll_overlap). Where
+    the frame is a big exploded shingle/token stream, filling the
+    cache plus the serial count() costs more than the race even
+    under saturation (measured and REJECTED: decontaminate,
+    eval_leak_report, filter_funnel's qtok, the quality voc) — see
+    plans/r12/eager_saturated_*.json. Don't mark from an idle-box
+    profile alone; it overstates the race.
     """
     df = df.persist()
     _PERSISTED.append(df)
