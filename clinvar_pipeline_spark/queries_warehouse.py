@@ -434,6 +434,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(spark, sf_dir, exact=True)
 
 
+def _rank_frame_outgrows_broadcast(spark: SparkSession, n_nodes: int) -> bool:
+    """True when the node-sized rank frame (node LONG, deg LONG,
+    r DOUBLE — ~24 payload bytes, budgeted at 64/row with row
+    overhead, the planner's own order of magnitude) exceeds the
+    session's autoBroadcastJoinThreshold, i.e. when the per-round
+    edges⋈ranks join will be a SHUFFLE join and pre-partitioning the
+    edge cache on src pays. Threshold <= 0 means broadcast is
+    disabled, so the shuffle shape is certain."""
+    try:
+        thresh = int(
+            spark._jsparkSession.sessionState().conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        thresh = 10 * 1024 * 1024  # the Spark default
+    return thresh <= 0 or n_nodes * 64 > thresh
+
+
 def _pagerank_node_count(spark: SparkSession, sf_dir: str) -> int:
     """Distinct node count of the customer⋈supplier co-purchase graph
     — a corpus-derived SCALAR, memoized per (application, corpus) like
@@ -559,17 +577,38 @@ def pagerank(
     # the DECIMAL arithmetic and qround spellings are untouched and
     # the oracle stays bit-for-bit. At 100 TB this halves the
     # per-round join work on the edge-sized frame.
-    edges = _persist(
-        edges.join(
-            deg.select(F.col("node").alias("dst"),
-                       F.col("deg").alias("dst_deg")),
-            "dst",
-        )
-    )
     # corpus-derived scalar from the per-session memo (r11): the
     # serial per-invocation count job is gone; warm invocations start
     # round 1 immediately
     n_nodes = _pagerank_node_count(spark, sf_dir)
+    edges = edges.join(
+        deg.select(F.col("node").alias("dst"),
+                   F.col("deg").alias("dst_deg")),
+        "dst",
+    )
+    # r12 (guide §2.4 / §3.3): when the rank frame is too big to
+    # broadcast, each round's edges⋈ranks is a shuffle join — so cache
+    # the edge table HASH-PARTITIONED ON src (the per-round join key)
+    # and EnsureRequirements shuffles only the node-sized rank frame
+    # per round instead of the edge-sized table: 6 edge shuffles per
+    # run -> 1 at cache build (plan probe with broadcast disabled:
+    # plans/r12/pagerank_copart_{asis,srcpart}.txt — the per-round
+    # Sort+Exchange(src) over the InMemoryTableScan disappears).
+    # DATA-DRIVEN, not env-gated: the branch keys on the same decision
+    # the planner makes (estimated rank bytes vs the session's
+    # autoBroadcastJoinThreshold). Locally ranks broadcast (n_nodes ~
+    # 10^3-10^4), the repartition would be pure build cost (measured:
+    # pagerank warm 4.8-5.1 -> 5.2-5.6 s when forced on), so the shape
+    # — and every committed plan/bench baseline — is unchanged at any
+    # broadcastable node count. Width = defaultParallelism
+    # (scale-adaptive, the vcf_export rule); value-neutral either way:
+    # exact mode sums order-independent LONGS, and the fast path's
+    # float64 ordering is already not bit-pinned (tolerance-tested).
+    if _rank_frame_outgrows_broadcast(spark, n_nodes):
+        edges = edges.repartition(
+            spark.sparkContext.defaultParallelism, "src"
+        )
+    edges = _persist(edges)
     base = 0.15 / n_nodes  # same IEEE division the oracle's 0.15/n does
     ranks = deg.select("node", "deg", F.lit(1.0 / n_nodes).alias("r"))
     prev = None

