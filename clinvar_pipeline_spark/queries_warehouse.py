@@ -651,8 +651,18 @@ def pagerank(
         # eager materialization is a full pipeline barrier — measured
         # at sf0.1 warm 15.3 -> 12.4 s; the remaining per-round cost
         # is the barrier structure itself, which is what an iterative
-        # algorithm IS (at 100 TB the per-round real work dominates)
-        if checkpoint_every and i % checkpoint_every == checkpoint_every - 1:
+        # algorithm IS (at 100 TB the per-round real work dominates).
+        # r12: never checkpoint the FINAL round — truncating lineage
+        # only pays for rounds that come after, and the loop ends
+        # here; the consumer computes the <=checkpoint_every tail
+        # rounds directly (the same depth every mid-run segment has),
+        # skipping one eager materialization barrier + one node-sized
+        # block write per invocation
+        if (
+            checkpoint_every
+            and i % checkpoint_every == checkpoint_every - 1
+            and i < _PR_ITERS - 1
+        ):
             ranks = ranks.localCheckpoint()
             if prev is not None:
                 _release_checkpoint(prev)  # free the superseded round
