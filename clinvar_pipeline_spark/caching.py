@@ -109,7 +109,9 @@ def register_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     Who gets the mark (r12 rule, from the saturated-core A/B —
     4 Spark cores + 28 busy burners, tools/ab_eager_saturated.py):
     eager wins only where the CACHED FRAME IS SMALL RELATIVE TO ITS
-    LINEAGE (validated: perplexity chain, langid, duplicate_spans,
+    LINEAGE (validated: perplexity chain, langid — whose site was
+    later deleted outright by the r12 one-exchange restructure, the
+    strictly better outcome than either profile —, duplicate_spans,
     bloom_decontaminate, class_centroid_outliers, hll_overlap). Where
     the frame is a big exploded shingle/token stream, filling the
     cache plus the serial count() costs more than the race even

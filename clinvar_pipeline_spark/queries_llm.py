@@ -2998,57 +2998,62 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_classifier precedent). Argmax is a per-doc L-row window,
     rounded-score ties broken by language code descending in both
     engines."""
-    d = _spread(_t(spark, sf_dir, "documents"))
+    # r12 (guide §2.4 share one exchange): spread the docs BY
+    # doc_id HASH, not round-robin — every downstream key is a
+    # superset of doc_id (the (doc,lang,t) count agg, the seen
+    # partials agg on (doc,cand), the per-doc total agg, the
+    # scored⋈seen join, the argmax window), and explode/broadcast
+    # joins preserve the child partitioning, so ONE exchange of the
+    # doc-sized rows replaces all five downstream exchanges of the
+    # trigram-count-sized frames (plan: Exchange 6 -> 1 + the model
+    # broadcast; plans/r12/langid_{before,after}_copart.txt). Same
+    # width as _spread, still scale-adaptive; hash(doc_id) spreads as
+    # evenly as round-robin on a synthetic-key corpus.
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     # model from the per-corpus memo (one training job per session,
     # not per invocation)
     w_rows, wu_rows = _langid_model_rows(spark, sf_dir)
     lw = spark.createDataFrame(w_rows, "cand string, t string, w double")
     lwu = spark.createDataFrame(wu_rows, "cand string, wu double")
-    # r11 (guide §2.4): persist the per-doc trigram COUNTS, not the
-    # raw trigram stream — the cache point moves above the explode.
-    # Persisting `tri` left the expensive tokenize+explode below the
-    # cache's consumers' exchanges, and the seen-/ndoc-branch
-    # subtrees did not canonicalize to one reused exchange, so the
-    # explode + (doc,lang,t) aggregation ran TWICE per invocation
-    # (plans/r11/langid_before.txt: Exchanges (9) and (23), two ~25 s
-    # CPU stages at sf0.1). With `dt` persisted the explode and its
-    # shuffle run once and both consumers read the cached counts.
+    # r12 (guide §2.4): ONE linear pipeline in the oracle's own direct
+    # form, replacing the r11 two-branch decomposition (persisted dt →
+    # seen-partials agg + per-doc-total agg → SMJ → window; 6
+    # exchanges, a cache, and an eager mark). The trigram-count frame
+    # fans out ×L through two BROADCAST joins (lwu cross, lw left —
+    # both charset^3-bounded) and ONE partition-local aggregation
+    # computes score = Σ cnt·coalesce(w, wu) — textually the oracle's
+    # lsc CTE, so the engines now regroup the SAME per-term products
+    # (tighter than the decomposed n·wu + Σcnt·dw form round(.,4)
+    # had to absorb). Because the docs were hash-spread on doc_id and
+    # explode/broadcast joins preserve that partitioning, the
+    # (doc,lang,t) count agg, the score agg, and the argmax window all
+    # run WITHOUT their own exchanges: the whole query shuffles the
+    # compact raw-doc rows exactly once (plan: Exchange 6 → 1; at
+    # scale the removed dt exchange carried ~30-40 B per trigram vs
+    # ~1 B per text char moved once up front). Single consumer ⇒ no
+    # persist, no cache race, no eager mark — strictly better than
+    # both profiles the r11 saturation A/B compared.
     tri = _lid_trigrams(d)
-    # eager (r11): the two consumers (seen-partials, per-doc totals)
-    # are independent branch stages — lazily persisted, they raced the
-    # cache and each re-ran the explode+aggregation
-    dt = _persist(
-        tri.groupBy("doc_id", "lang", "t").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ),
-        eager=True,
+    dt = tri.groupBy("doc_id", "lang", "t").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    # seen-part: only (trigram, language) pairs the model knows emit
-    # rows; dw = w - wu folds the unseen default out of the join
-    adj = lw.join(F.broadcast(lwu), "cand").select(
-        "cand", "t", (F.col("w") - F.col("wu")).alias("dw")
-    )
-    seen = (
-        dt.join(F.broadcast(adj), "t")
-        .groupBy("doc_id", "cand")
-        .agg(F.sum(F.col("cnt") * F.col("dw")).alias("s_seen"))
-    )
-    ndoc = dt.groupBy("doc_id", "lang").agg(F.sum("cnt").alias("n"))
     scored = (
-        ndoc.crossJoin(F.broadcast(lwu))
-        .join(seen, ["doc_id", "cand"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            "cand",
+        dt.crossJoin(F.broadcast(lwu))
+        .join(F.broadcast(lw), ["cand", "t"], "left")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(
             (
                 F.round(
-                    F.col("n") * F.col("wu")
-                    + F.coalesce(F.col("s_seen"), F.lit(0.0)),
+                    F.sum(
+                        F.col("cnt")
+                        * F.coalesce(F.col("w"), F.col("wu"))
+                    ),
                     4,
                 )
                 + F.lit(0.0)
-            ).alias("score"),
+            ).alias("score")
         )
     )
     rk = Window.partitionBy("doc_id").orderBy(
