@@ -81,6 +81,37 @@ def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     return F.when(n >= F.lit(k), full).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_hashes_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct 64-bit k-shingle HASHES of a token-array column —
+    the join-key form of :func:`shingles_of_tokens` for consumers
+    that never read the shingle STRING (the inverted-index self-join
+    queries, which previously built every shingle string only to
+    ``xxhash64`` it at the next projection).
+
+    ``xxhash64(t_i, t_{i+1}, t_{i+2})`` hash-combines the k tokens
+    directly (no slice allocation, no string concat, and the distinct
+    dedups 8-byte longs instead of strings) — r12 micro-bench: the
+    exploded-index build is ~10-15% cheaper at sf0.1. Collision
+    class is the same as hashing the joined string (~1e-9 at 1e6
+    shingles, the documented ngram_jaccard_pairs trade): tokens are
+    [a-z0-9]+ so the space-joined string is injective on the triple,
+    and at sf0.1 both domains produce the identical 27213-shingle df
+    multiset (plans/r12/ab_shingle_hash_kernel.json)."""
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n - (k - 1))
+    full = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+            ),
+        )
+    )
+    return F.when(n >= F.lit(k), full).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """One-shot shingling of a raw text column. Prefer the two-step
     ``normalized_tokens`` → :func:`shingles_of_tokens` form in plans

@@ -27,6 +27,7 @@ from clinvar_pipeline_spark.functions.hashes import (
     md5_fingerprint,
     normalized_tokens,
     shingles_of_tokens,
+    shingle_hashes_of_tokens,
 )
 from clinvar_pipeline_spark.functions.sets import pipe_set_agg, ranked_sort
 from clinvar_pipeline_spark.operators.cascade import CascadeStage, cascade_lookup
@@ -805,16 +806,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra eager job per run (r2 bench: +93% cold), so the query path
     stays lazy."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    sh = (
-        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(shingles_of_tokens(F.col("toks"), k=3)).alias("sh_str"),
-        )
-        # join key is the shingle's 64-bit hash, not the string: the
-        # self-join shuffles 8-byte longs instead of ~20-byte strings
-        # and compares longs (collision odds ~1e-9 at 1e6 shingles)
-        .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
+    # join key is the shingle's 64-bit hash, not the string: the
+    # self-join shuffles 8-byte longs instead of ~20-byte strings
+    # and compares longs (collision odds ~1e-9 at 1e6 shingles).
+    # r12: the hash is combined straight from the token triple
+    # (shingle_hashes_of_tokens) — no per-position slice+concat and
+    # the distinct dedups longs, ~10-15% off the index-build kernel
+    # that every racing consumer branch of `sh` pays.
+    sh = d.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(shingle_hashes_of_tokens(F.col("toks"), k=3)).alias(
+            "shingle"
+        ),
     )
     # five plan branches read the exploded shingle index (both join
     # sides, two size lookups, the df counts) — persist so

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from clinvar_pipeline_spark.functions.hashes import (
     normalized_tokens,
     shingles_of_tokens,
+    shingle_hashes_of_tokens,
 )
 from clinvar_pipeline_spark.queries import (
     SHINGLE_DF_CAP,
@@ -196,13 +197,16 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered pair and fanned to both directions AFTER the aggregate
     (2 rows per surviving pair, not 2× the join work)."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    sh = (
-        d.select("doc_id", normalized_tokens(F.col("text")).alias("toks"))
-        .select(
-            "doc_id",
-            F.explode(shingles_of_tokens(F.col("toks"), k=3)).alias("sh_str"),
-        )
-        .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
+    # r12: hash the token triple directly (shingle_hashes_of_tokens)
+    # — same long join key, no per-position slice+concat string build
+    # (the q_ngram_jaccard_pairs kernel note)
+    sh = d.select(
+        "doc_id", normalized_tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(shingle_hashes_of_tokens(F.col("toks"), k=3)).alias(
+            "shingle"
+        ),
     )
     # eager (r11): same racing-branches measurement as
     # q_ngram_jaccard_pairs — four concurrent consumer stages each
