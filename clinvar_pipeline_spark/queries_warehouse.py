@@ -533,42 +533,53 @@ def pagerank(
     # boundary. Halves the key bytes through every exchange and
     # replaces string hashing/equality with long ops on the per-round
     # edge-sized frames.
-    eraw = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
-    )
-    # eager marks (r11): edges feeds the degree build + the dst_deg
-    # join; deg feeds the rank init + that join — independent branch
-    # stages that race a lazy cache (the cluster profile materializes
-    # them up front; locally the overlap wins, the measured A/B rule)
+    # eager marks (r11): the cached pair set feeds the degree build +
+    # the symmetrized edge build; deg feeds the rank init + the
+    # dst_deg join — independent branch stages that race a lazy cache
+    # (the cluster profile materializes them up front; locally the
+    # overlap wins, the measured A/B rule)
     #
     # r12 (guide §2.4 remove duplicated subtrees): symmetrize with ONE
     # explode instead of unionAll(eraw, eraw.swapped) — the union's
     # two branches each re-ran the orders⋈lineitem join + distinct
     # (stage_profile: one 64-task, 20.9 s-executor stage = two
-    # identical 32-task subtrees; eraw is not persisted, and persisting
-    # it would be a second cache where a map-side explode does the
-    # same doubling for free). Row multiset is identical by
+    # identical 32-task subtrees). Row multiset is identical by
     # construction: explode(array((u,v),(v,u))) emits exactly the two
     # rows per distinct edge the union emitted. At 100 TB this halves
     # the scans+join work under the heaviest stage of the query.
-    edges = _persist(
-        eraw.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-                    F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
-                )
-            ).alias("e")
-        ).select("e.src", "e.dst"),
+    #
+    # r12 (second pass, guide §5 cache what's small): the cache point
+    # sits on the UN-symmetrized distinct pair set — half the rows of
+    # the former symmetrized-edges cache. Degrees come from a map-side
+    # explode(array(u, v)) of the cached pairs (identical multiset to
+    # the symmetrized src column: u is even, v is odd, so u ≠ v and
+    # each direction appears exactly once), and the loop's edge table
+    # symmetrizes the same cache on its way into the dst_deg join —
+    # one edge-sized materialization pass instead of two, ~33% less
+    # cached edge state per invocation.
+    eraw = _persist(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct(),
         eager=True,
     )
-    deg = _persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-                   .withColumnRenamed("src", "node"), eager=True)
+    deg = _persist(
+        eraw.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg")),
+        eager=True,
+    )
+    edges = eraw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # r10: edges carry the DESTINATION's degree, so each round is ONE
     # join (edges⋈ranks on src) — the dst-keyed agg emits (node, deg,
     # r) directly and the former per-round deg⋈contrib join (6 extra
