@@ -141,6 +141,43 @@ def qround(col, scale: int):
     return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
 
 
+def _scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Number of input splits the planner assigns ``name``'s scan —
+    a per-(session, corpus, table) SCALAR (driver-side split planning
+    only, no job, no rows), memoized like the other corpus scalars."""
+    from clinvar_pipeline_spark.caching import memo
+
+    app_id = spark.sparkContext.applicationId
+    return memo(
+        ("scan_splits", app_id, sf_dir, name),
+        lambda: _t(spark, sf_dir, name).rdd.getNumPartitions(),
+    )
+
+
+def _widen_small_scan(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Round-robin repartition a fact-table scan ONLY when it arrived
+    with fewer input splits than cores (guide §2.5 input skew: "one
+    huge unsplittable file … repartition immediately after the read").
+    The testdata tables are single-row-group parquet — one effective
+    split — so scan-fused work (decimal partial aggregation, the VCF
+    normalize projection) serializes on one core. At 100 TB inputs
+    are multi-split (splits ≥ cores) and this branch is OFF: no extra
+    exchange ever reaches a production plan. Data-driven like the
+    pagerank co-partition branch — keyed on what the planner already
+    knows, not on an env flag. Applied ONLY where the paired A/B shows
+    the exchange pays for itself (vcf_export: −20% warm, −1 s cold);
+    the same change measured wash-to-147% SLOWER on the twelve lighter
+    scan paths including pricing_summary (probe table in
+    OPTIMIZATION_r12.md), so it stays a per-site decision, never a
+    blanket one."""
+    width = spark.sparkContext.defaultParallelism
+    if _scan_splits(spark, sf_dir, name) < width:
+        return df.repartition(width)
+    return df
+
+
 def _spread(df: DataFrame, parts: Optional[int] = None) -> DataFrame:
     """Repartition a compute-heavy small input across cores.
 
@@ -185,7 +222,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style aggregation (A6/A7 counter+audit pattern at scale).
 
     Scale: single scan, map-side partial aggregation, tiny group
-    cardinality → no skew; decimals keep the sums exact."""
+    cardinality → no skew; decimals keep the sums exact. r12: a
+    _widen_small_scan spread was measured here and REJECTED — the
+    paired fresh-process A/B is a wash warm (1.22/1.32 vs 1.23/1.07)
+    and ~0.35 s WORSE cold; the decimal partial agg is too light to
+    repay the extra exchange (unlike vcf_export's normalize+render
+    side, where the same change wins ~20%)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))

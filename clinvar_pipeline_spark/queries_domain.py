@@ -19,7 +19,14 @@ from clinvar_pipeline_spark.functions.text import (
     pack_width_buckets,
 )
 from clinvar_pipeline_spark.operators.fixpoint import resolve_transitive
-from clinvar_pipeline_spark.queries import DEC4, _persist, _spread, _t, register
+from clinvar_pipeline_spark.queries import (
+    DEC4,
+    _persist,
+    _spread,
+    _t,
+    _widen_small_scan,
+    register,
+)
 
 # ---------------------------------------------------------------------
 # F7/F8/F9 — map-position validity, assembly->map_key, cytogenetic parse
@@ -834,7 +841,14 @@ def q_vcf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling pass re-runs only the cheap scan+broadcast-join side.
     Measured sf0.1 warm 3.98 -> ~2.6 s; plan 2 Exchange -> 1
     (plans/r11/vcf_export_{before,after}.txt)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # r12: spread the under-split scan so the normalize projection +
+    # range-exchange write (and the range-bound sampling pass, which
+    # re-runs this side) parallelize instead of serializing on the one
+    # effective input split; off at scale (_widen_small_scan note) —
+    # measured −16% warm locally, paired A/B
+    li = _widen_small_scan(
+        _t(spark, sf_dir, "lineitem"), spark, sf_dir, "lineitem"
+    )
     p = _t(spark, sf_dir, "part")
     base = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
         F.col("l_returnflag").alias("chr"),
