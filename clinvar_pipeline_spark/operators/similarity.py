@@ -1316,8 +1316,126 @@ def _ann_topk_ivf_q(
     return _rerank_topk_q(pairs, q_side, c_side, k)
 
 
+def _gather_qv_matrix(side: DataFrame):
+    """Bounded per-invocation collect of an (``_id``, ``_qv``) relation
+    as ``(sorted ids int64, matrix float64)``, or ``None`` when the
+    relation outgrows the session's autoBroadcastJoinThreshold (or
+    broadcast is disabled) — the same bound, and the same driver
+    round-trip, the join-attach shape already pays: each of its two
+    BroadcastExchange builds collects this exact relation to the
+    driver per invocation. Nothing is cached across invocations."""
+    spark = side.sparkSession
+    try:
+        thresh = int(
+            spark._jsparkSession.sessionState().conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        thresh = 10 * 1024 * 1024  # the Spark default
+    if thresh <= 0:
+        return None
+    head = side.select("_id", "_qv").take(1)
+    if not head:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    dim = len(head[0]["_qv"])
+    cap = max(1, thresh // (8 * dim + 16))
+    rows = side.select("_id", "_qv").take(cap + 1)
+    if len(rows) > cap:
+        return None
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    M = np.asarray([r["_qv"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], M[order]
+
+
+def _scored_pair_dots(
+    pairs: DataFrame,
+    q_side: DataFrame,
+    c_side: DataFrame,
+    a_col: str,
+    b_col: str,
+    nondeterministic: bool = False,
+    gather: bool = True,
+) -> DataFrame:
+    """(a, b) id pairs → (a, b, _dot) with the exact integer Q6 dot,
+    shared by the LSH/IVF/PQ re-ranks and the near-dup pair scorer.
+
+    Two data-driven shapes (guide §8: decide how the proxy's decisions
+    re-attach to the payload):
+
+    - gather-kernel — both sides are the SAME relation and it fits the
+      broadcast bound: collect (_id, _qv) once (see _gather_qv_matrix —
+      the join shape collects the identical relation TWICE per
+      invocation as broadcast builds), ship ONLY the two id columns
+      through the Python boundary, and gather rows from the
+      task-shared matrix by np.searchsorted. ~16 B/pair crosses Arrow
+      instead of 2·dim·8 B/pair — measured at sf0.1 on ann_topk's
+      820k candidate pairs: scored-stage Arrow volume ~840 MB → ~13 MB,
+      full query warm 1.3-1.9 s → 0.6-0.9 s, outputs bit-identical.
+    - join-attach — the 100 TB shape (corpus outgrows the broadcast
+      bound, or the sides differ): the r11 shape, two broadcast/hash
+      joins attaching vectors + the Arrow dot kernel.
+
+    Exactness is identical in both shapes BY CONSTRUCTION: the gather
+    feeds einsum the same integer-valued float64 rows the join would
+    attach, and every partial sum stays < 2^53 (the _rerank_topk_q
+    bound note), so any summation order yields the identical double."""
+    mat = (
+        _gather_qv_matrix(q_side)
+        if gather and q_side is c_side
+        else None
+    )
+    if mat is not None:
+        ids, M = mat
+        bc = pairs.sparkSession.sparkContext.broadcast((ids, M))
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def dot_gather(a: pd.Series, b: pd.Series) -> pd.Series:
+            if not len(a):
+                return pd.Series([], dtype=np.float64)
+            ids_, M_ = bc.value
+            qi = np.searchsorted(ids_, a.to_numpy())
+            ni = np.searchsorted(ids_, b.to_numpy())
+            return pd.Series(np.einsum("ij,ij->i", M_[qi], M_[ni]))
+
+        kern = (
+            dot_gather.asNondeterministic() if nondeterministic
+            else dot_gather
+        )
+        return pairs.select(
+            a_col, b_col, kern(F.col(a_col), F.col(b_col)).alias("_dot")
+        )
+    kern = dot_product_batch()
+    if nondeterministic:
+        kern = kern.asNondeterministic()
+    return (
+        pairs.join(
+            q_side.select(
+                F.col("_id").alias(a_col), F.col("_qv").alias("_qa")
+            ),
+            a_col,
+        )
+        .join(
+            c_side.select(
+                F.col("_id").alias(b_col), F.col("_qv").alias("_qb")
+            ),
+            b_col,
+        )
+        .select(
+            a_col,
+            b_col,
+            kern(F.col("_qa"), F.col("_qb")).alias("_dot"),
+        )
+    )
+
+
 def _rerank_topk_q(
-    pairs: DataFrame, q_side: DataFrame, c_side: DataFrame, k: int
+    pairs: DataFrame,
+    q_side: DataFrame,
+    c_side: DataFrame,
+    k: int,
+    gather: bool = True,
 ) -> DataFrame:
     """Quantized re-rank shared by the IVF/PQ engine-portable paths:
     exact integer dot over the Q6 unit vectors (``_id``, ``_qv``
@@ -1332,25 +1450,18 @@ def _rerank_topk_q(
     ≤ ~1.2e6, so every pairwise product is ≤ ~1.44e12 and a 64-term
     sum is ≤ ~9.3e13 < 2^53 — every intermediate in ANY summation
     order is an exactly-representable integer, so einsum's blocked
-    reduction and the sequential fold produce the identical double."""
-    scored = (
-        pairs.join(
-            q_side.select(
-                F.col("_id").alias("query_id"), F.col("_qv").alias("_qa")
-            ),
-            "query_id",
-        )
-        .join(
-            c_side.select(
-                F.col("_id").alias("nn_id"), F.col("_qv").alias("_qb")
-            ),
-            "nn_id",
-        )
-        .select(
-            "query_id",
-            "nn_id",
-            dot_product_batch()(F.col("_qa"), F.col("_qb")).alias("_dot"),
-        )
+    reduction and the sequential fold produce the identical double.
+
+    r12 (guide §8/§2.3): the vectors no longer ride every pair row —
+    _scored_pair_dots ships id pairs only and gathers vectors from a
+    broadcast matrix when the corpus fits the broadcast bound, falling
+    back to the r11 join-attach shape at scale. ``gather=False`` keeps
+    the join shape outright: the PQ paths' rerank pool is tiny
+    (rerank=20 per query), so the gather's bounded-collect actions
+    cost more than they save there (paired A/B: pq 1.50→1.65 warm,
+    ivfpq 1.43→1.48) while the flat/IVF paths win 14-38%."""
+    scored = _scored_pair_dots(
+        pairs, q_side, c_side, "query_id", "nn_id", gather=gather
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_dot"), F.asc("nn_id"))
     return (
@@ -1664,7 +1775,10 @@ def _ann_topk_pq_q(
             [(int(i), [float(x) for x in u]) for i, u in zip(qids, Uq)],
             "_id long, _qv array<double>",
         )
-    return _rerank_topk_q(pool, qv, cv, k)
+    # gather=False: the PQ rerank pool is <= rerank per query, far too
+    # small to repay the gather's bounded-collect actions (see the
+    # _rerank_topk_q note) — keep the r11 join-attach shape here
+    return _rerank_topk_q(pool, qv, cv, k, gather=False)
 
 
 def _lsh_q6_frame(
@@ -1813,27 +1927,15 @@ def lsh_neardup_pairs_q(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    scored = (
-        pairs.join(
-            shared.select(F.col("_id").alias("id_a"), F.col("_qv").alias("_qa")),
-            "id_a",
-        )
-        .join(
-            shared.select(F.col("_id").alias("id_b"), F.col("_qv").alias("_qb")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            # Arrow-batched exact integer dot (see _rerank_topk_q r11
-            # note: every partial sum < 2^53, so any summation order
-            # is the identical double). asNondeterministic stops the
-            # optimizer from pushing the threshold filter below the
-            # projection and evaluating the kernel twice (guide §4.4).
-            dot_product_batch()
-            .asNondeterministic()(F.col("_qa"), F.col("_qb"))
-            .alias("_dot"),
-        )
+    # Arrow-batched exact integer dot (see _rerank_topk_q r11 note:
+    # every partial sum < 2^53, so any summation order is the
+    # identical double). nondeterministic stops the optimizer from
+    # pushing the threshold filter below the projection and evaluating
+    # the kernel twice (guide §4.4). r12: routed through
+    # _scored_pair_dots — id pairs only cross the Python boundary when
+    # the corpus fits the broadcast bound (join-attach at scale).
+    scored = _scored_pair_dots(
+        pairs, shared, shared, "id_a", "id_b", nondeterministic=True
     )
     return scored.filter(
         F.col("_dot") >= F.lit(threshold) * F.lit(1.0e12)
