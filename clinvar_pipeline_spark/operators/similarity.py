@@ -710,7 +710,13 @@ def semantic_dedup(
         # exact integer dot, Arrow-batched (r11 — see _rerank_topk_q:
         # every partial sum < 2^53 so any summation order yields the
         # identical double); nondeterministic so the pushed-down tau
-        # filter can't duplicate the kernel (guide §4.4)
+        # filter can't duplicate the kernel (guide §4.4).
+        # r12: the _scored_pair_dots gather-by-id shape was measured
+        # here and REJECTED — in-cell pair volume is ~sqrt(N)·N/2, far
+        # below the rerank family's bucket fan-out, so the bounded-
+        # collect actions cost more than the slimmer boundary saves
+        # (paired A/B at sf0.1: warm 1.06-1.22 join-attach vs
+        # 1.30-1.31 gathered). Vectors keep riding the cell self-join.
         sim_dot = dot_product_batch().asNondeterministic()(
             F.col("a._qv"), F.col("b._qv")
         )
@@ -1348,6 +1354,26 @@ def _gather_qv_matrix(side: DataFrame):
     return ids[order], M[order]
 
 
+def _gather_dot_udf(spark, mat, nondeterministic: bool = False):
+    """Pandas UDF (id_a, id_b) → exact integer Q6 dot, gathering both
+    rows from the broadcast (sorted ids, matrix) pair by searchsorted.
+    Only the two id columns cross the Python boundary."""
+    ids, M = mat
+    bc = spark.sparkContext.broadcast((ids, M))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot_gather(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=np.float64)
+        ids_, M_ = bc.value
+        qi = np.searchsorted(ids_, a.to_numpy())
+        ni = np.searchsorted(ids_, b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", M_[qi], M_[ni]))
+
+    return dot_gather.asNondeterministic() if nondeterministic else dot_gather
+
+
 def _scored_pair_dots(
     pairs: DataFrame,
     q_side: DataFrame,
@@ -1386,23 +1412,7 @@ def _scored_pair_dots(
         else None
     )
     if mat is not None:
-        ids, M = mat
-        bc = pairs.sparkSession.sparkContext.broadcast((ids, M))
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("double")
-        def dot_gather(a: pd.Series, b: pd.Series) -> pd.Series:
-            if not len(a):
-                return pd.Series([], dtype=np.float64)
-            ids_, M_ = bc.value
-            qi = np.searchsorted(ids_, a.to_numpy())
-            ni = np.searchsorted(ids_, b.to_numpy())
-            return pd.Series(np.einsum("ij,ij->i", M_[qi], M_[ni]))
-
-        kern = (
-            dot_gather.asNondeterministic() if nondeterministic
-            else dot_gather
-        )
+        kern = _gather_dot_udf(pairs.sparkSession, mat, nondeterministic)
         return pairs.select(
             a_col, b_col, kern(F.col(a_col), F.col(b_col)).alias("_dot")
         )
