@@ -342,6 +342,15 @@ def _batch_min_sigs(
     uh = np.array(
         [_blake64(s.encode("utf-8")) for s in uniques], dtype=np.uint64
     )
+    # r12 measured-and-REJECTED: permuting each DISTINCT hash once
+    # ((distinct x H) splitmix matrix + per-doc gather +
+    # np.minimum.reduceat segment-min) is bit-identical but NOT
+    # faster — within one task's Arrow batch the shingle duplication
+    # rate is low (the ~30x rate is corpus-wide, not per-batch), so
+    # the distinct-side saving is small while the H[codes] gather adds
+    # a full occurrence-sized memory copy (A/B: executor 15.5 s -> 16.6,
+    # wall 1.12-1.13 -> 1.16-1.19 warm). The per-document transient
+    # (n x H) permute below stays cache-resident and wins.
     hflat = uh[codes]
     pos = 0
     for j in range(n_out):
